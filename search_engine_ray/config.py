@@ -1,0 +1,41 @@
+"""Engine configuration.
+
+Reference analogue: ``ConfigClass`` (/root/reference/configuration.py:4-24),
+whose only knob is the stemming bool. The rebuild adds the partitioning /
+batching knobs that the reference expressed as hard-coded spill thresholds
+(/root/reference/indexer.py:21-23).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class EngineConfig:
+    # --- reference-visible semantics knobs ---
+    stemming: bool = False          # reference: ConfigClass.toStem
+    tokenizer: str = "treebank"     # "treebank" (reference-like) | "simple" (SQL-checkable)
+    bm25_k1: float = 1.2            # /root/reference/ranker.py:94
+    bm25_b: float = 0.75            # /root/reference/ranker.py:95
+    min_match_ratio: float = 0.35   # /root/reference/searcher.py:67
+    w_cos_weight: float = 0.9       # /root/reference/ranker.py:76-78
+    bm25_weight: float = 0.05
+    glove_weight: float = 0.05
+    glove_dim: int = 25
+
+    # --- physical layout / scale knobs ---
+    num_shards: int = 8             # doc_id % num_shards postings partitioning
+    term_buckets: int = 16          # hash(term) % term_buckets groupby fan-in per shard
+    block_size: int = 128           # postings per block-max block
+    parse_batch_size: int = 1024    # docs per parser batch
+    parser_concurrency: int = 4     # parser actor pool size
+    prune_df1: bool = True          # reference df==1 prune (/root/reference/indexer.py:167-169)
+    harvest_page_url: bool = True   # pages input: treat the row url as the harvested URL set
+
+    def fingerprint(self) -> str:
+        """Stable hash of semantics-affecting fields, recorded in manifests."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.blake2b(payload, digest_size=8).hexdigest()

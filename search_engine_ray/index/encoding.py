@@ -1,0 +1,157 @@
+"""Posting-list compression: delta + varbyte, with block-max metadata.
+
+The reference stores postings as pickled Python tuple lists
+(/root/reference/indexer.py:89-101, utils.py:14-27).  The rebuild encodes
+each (shard, term) posting list as columnar byte streams:
+
+- doc ids: strictly-increasing int64 -> delta -> varbyte (LEB128-style,
+  7 data bits/byte, little-endian groups, high bit = continuation);
+- tf / doc_length / max_tf / unique_terms: varbyte streams;
+- block-max metadata every ``block_size`` postings: last doc id, max
+  BM25 tf-norm (idf excluded — applied at query time), and byte offsets
+  into the doc-id and tf streams so block-max WAND can skip decode.
+
+All encode/decode paths are numpy-vectorized (no per-value Python loops;
+the inner loops below run at most ceil(64/7)=10 iterations of whole-array
+ops regardless of input size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_MASK7 = np.uint64(0x7F)
+
+
+def varbyte_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode non-negative int64/uint64 array; returns (buf, byte_offsets)
+    where byte_offsets[i] is the start offset of values[i] (len n+1)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= _U7
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        sel = nbytes > j
+        idx = offsets[:-1][sel] + j
+        chunk = (v[sel] >> np.uint64(7 * j)) & _MASK7
+        cont = (nbytes[sel] - 1) > j
+        out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes(), offsets
+
+
+def varbyte_decode(buf: bytes, offset: int = 0, count: int = -1) -> np.ndarray:
+    """Decode `count` values starting at byte `offset` (-1 = all)."""
+    b = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.int64)
+    is_end = (b & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    if count >= 0:
+        ends = ends[:count]
+        b = b[: ends[-1] + 1] if len(ends) else b[:0]
+        is_end = is_end[: len(b)]
+    n = len(ends)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    group = np.zeros(len(b), dtype=np.int64)
+    group[starts[1:]] = 1
+    np.cumsum(group, out=group)
+    within = np.arange(len(b), dtype=np.int64) - starts[group]
+    vals = np.zeros(n, dtype=np.uint64)
+    data = (b & 0x7F).astype(np.uint64)
+    maxw = int(within.max())
+    for j in range(maxw + 1):
+        sel = within == j
+        vals[group[sel]] |= data[sel] << np.uint64(7 * j)
+    return vals.astype(np.int64)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    d = np.empty_like(sorted_ids)
+    d[0:1] = sorted_ids[0:1]
+    np.subtract(sorted_ids[1:], sorted_ids[:-1], out=d[1:])
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas)
+
+
+def tf_norm(tf: np.ndarray, dl: np.ndarray, avg_dl: float,
+            k1: float, b: float) -> np.ndarray:
+    """BM25 term-frequency normalization (idf excluded):
+    tf*(k1+1)/(tf + k1*(1-b+b*dl/avg_dl)) — /root/reference/ranker.py:91-102."""
+    tf = tf.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avg_dl))
+
+
+class EncodedPostings:
+    """One (shard, term) posting list, encoded."""
+
+    __slots__ = ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb", "uniq_vb",
+                 "blk_last", "blk_max", "blk_doc_off", "blk_tf_off")
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    mtfs: np.ndarray, uniqs: np.ndarray, *, avg_dl: float,
+                    k1: float, b: float, block_size: int) -> EncodedPostings:
+    """doc_ids must be sorted ascending (reference sorts postings by id at
+    merge, /root/reference/indexer.py:219)."""
+    n = len(doc_ids)
+    docids_vb, doc_off = varbyte_encode(delta_encode(doc_ids))
+    tf_vb, tf_off = varbyte_encode(tfs)
+    dl_vb, _ = varbyte_encode(dls)
+    mtf_vb, _ = varbyte_encode(mtfs)
+    uniq_vb, _ = varbyte_encode(uniqs)
+
+    tn = tf_norm(np.asarray(tfs), np.asarray(dls, dtype=np.float64),
+                 avg_dl, k1, b)
+    starts = np.arange(0, n, block_size)
+    lasts = np.minimum(starts + block_size, n) - 1
+    blk_last = np.asarray(doc_ids)[lasts].astype(np.int64)
+    blk_max = np.array(
+        [tn[s:e + 1].max() for s, e in zip(starts, lasts)], dtype=np.float32
+    )
+    blk_doc_off = doc_off[starts].astype(np.int32)
+    blk_tf_off = tf_off[starts].astype(np.int32)
+    return EncodedPostings(
+        n=n, docids_vb=docids_vb, tf_vb=tf_vb, dl_vb=dl_vb,
+        mtf_vb=mtf_vb, uniq_vb=uniq_vb,
+        blk_last=blk_last.tobytes(), blk_max=blk_max.tobytes(),
+        blk_doc_off=blk_doc_off.tobytes(), blk_tf_off=blk_tf_off.tobytes(),
+    )
+
+
+def decode_postings(row: dict) -> dict:
+    """Inverse of encode_postings over a finalized posting row (dict with
+    the binary fields).  Returns dict of numpy arrays."""
+    n = int(row["n"])
+    deltas = varbyte_decode(row["docids_vb"], count=n)
+    return {
+        "doc_ids": delta_decode(deltas),
+        "tfs": varbyte_decode(row["tf_vb"], count=n),
+        "dls": varbyte_decode(row["dl_vb"], count=n),
+        "mtfs": varbyte_decode(row["mtf_vb"], count=n),
+        "uniqs": varbyte_decode(row["uniq_vb"], count=n),
+        "blk_last": np.frombuffer(row["blk_last"], dtype=np.int64),
+        "blk_max": np.frombuffer(row["blk_max"], dtype=np.float32),
+        "blk_doc_off": np.frombuffer(row["blk_doc_off"], dtype=np.int32),
+        "blk_tf_off": np.frombuffer(row["blk_tf_off"], dtype=np.int32),
+    }

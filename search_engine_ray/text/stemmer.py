@@ -1,0 +1,208 @@
+"""Porter2 (Snowball English) stemmer, pure Python.
+
+The reference stems with ``nltk.stem.snowball.SnowballStemmer('english')``
+(/root/reference/stemmer.py:4-14), gated by the config stemming flag
+(/root/reference/parser_module.py:24-26, 94-95).  nltk is absent here, so
+this module implements the published Snowball "English (Porter2)" algorithm
+(snowballstem.org/algorithms/english/stemmer.html — a public specification)
+deterministically.  Like nltk's stem(), input is lowercased first.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_LI_ENDING = frozenset("cdeghkmnrt")
+
+_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EXCEPTIONS_1A = frozenset(
+    ["inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed"]
+)
+
+
+def _is_vowel(word: str, i: int) -> bool:
+    return word[i] in _VOWELS
+
+
+def _regions(word: str) -> tuple[int, int]:
+    """Return (r1, r2) start offsets per the Snowball definition."""
+    r1 = len(word)
+    for prefix in ("gener", "commun", "arsen"):
+        if word.startswith(prefix):
+            r1 = len(prefix)
+            break
+    else:
+        for i in range(1, len(word)):
+            if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
+                r1 = i + 1
+                break
+    r2 = len(word)
+    for i in range(r1 + 1, len(word)):
+        if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _ends_short_syllable(word: str) -> bool:
+    n = len(word)
+    if n == 2:
+        return word[0] in _VOWELS and word[1] not in _VOWELS
+    if n >= 3:
+        a, b, c = word[-3], word[-2], word[-1]
+        return (
+            a not in _VOWELS
+            and b in _VOWELS
+            and c not in _VOWELS
+            and c not in "wxY"
+        )
+    return False
+
+
+def _is_short(word: str, r1: int) -> bool:
+    return r1 >= len(word) and _ends_short_syllable(word)
+
+
+def _contains_vowel(s: str) -> bool:
+    return any(ch in _VOWELS for ch in s)
+
+
+def stem(word: str) -> str:
+    word = word.lower()
+    if len(word) <= 2:
+        return word
+    if word in _EXCEPTIONS:
+        return _EXCEPTIONS[word]
+
+    if word.startswith("'"):
+        word = word[1:]
+    # mark consonant-y
+    if word.startswith("y"):
+        word = "Y" + word[1:]
+    word = "".join(
+        "Y" if ch == "y" and word[i - 1] in _VOWELS else ch
+        for i, ch in enumerate(word)
+    ) if "y" in word[1:] else word
+
+    r1, r2 = _regions(word)
+
+    # Step 0: longest of  '  's  's'
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-3] + ("i" if len(word) > 4 else "ie")
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        if _contains_vowel(word[:-2]):
+            word = word[:-1]
+
+    if word in _EXCEPTIONS_1A:
+        return word.replace("Y", "y")
+
+    # Step 1b
+    if word.endswith("eedly"):
+        if len(word) - 5 >= r1:
+            word = word[:-3]
+    elif word.endswith("eed"):
+        if len(word) - 3 >= r1:
+            word = word[:-1]
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stemmed = word[: -len(suf)]
+                if _contains_vowel(stemmed):
+                    word = stemmed
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_DOUBLES):
+                        word = word[:-1]
+                    elif _is_short(word, r1):
+                        word += "e"
+                break
+
+    # Step 1c: y/Y -> i if preceded by non-vowel which is not word-initial
+    if (
+        len(word) > 2
+        and word[-1] in "yY"
+        and word[-2] not in _VOWELS
+    ):
+        word = word[:-1] + "i"
+
+    # Step 2 (longest suffix, act only if entirely in R1)
+    step2 = [
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"),
+    ]
+    for suf, rep in step2:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + rep
+            break
+    else:
+        if word.endswith("ogi"):
+            if len(word) - 3 >= r1 and len(word) >= 4 and word[-4] == "l":
+                word = word[:-1]
+        elif word.endswith("li"):
+            if len(word) - 2 >= r1 and len(word) >= 3 and word[-3] in _LI_ENDING:
+                word = word[:-2]
+
+    # Step 3
+    step3 = [
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+        ("ness", ""), ("ful", ""),
+    ]
+    for suf, rep in step3:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + rep
+            break
+    else:
+        if word.endswith("ative") and len(word) - 5 >= r2:
+            word = word[:-5]
+
+    # Step 4 (in R2)
+    step4 = (
+        "ement", "ance", "ence", "able", "ible", "ment",
+        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+        "al", "er", "ic",
+    )
+    for suf in step4:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                word = word[: -len(suf)]
+            break
+    else:
+        if word.endswith("ion") and len(word) - 3 >= r2 and len(word) >= 4 and word[-4] in "st":
+            word = word[:-3]
+
+    # Step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2 or (
+            len(word) - 1 >= r1 and not _ends_short_syllable(word[:-1])
+        ):
+            word = word[:-1]
+    elif word.endswith("l") and len(word) - 1 >= r2 and len(word) >= 2 and word[-2] == "l":
+        word = word[:-1]
+
+    return word.replace("Y", "y")

@@ -1,0 +1,113 @@
+"""Word tokenization.
+
+The reference tokenizes with ``nltk.tokenize.word_tokenize`` (punkt
+sentence split + Treebank word tokenizer, /root/reference/parser_module.py:48).
+nltk is not installed in this environment, so we vendor a deterministic
+Treebank-style tokenizer implemented from the published Penn Treebank
+tokenizer rules (the classic ``tokenizer.sed`` behavior, public domain, as
+also documented by NLTK's TreebankWordTokenizer docs).  Both the Ray engine
+and the single-process test oracle call this same function — it is the
+single source of truth for token streams (SURVEY.md §7 step 3).
+
+Behavioral anchors that the downstream parser relies on:
+- ``#CovidIsReal`` -> ``['#', 'CovidIsReal']`` (hashtag handler, P3)
+- ``@user12``     -> ``['@', 'user12']`` (mention handler, P4)
+- ``50%``         -> ``['50', '%']`` (percent handler, P5)
+- ``https://t.co/x`` -> ``['https', ':', '//t.co/x']`` (https splice, P19)
+- ``68,800`` stays one token (comma-before-digit is not split)
+- sentence-final periods detach; ``3.5`` keeps its dot
+
+A second, deliberately simple tokenizer (`simple_tokenize`) splits on
+non-alphanumeric runs after lowercasing; it exists so that index pipelines
+can be validated value-for-value against a DuckDB SQL oracle
+(``regexp_split_to_array(lower(text), '[^a-z0-9]+')``).
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- Treebank-style rules (applied per sentence, in order) -----------------
+
+_STARTING_QUOTES = [
+    (re.compile(r"^\""), r"``"),
+    (re.compile(r"(``)"), r" \1 "),
+    (re.compile(r"([ \(\[{<])(\"|\'{2})"), r"\1 `` "),
+]
+
+_PUNCTUATION = [
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.\.\."), r" ... "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    # sentence-final period (possibly followed by closing brackets/quotes)
+    (re.compile(r"([^\.])(\.)([\]\)}>\"\']*)\s*$"), r"\1 \2\3 "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+]
+
+_PARENS_BRACKETS = [
+    (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
+    (re.compile(r"--"), r" -- "),
+]
+
+_ENDING_QUOTES = [
+    (re.compile(r'"'), " '' "),
+    (re.compile(r"(\S)(\'\')"), r"\1 \2 "),
+]
+
+_CONTRACTIONS2 = re.compile(r"(?i)([^' ])('[smd]|') ")
+_CONTRACTIONS3 = re.compile(r"(?i)([^' ])('ll|'re|'ve|n't) ")
+
+# Light punkt stand-in: split after .!? followed by whitespace.  The
+# fixtures control text shapes (FIXTURES.md §F1) so abbreviation handling
+# is unnecessary; what matters is that mid-text sentence-final periods
+# detach the same way punkt+treebank detaches them.
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def _treebank_sentence(sent: str) -> list[str]:
+    text = sent
+    for pat, sub in _STARTING_QUOTES:
+        text = pat.sub(sub, text)
+    for pat, sub in _PUNCTUATION:
+        text = pat.sub(sub, text)
+    for pat, sub in _PARENS_BRACKETS:
+        text = pat.sub(sub, text)
+    text = " " + text + " "
+    for pat, sub in _ENDING_QUOTES:
+        text = pat.sub(sub, text)
+    text = _CONTRACTIONS2.sub(r"\1 \2 ", text)
+    text = _CONTRACTIONS3.sub(r"\1 \2 ", text)
+    return text.split()
+
+
+def treebank_tokenize(text: str) -> list[str]:
+    """Tokenize `text` into Treebank-style word tokens."""
+    out: list[str] = []
+    for sent in _SENT_SPLIT.split(text):
+        if sent:
+            out.extend(_treebank_sentence(sent))
+    return out
+
+
+# --- Simple tokenizer (SQL-oracle-checkable) -------------------------------
+
+_SIMPLE_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def simple_tokenize(text: str) -> list[str]:
+    """Lowercase, split on non-[a-z0-9] runs, drop empties.
+
+    Mirrors DuckDB ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``
+    with empties removed, so pipelines built on it are SQL-verifiable.
+    """
+    return [t for t in _SIMPLE_SPLIT.split(text.lower()) if t]
+
+
+def get_tokenizer(name: str):
+    if name == "treebank":
+        return treebank_tokenize
+    if name == "simple":
+        return simple_tokenize
+    raise ValueError(f"unknown tokenizer: {name!r}")
