@@ -1,0 +1,48 @@
+"""Adapter: driver `documents` table -> F1 pages shape (FIXTURES.md §Driver).
+
+`/root/testdata/sf*/documents.parquet` has (doc_id:int64, text:string,
+lang:string, source:string, n_chars:int64).  The adapter maps it to the
+engine's input contract deterministically:
+  url     = source + '/' + doc_id
+  warc_ts = 2020-07-27T00:00:00Z + doc_id seconds
+  html    = the F1 wrap rule (title "t{doc_id}")
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from search_engine_ray.text.extract import wrap_html
+
+_BASE_TS_US = 1595808000_000_000
+
+
+def documents_batch_to_pages(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    sources = batch.column("source").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    urls = [f"{s}/{d}" for s, d in zip(sources, doc_ids)]
+    tss = [_BASE_TS_US + d * 1_000_000 for d in doc_ids]
+    htmls = [wrap_html(t, f"t{d}") for t, d in zip(texts, doc_ids)]
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+def documents_to_pages_parquet(sf_dir: str, out_path: str) -> str:
+    """Materialize the adapted pages table once (streaming, no driver
+    materialization); returns the output dir."""
+    import os
+
+    import ray.data
+
+    os.makedirs(out_path, exist_ok=True)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds.map_batches(documents_batch_to_pages,
+                   batch_format="pyarrow").write_parquet(out_path)
+    return out_path

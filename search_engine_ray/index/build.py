@@ -1,0 +1,524 @@
+"""Distributed index build — the Ray-Data-native pipeline.
+
+Replaces the reference's sequential SPIMI build + k-way disk merge
+(/root/reference/search_engine.py:29-72, indexer.py:33-253) with four
+checkpointed Dataset stages over zero-copy Arrow batches:
+
+1. ``parsed``  — read_parquet(url, warc_ts, html) -> html extraction ->
+   Parser actor pool -> forward-index parquet (one row per doc: doc stats +
+   unique term/tf lists + capitals/entities).  This checkpoint is consumed
+   by the three downstream stages so parsing runs ONCE (the reference
+   parses once too), and is the resume point.
+2. ``dict``    — term dictionary: per-batch partial rows (df partials,
+   capitals-AND partials, entity-count partials) -> one compact
+   groupby(key) -> merge-time rules applied exactly as the reference's
+   merge does (entity<2 prune, capitals UPPER rewrite, df==1 prune;
+   /root/reference/indexer.py:156-169).
+3. ``postings``— SPIMI partial runs per (shard, term) built inside
+   map_batches (the pre-shuffle combine), then ONE bucketed
+   groupby(shard, term_bucket) shuffle merges runs and encodes
+   delta+varbyte posting blobs with block-max metadata.  The dictionary
+   is joined in by replicating its (small) rows to every shard through
+   the same shuffle — no broadcast of vocab-sized state.
+4. ``docmeta`` — GloVe doc centroids (/root/reference/indexer.py:54-69)
+   + covid flag as an ordinary boolean column, hash-partitioned by shard.
+
+Skew: postings are DOC-SHARDED (shard = doc_id % S).  A head term like
+the reference's 'rt' (df = 70% of corpus) is split across all S shards,
+so no reducer ever holds a full head-term posting list; per-reducer
+volume is bounded by total_postings / (S * term_buckets).  This is the
+standard document-partitioned web-search layout and is what lets the
+build scale linearly with nodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.glove import GloveCache
+from search_engine_ray.ids import doc_id_for_url, term_bucket
+from search_engine_ray.index import manifest as mf
+from search_engine_ray.index.encoding import encode_postings
+from search_engine_ray.text.extract import extract_text
+from search_engine_ray.text.parser import Parser
+
+PARSED_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("url", pa.string()),
+    ("warc_ts", pa.int64()),          # microseconds since epoch
+    ("shard", pa.int32()),
+    ("doc_length", pa.int32()),
+    ("max_tf", pa.int32()),
+    ("unique_terms", pa.int32()),
+    ("is_covid", pa.bool_()),
+    ("terms", pa.list_(pa.string())),  # unique terms per doc
+    ("tfs", pa.list_(pa.int32())),
+    ("caps_terms", pa.list_(pa.string())),
+    ("caps_flags", pa.list_(pa.bool_())),
+    ("entities", pa.list_(pa.string())),
+])
+
+_RUN_FIELDS = [
+    ("shard", pa.int32()), ("tbucket", pa.int32()), ("term", pa.string()),
+    ("kind", pa.int8()),                # 0 = posting run, 1 = dict row
+    ("n", pa.int64()),
+    ("docids", pa.binary()), ("tfs", pa.binary()), ("dls", pa.binary()),
+    ("mtfs", pa.binary()), ("uniqs", pa.binary()),
+    ("final_term", pa.string()), ("df_global", pa.int64()),
+]
+RUN_SCHEMA = pa.schema(_RUN_FIELDS)
+
+
+# --------------------------------------------------------------- stage 1
+class ParsePages:
+    """Actor-pool UDF: html -> text -> parsed doc columns (ST1/ST2 state
+    built once per actor; /root/reference/parser_module.py:13-38)."""
+
+    def __init__(self, config: EngineConfig):
+        self.cfg = config
+        self.parser = Parser(
+            stemming=config.stemming,
+            tokenizer=config.tokenizer,
+            harvest_page_url=config.harvest_page_url,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+        htmls = batch.column("html").to_pylist()
+        cols = {name: [] for name, _ in zip(PARSED_SCHEMA.names,
+                                            PARSED_SCHEMA.types)}
+        S = self.cfg.num_shards
+        for url, ts, html in zip(urls, tss, htmls):
+            text = extract_text(html)
+            d = self.parser.parse_page(url, text)
+            if d is None:
+                continue  # reference drops unparseable rows (parser_module.py:165-171)
+            doc_id = doc_id_for_url(url)
+            cols["doc_id"].append(doc_id)
+            cols["url"].append(url)
+            cols["warc_ts"].append(ts)
+            cols["shard"].append(doc_id % S)
+            cols["doc_length"].append(d.doc_length)
+            cols["max_tf"].append(d.max_tf)
+            cols["unique_terms"].append(d.unique_terms)
+            cols["is_covid"].append("covid" in d.term_tfs)
+            cols["terms"].append(list(d.term_tfs.keys()))
+            cols["tfs"].append(list(d.term_tfs.values()))
+            cols["caps_terms"].append(list(d.capitals.keys()))
+            cols["caps_flags"].append(list(d.capitals.values()))
+            cols["entities"].append(sorted(d.entities))
+        return pa.table(
+            {n: pa.array(cols[n], type=t)
+             for n, t in zip(PARSED_SCHEMA.names, PARSED_SCHEMA.types)}
+        )
+
+
+# --------------------------------------------------------------- stage 2
+def dict_partial_rows(batch: pa.Table) -> pa.Table:
+    """Per-batch pre-aggregation for the dictionary groupby: df partials
+    (terms are unique per doc so a flat value_count is a doc count),
+    capitals-AND partials, entity doc-count partials."""
+    import pyarrow.compute as pc
+
+    out_key, out_df, out_caps, out_ent = [], [], [], []
+
+    terms_flat = pc.list_flatten(batch.column("terms"))
+    vc = terms_flat.value_counts()
+    keys = vc.field("values").to_pylist()
+    counts = vc.field("counts").to_pylist()
+    out_key.extend(keys)
+    out_df.extend(counts)
+    out_caps.extend([None] * len(keys))
+    out_ent.extend([None] * len(keys))
+
+    caps_t = pc.list_flatten(batch.column("caps_terms")).to_numpy(
+        zero_copy_only=False)
+    caps_f = pc.list_flatten(batch.column("caps_flags")).to_numpy(
+        zero_copy_only=False)
+    if len(caps_t):
+        import pandas as pd
+
+        s = pd.Series(caps_f.astype(np.int8))
+        g = s.groupby(caps_t).min()  # AND within batch
+        out_key.extend(g.index.tolist())
+        out_df.extend([None] * len(g))
+        out_caps.extend(g.values.tolist())
+        out_ent.extend([None] * len(g))
+
+    ents = pc.list_flatten(batch.column("entities"))
+    if len(ents):
+        vc = ents.value_counts()
+        ekeys = vc.field("values").to_pylist()
+        ecounts = vc.field("counts").to_pylist()
+        out_key.extend(ekeys)
+        out_df.extend([None] * len(ekeys))
+        out_caps.extend([None] * len(ekeys))
+        out_ent.extend(ecounts)
+
+    return pa.table({
+        "key": pa.array(out_key, pa.string()),
+        "df_part": pa.array(out_df, pa.int64()),
+        "caps_part": pa.array(out_caps, pa.int8()),
+        "ent_part": pa.array(out_ent, pa.int64()),
+    })
+
+
+def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
+    """The reference's merge-time pruning/rewrite rules, vectorized
+    (/root/reference/indexer.py:156-169), over aggregated dictionary rows."""
+    import pandas as pd
+
+    df = batch.to_pandas()
+    df = df[df["df"].notna() & (df["df"] > 0)]
+    # entity<2 prune: posting term string equals an entity-chunk string
+    # with doc-count < 2  (case mismatch makes this near-dead; as-written)
+    keep = ~(df["ent"].notna() & (df["ent"] < 2))
+    if prune_df1:
+        keep &= df["df"] != 1
+    df = df[keep]
+    rewritten = df["caps"].astype("float64").fillna(0.0).astype(int) == 1
+    final = df["key"].where(~rewritten, df["key"].str.upper())
+    return pa.table({
+        "term": pa.array(final.tolist(), pa.string()),
+        "orig_term": pa.array(df["key"].tolist(), pa.string()),
+        "df": pa.array(df["df"].astype(np.int64).tolist(), pa.int64()),
+        "rewritten": pa.array(rewritten.tolist(), pa.bool_()),
+    })
+
+
+# --------------------------------------------------------------- stage 3
+class BuildRuns:
+    """SPIMI partial posting runs per (shard, term) within each batch —
+    the pre-shuffle combine (reference analogue: the in-memory posting
+    chunk, /root/reference/indexer.py:89-105)."""
+
+    def __init__(self, config: EngineConfig):
+        self.cfg = config
+        self._bucket_cache: dict[str, int] = {}
+
+    def _tbucket(self, term: str) -> int:
+        b = self._bucket_cache.get(term)
+        if b is None:
+            b = term_bucket(term, self.cfg.term_buckets)
+            self._bucket_cache[term] = b
+        return b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms_col = batch.column("terms").combine_chunks()
+        tfs_col = batch.column("tfs").combine_chunks()
+        lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+        flat_terms = np.asarray(pc.list_flatten(terms_col).to_pylist(),
+                                dtype=object)
+        flat_tfs = pc.list_flatten(tfs_col).to_numpy().astype(np.int32)
+        doc_ids = np.repeat(batch.column("doc_id").to_numpy(), lens)
+        dls = np.repeat(
+            batch.column("doc_length").to_numpy(), lens).astype(np.int32)
+        mtfs = np.repeat(
+            batch.column("max_tf").to_numpy(), lens).astype(np.int32)
+        uniqs = np.repeat(
+            batch.column("unique_terms").to_numpy(), lens).astype(np.int32)
+        shards = np.repeat(
+            batch.column("shard").to_numpy(), lens).astype(np.int32)
+
+        # group by (term, shard): factorize + lexsort + boundary slicing
+        import pandas as pd
+
+        if len(flat_terms) == 0:
+            return pa.table({n: pa.array([], type=t) for n, t in _RUN_FIELDS})
+        codes, uniques = pd.factorize(flat_terms)
+        order = np.lexsort((doc_ids, shards, codes))
+        codes_o = codes[order]
+        shards_o = shards[order]
+        doc_ids = doc_ids[order]
+        flat_tfs = flat_tfs[order]
+        dls = dls[order]
+        mtfs = mtfs[order]
+        uniqs = uniqs[order]
+        boundary = np.empty(len(order), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (codes_o[1:] != codes_o[:-1]) | (
+            shards_o[1:] != shards_o[:-1])
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(order))
+
+        rows = {n: [] for n, _ in _RUN_FIELDS}
+        for s, e in zip(starts, ends):
+            term = uniques[codes_o[s]]
+            rows["shard"].append(int(shards_o[s]))
+            rows["tbucket"].append(self._tbucket(term))
+            rows["term"].append(term)
+            rows["kind"].append(0)
+            rows["n"].append(int(e - s))
+            rows["docids"].append(doc_ids[s:e].tobytes())
+            rows["tfs"].append(flat_tfs[s:e].tobytes())
+            rows["dls"].append(dls[s:e].tobytes())
+            rows["mtfs"].append(mtfs[s:e].tobytes())
+            rows["uniqs"].append(uniqs[s:e].tobytes())
+            rows["final_term"].append(None)
+            rows["df_global"].append(0)
+        return pa.table({n: pa.array(rows[n], type=t) for n, t in _RUN_FIELDS})
+
+
+def replicate_dict_rows(batch: pa.Table, num_shards: int,
+                        term_buckets: int) -> pa.Table:
+    """Fan the (small) dictionary out to every shard through the posting
+    shuffle — a replication join, not a driver broadcast, so the dict can
+    be vocabulary-scale without living in one process."""
+    orig = batch.column("orig_term").to_pylist()
+    final = batch.column("term").to_pylist()
+    dfg = batch.column("df").to_pylist()
+    n = len(orig)
+    S = num_shards
+    rows = {
+        "shard": np.tile(np.arange(S, dtype=np.int32), n),
+        "tbucket": np.repeat(
+            np.array([term_bucket(t, term_buckets) for t in orig],
+                     dtype=np.int32), S),
+        "term": np.repeat(np.asarray(orig, dtype=object), S),
+        "kind": np.full(n * S, 1, dtype=np.int8),
+        "n": np.zeros(n * S, dtype=np.int64),
+        "docids": [b""] * (n * S),
+        "tfs": [b""] * (n * S),
+        "dls": [b""] * (n * S),
+        "mtfs": [b""] * (n * S),
+        "uniqs": [b""] * (n * S),
+        "final_term": np.repeat(np.asarray(final, dtype=object), S),
+        "df_global": np.repeat(np.asarray(dfg, dtype=np.int64), S),
+    }
+    return pa.table({name: pa.array(
+        rows[name] if isinstance(rows[name], list) else rows[name].tolist(),
+        type=t) for name, t in _RUN_FIELDS})
+
+
+class FinalizeBucket:
+    """Merge runs per term within one (shard, tbucket) group, apply the
+    dictionary verdicts, and encode final posting blobs (the reference's
+    merge_chunks + save, /root/reference/indexer.py:118-220, without any
+    k-way disk merge — the groupby shuffle did the routing)."""
+
+    def __init__(self, avg_dl: float, config: EngineConfig):
+        self.avg_dl = avg_dl
+        self.cfg = config
+
+    def __call__(self, group) -> pa.Table:
+        import pandas as pd
+
+        assert isinstance(group, pd.DataFrame)
+        dict_rows = group[group["kind"] == 1]
+        term_map = dict(zip(dict_rows["term"], zip(dict_rows["final_term"],
+                                                   dict_rows["df_global"])))
+        runs = group[group["kind"] == 0]
+        out = {k: [] for k in ("shard", "term", "df_global", "n",
+                               "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
+                               "uniq_vb", "blk_last", "blk_max",
+                               "blk_doc_off", "blk_tf_off")}
+        for (term, shard), g in runs.groupby(["term", "shard"], sort=True):
+            verdict = term_map.get(term)
+            if verdict is None:
+                continue  # pruned by dictionary rules
+            final_term, dfg = verdict
+            ids = np.frombuffer(b"".join(g["docids"]), dtype=np.int64)
+            tfs = np.frombuffer(b"".join(g["tfs"]), dtype=np.int32)
+            dls = np.frombuffer(b"".join(g["dls"]), dtype=np.int32)
+            mtfs = np.frombuffer(b"".join(g["mtfs"]), dtype=np.int32)
+            uniqs = np.frombuffer(b"".join(g["uniqs"]), dtype=np.int32)
+            order = np.argsort(ids, kind="stable")  # indexer.py:219
+            enc = encode_postings(
+                ids[order], tfs[order], dls[order], mtfs[order], uniqs[order],
+                avg_dl=self.avg_dl, k1=self.cfg.bm25_k1, b=self.cfg.bm25_b,
+                block_size=self.cfg.block_size,
+            )
+            out["shard"].append(int(shard))
+            out["term"].append(final_term)
+            out["df_global"].append(int(dfg))
+            out["n"].append(enc.n)
+            out["docids_vb"].append(enc.docids_vb)
+            out["tf_vb"].append(enc.tf_vb)
+            out["dl_vb"].append(enc.dl_vb)
+            out["mtf_vb"].append(enc.mtf_vb)
+            out["uniq_vb"].append(enc.uniq_vb)
+            out["blk_last"].append(enc.blk_last)
+            out["blk_max"].append(enc.blk_max)
+            out["blk_doc_off"].append(enc.blk_doc_off)
+            out["blk_tf_off"].append(enc.blk_tf_off)
+        types = {"shard": pa.int32(), "term": pa.string(),
+                 "df_global": pa.int64(), "n": pa.int64()}
+        return pa.table({k: pa.array(v, type=types.get(k, pa.binary()))
+                         for k, v in out.items()})
+
+
+# --------------------------------------------------------------- stage 4
+class DocVec:
+    """GloVe doc centroid actor (ST3): sum of vectors over a doc's UNIQUE
+    terms divided by unique-term count (/root/reference/indexer.py:54-61
+    — divides by len(term_dict), not by the matched count)."""
+
+    def __init__(self, config: EngineConfig):
+        self.cfg = config
+        self.glove = GloveCache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        terms_col = batch.column("terms").combine_chunks()
+        lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(terms_col).to_pylist()
+        dim = self.cfg.glove_dim
+        vecs = np.zeros((len(lens), dim))
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        get = self.glove.get
+        flat_vecs = np.zeros((len(flat), dim))
+        hit = np.zeros(len(flat), dtype=bool)
+        for i, t in enumerate(flat):
+            g = get(t)
+            if g is not None:
+                flat_vecs[i] = g
+                hit[i] = True
+        np.add.at(vecs, row_idx[hit], flat_vecs[hit])
+        vecs /= np.maximum(lens, 1)[:, None]
+
+        keep = ["doc_id", "url", "warc_ts", "shard", "doc_length",
+                "max_tf", "unique_terms", "is_covid"]
+        tbl = batch.select(keep)
+        glove_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float64()), dim)
+        return tbl.append_column("glove", glove_col)
+
+
+# ------------------------------------------------------------------ driver
+def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
+                *, overwrite: bool = False) -> dict:
+    """Build the full index at ``out_dir``; resumes completed stages.
+
+    ``input_path``: parquet file/dir with the F1 pages schema
+    (url, warc_ts, html[, text, lang]).
+    """
+    import glob as globmod
+    import os
+
+    import ray.data
+
+    cfg = config or EngineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(input_path, (list, tuple)):
+        in_files = list(input_path)
+    elif os.path.isdir(input_path):
+        in_files = sorted(globmod.glob(os.path.join(input_path, "**", "*.parquet"),
+                                       recursive=True))
+    else:
+        in_files = [input_path]
+    input_fp = mf.input_fingerprint(in_files)
+    cfg_fp = cfg.fingerprint()
+    if overwrite:
+        for st in ("parsed", "dict", "postings", "docmeta"):
+            mf.clear_stage(out_dir, st)
+
+    parsed_dir = mf.stage_dir(out_dir, "parsed")
+    dict_dir = mf.stage_dir(out_dir, "dict")
+    postings_dir = mf.stage_dir(out_dir, "postings")
+    docmeta_dir = mf.stage_dir(out_dir, "docmeta")
+    counters: dict = {"input_files": len(in_files)}
+
+    # ---- stage 1: parse (checkpointed forward index)
+    if not mf.stage_complete(out_dir, "parsed", input_fp, cfg_fp):
+        mf.clear_stage(out_dir, "parsed")
+        ds = ray.data.read_parquet(in_files, columns=["url", "warc_ts", "html"])
+        parsed = ds.map_batches(
+            ParsePages, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=cfg.parse_batch_size,
+            concurrency=(1, cfg.parser_concurrency),
+        )
+        parsed.write_parquet(parsed_dir)
+        mf.commit_stage(out_dir, "parsed", input_fp=input_fp,
+                        config_fp=cfg_fp, counters={})
+
+    # ---- corpus stats (cheap column scan of the checkpoint)
+    from ray.data.aggregate import Count, Sum
+
+    stats_ds = ray.data.read_parquet(parsed_dir, columns=["doc_length"])
+    agg = stats_ds.aggregate(Count(), Sum("doc_length"))
+    n_docs = int(next(v for k, v in agg.items() if k.startswith("count")))
+    sum_dl = int(next(v for k, v in agg.items() if k.startswith("sum")))
+    avg_dl = sum_dl / n_docs if n_docs else 0.0
+    counters.update(n_docs=n_docs, sum_doc_length=sum_dl, avg_doc_length=avg_dl)
+
+    # ---- stage 2: term dictionary
+    if not mf.stage_complete(out_dir, "dict", input_fp, cfg_fp):
+        mf.clear_stage(out_dir, "dict")
+        from ray.data.aggregate import Min
+
+        src = ray.data.read_parquet(
+            parsed_dir,
+            columns=["terms", "caps_terms", "caps_flags", "entities"])
+        partials = src.map_batches(dict_partial_rows, batch_format="pyarrow")
+        agg_ds = partials.groupby("key").aggregate(
+            Sum("df_part", alias_name="df"),
+            Min("caps_part", alias_name="caps"),
+            Sum("ent_part", alias_name="ent"),
+        )
+        dict_ds = agg_ds.map_batches(
+            lambda b: apply_dict_rules(b, cfg.prune_df1),
+            batch_format="pyarrow")
+        dict_ds.write_parquet(dict_dir)
+        mf.commit_stage(out_dir, "dict", input_fp=input_fp,
+                        config_fp=cfg_fp, counters={})
+
+    # ---- stage 3: postings (the one big shuffle)
+    if not mf.stage_complete(out_dir, "postings", input_fp, cfg_fp):
+        mf.clear_stage(out_dir, "postings")
+        src = ray.data.read_parquet(
+            parsed_dir,
+            columns=["shard", "doc_id", "doc_length", "max_tf",
+                     "unique_terms", "terms", "tfs"])
+        runs = src.map_batches(
+            BuildRuns, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=cfg.parse_batch_size * 4,
+            concurrency=(1, cfg.parser_concurrency),
+        )
+        dict_src = ray.data.read_parquet(dict_dir)
+        dict_rep = dict_src.map_batches(
+            lambda b: replicate_dict_rows(b, cfg.num_shards, cfg.term_buckets),
+            batch_format="pyarrow")
+        unioned = runs.union(dict_rep)
+        final = unioned.groupby(["shard", "tbucket"]).map_groups(
+            FinalizeBucket, fn_constructor_args=(avg_dl, cfg),
+            batch_format="pandas", concurrency=(1, cfg.parser_concurrency))
+        final.write_parquet(postings_dir, partition_cols=["shard"])
+        mf.commit_stage(out_dir, "postings", input_fp=input_fp,
+                        config_fp=cfg_fp, counters={})
+
+    # ---- stage 4: doc metadata
+    if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
+        mf.clear_stage(out_dir, "docmeta")
+        src = ray.data.read_parquet(
+            parsed_dir,
+            columns=["doc_id", "url", "warc_ts", "shard", "doc_length",
+                     "max_tf", "unique_terms", "is_covid", "terms"])
+        meta = src.map_batches(
+            DocVec, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=cfg.parse_batch_size,
+            concurrency=(1, cfg.parser_concurrency),
+        )
+        meta.write_parquet(docmeta_dir, partition_cols=["shard"])
+        mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,
+                        config_fp=cfg_fp, counters={})
+
+    from dataclasses import asdict
+
+    payload = {
+        "version": 1,
+        "config": asdict(cfg),
+        "config_fp": cfg_fp,
+        "input_fp": input_fp,
+        "n_docs": n_docs,
+        "sum_doc_length": sum_dl,
+        "avg_doc_length": avg_dl,
+        "counters": counters,
+    }
+    mf.write_manifest(out_dir, payload)
+    return payload

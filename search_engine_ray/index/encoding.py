@@ -126,9 +126,14 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     starts = np.arange(0, n, block_size)
     lasts = np.minimum(starts + block_size, n) - 1
     blk_last = np.asarray(doc_ids)[lasts].astype(np.int64)
-    blk_max = np.array(
-        [tn[s:e + 1].max() for s, e in zip(starts, lasts)], dtype=np.float32
+    blk_max64 = np.array(
+        [tn[s:e + 1].max() for s, e in zip(starts, lasts)], dtype=np.float64
     )
+    # float32 storage must stay a true UPPER bound: round up where the
+    # nearest-float32 cast rounded down (WAND prunes on these)
+    blk_max = blk_max64.astype(np.float32)
+    low = blk_max.astype(np.float64) < blk_max64
+    blk_max[low] = np.nextafter(blk_max[low], np.float32(np.inf))
     blk_doc_off = doc_off[starts].astype(np.int32)
     blk_tf_off = tf_off[starts].astype(np.int32)
     return EncodedPostings(

@@ -1,0 +1,96 @@
+"""Stage manifests: checkpoint/resume + per-partition lineage records.
+
+The reference has no resume story (SURVEY.md §4: rerun from scratch).
+The rebuild writes each index stage (parsed / dict / postings / docmeta)
+to its own directory and commits a ``_STAGE_OK.json`` marker atomically
+(write temp + rename) AFTER the stage's parquet files land.  A marker
+records the stage's input fingerprint, config fingerprint, per-file row
+counts (lineage) and counters; ``build_index`` skips any stage whose
+marker matches the current inputs — that is what "resumable from the
+last committed checkpoint" means for this batch pipeline
+(BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+STAGE_MARKER = "_STAGE_OK.json"
+
+
+def stage_dir(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage)
+
+
+def stage_complete(out_dir: str, stage: str, input_fp: str, config_fp: str) -> bool:
+    path = os.path.join(stage_dir(out_dir, stage), STAGE_MARKER)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        return m.get("input_fp") == input_fp and m.get("config_fp") == config_fp
+    except Exception:
+        return False
+
+
+def commit_stage(out_dir: str, stage: str, *, input_fp: str, config_fp: str,
+                 counters: dict) -> dict:
+    """Atomically write the stage marker with per-file lineage."""
+    sdir = stage_dir(out_dir, stage)
+    files = []
+    for root, _, names in os.walk(sdir):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                files.append({
+                    "path": os.path.relpath(p, sdir),
+                    "bytes": os.path.getsize(p),
+                })
+    marker = {
+        "stage": stage,
+        "input_fp": input_fp,
+        "config_fp": config_fp,
+        "committed_at": time.time(),
+        "files": files,
+        "counters": counters,
+    }
+    tmp = os.path.join(sdir, STAGE_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f, indent=1)
+    os.replace(tmp, os.path.join(sdir, STAGE_MARKER))
+    return marker
+
+
+def clear_stage(out_dir: str, stage: str) -> None:
+    import shutil
+
+    sdir = stage_dir(out_dir, stage)
+    if os.path.exists(sdir):
+        shutil.rmtree(sdir)
+
+
+def input_fingerprint(paths) -> str:
+    """Fingerprint of the input file set (path + size + mtime)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()
+
+
+def write_manifest(out_dir: str, payload: dict) -> None:
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+
+
+def read_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        return json.load(f)

@@ -1,0 +1,89 @@
+"""Stream-shaped operators over the `events` table (event_id, ts,
+user_id, event_type, value, props).
+
+Ray Data has no event-time windows (guide: batch/streaming-batch engine);
+windows are expressed as groupby over a computed window key (tumbling) or
+``groupby(key).map_groups`` over ts-sorted groups (sessionization).  The
+ordering assumption — each group sorted by ts inside the group fn — is
+stated per operator; results are deterministic regardless of input order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def tumbling_window_agg(sf_dir: str, window_s: int = 3600):
+    """Per (event_type, hour-bucket): count + sum(value).  Pre-aggregated
+    inside map_batches before the groupby (partial combine).
+    SQL: GROUP BY event_type, time_bucket(INTERVAL .., ts)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()  # us
+        win = (ts // (window_s * 1_000_000)) * window_s  # epoch seconds
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "window_start_s": win,
+            "value": batch.column("value").to_numpy(),
+        })
+        g = df.groupby(["event_type", "window_start_s"], sort=False).agg(
+            n_part=("value", "size"), sum_part=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    return (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["event_type", "window_start_s"])
+              .aggregate(Sum("n_part", alias_name="n"),
+                         Sum("sum_part", alias_name="sum_value")))
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800):
+    """Sessions per user: a new session starts when the gap from the
+    previous event exceeds ``gap_s``.  Output: one row per session with
+    (user_id, session_start_s, n_events, duration_s).
+    Partitioning: groupby(user_id); each group is sorted by ts inside the
+    group fn, so input order is irrelevant.
+    SQL-equivalent: lag + cumulative sum of gap flags."""
+    import ray.data
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy() // 1_000_000  # seconds
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_s
+        sid = np.cumsum(new)
+        out = pd.DataFrame({"ts_s": ts, "sid": sid})
+        agg = out.groupby("sid").agg(
+            session_start_s=("ts_s", "min"),
+            session_end_s=("ts_s", "max"),
+            n_events=("ts_s", "size")).reset_index(drop=True)
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        agg["duration_s"] = agg["session_end_s"] - agg["session_start_s"]
+        return agg.drop(columns=["session_end_s"])
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def event_type_stats(sf_dir: str):
+    """Per event_type: count, mean/min/max of value — plain shuffled agg.
+    SQL: GROUP BY event_type."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Mean("value", alias_name="mean_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )

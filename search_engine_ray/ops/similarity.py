@@ -1,0 +1,146 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+list<float>, label).
+
+- ``knn_brute``: exact top-k cosine — per-batch numpy matmul against a
+  broadcast query matrix (``ray.put`` once, read per task), partial
+  top-k per batch, final merge on the tiny union.  No shuffle.
+- ``knn_ivf``: the scale path — deterministic coarse centroids (seeded
+  kmeans-lite), inverted lists per centroid, query probes the nprobe
+  nearest centroids only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def knn_brute(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
+    """Exact cosine top-k per query vector; returns
+    (query_id, rank, vec_id, cosine) with rank 1..k by (cos desc, vec_id).
+
+    SQL-equivalent via DuckDB list_cosine_similarity (values rounded to
+    1e-6 on both sides by the caller's oracle query)."""
+    import ray
+
+    import pyarrow.dataset as pads
+
+    qt = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pads.field("vec_id").isin(list(query_vec_ids)),
+        columns=["vec_id", "embedding"])
+    qids = qt.column("vec_id").to_pylist()
+    Q = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-30)[:, None]
+    q_ref = ray.put((qids, Qn))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Qn_ = ray.get(q_ref)
+        E = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy()
+        En = E / np.maximum(np.linalg.norm(E, axis=1), 1e-30)[:, None]
+        C = En @ Qn_.T  # (batch, q)
+        out_q, out_v, out_c = [], [], []
+        kk = min(k, len(ids))
+        for j, qid in enumerate(qids_):
+            col = C[:, j]
+            top = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(ids[top].tolist())
+            out_c.extend(col[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    parts = _read_embeddings(sf_dir).map_batches(
+        partial_topk, batch_format="pyarrow").to_pandas()
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"],
+                          ascending=[False, True]).head(k)
+        rows["query_id"].extend([qid] * len(g))
+        rows["rank"].extend(range(1, len(g) + 1))
+        rows["vec_id"].extend(g["vec_id"].tolist())
+        rows["cosine"].extend(g["cosine"].tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "cosine": pa.array(rows["cosine"], pa.float64()),
+    })
+
+
+def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4):
+    """IVF-style ANN: deterministic centroids from a seeded sample (3
+    Lloyd iterations), inverted lists via groupby(centroid), probe the
+    nprobe nearest lists.  Returns the same schema as knn_brute."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    sample = ds.take(min(2048, 10 * n_centroids))
+    X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(3):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(0)
+    c_ref = ray.put(C)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        E = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = ((E[:, None, :] - C_[None, :, :]) ** 2).sum(-1)
+        return batch.append_column(
+            "centroid", pa.array(d.argmin(1).astype(np.int32), pa.int32()))
+
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow")
+
+    import pyarrow.dataset as pads
+
+    qt = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pads.field("vec_id").isin(list(query_vec_ids)),
+        columns=["vec_id", "embedding"])
+    qids = qt.column("vec_id").to_pylist()
+    Q = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qd = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    probe_sets = {qid: set(np.argsort(qd[i])[:nprobe].tolist())
+                  for i, qid in enumerate(qids)}
+    all_probed = sorted(set().union(*probe_sets.values()))
+
+    probed = assigned.filter(
+        expr=f"centroid in {tuple(all_probed)}") if len(all_probed) else assigned
+    tbl = probed.to_pandas()
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-30)[:, None]
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    E = np.stack(tbl["embedding"].to_numpy()) if len(tbl) else np.zeros((0, 1))
+    if len(tbl):
+        En = E / np.maximum(np.linalg.norm(E, axis=1), 1e-30)[:, None]
+        for i, qid in enumerate(qids):
+            mask = tbl["centroid"].isin(probe_sets[qid]).to_numpy()
+            cos = En[mask] @ Qn[i]
+            ids = tbl["vec_id"].to_numpy()[mask]
+            order = np.lexsort((ids, -cos))[:k]
+            rows["query_id"].extend([qid] * len(order))
+            rows["rank"].extend(range(1, len(order) + 1))
+            rows["vec_id"].extend(ids[order].tolist())
+            rows["cosine"].extend(cos[order].tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "cosine": pa.array(rows["cosine"], pa.float64()),
+    })

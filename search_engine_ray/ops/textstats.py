@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are vectorized ``map_batches`` stages over the `documents`
+table; the SQL-checkable ones use the `simple` tokenizer whose semantics
+are exactly DuckDB's ``regexp_split_to_array(lower(text),'[^a-z0-9]+')``
+minus empties, so the driver's DuckDB oracle verifies values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.text.stopwords import NLTK_ENGLISH_STOPWORDS
+from search_engine_ray.text.tokenizer import simple_tokenize
+
+_STOP100 = frozenset(NLTK_ENGLISH_STOPWORDS)
+_DIGITS = re.compile(r"[0-9]")
+
+# tiny per-language stopword profiles for heuristic language ID
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "was"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "por"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"},
+}
+
+
+def doc_token_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc simple-token count + char count.  SQL-equivalent:
+    len(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'),
+    x -> x <> ''))."""
+    texts = batch.column("text").to_pylist()
+    toks = [simple_tokenize(t) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_tokens": pa.array([len(ts) for ts in toks], pa.int64()),
+    })
+
+
+def quality_features(batch: pa.Table) -> pa.Table:
+    """Per-doc quality-scoring features (length / stopword ratio / digit
+    ratio / mean token length) — the usual pre-training filters."""
+    texts = batch.column("text").to_pylist()
+    n_tok, n_stop, sum_len, n_digit_tok = [], [], [], []
+    for t in texts:
+        ts = simple_tokenize(t)
+        n_tok.append(len(ts))
+        n_stop.append(sum(1 for x in ts if x in _STOP100))
+        sum_len.append(sum(len(x) for x in ts))
+        n_digit_tok.append(sum(1 for x in ts if _DIGITS.search(x)))
+    n_tok_np = np.array(n_tok, dtype=np.float64)
+    safe = np.maximum(n_tok_np, 1.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "stopword_ratio": pa.array(np.array(n_stop) / safe, pa.float64()),
+        "digit_token_ratio": pa.array(np.array(n_digit_tok) / safe,
+                                      pa.float64()),
+        "mean_token_len": pa.array(np.array(sum_len) / safe, pa.float64()),
+    })
+
+
+class LangId:
+    """Heuristic language ID (stopword-profile voting) — an actor-pool
+    stage; profiles compiled once per actor."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            ts = set(simple_tokenize(t))
+            best, best_n = "unknown", 0
+            for lang, prof in self.profiles.items():
+                n = len(ts & prof)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+
+
+def fingerprint64(batch: pa.Table) -> pa.Table:
+    """64-bit blake2 content fingerprint per doc (exact-dup key)."""
+    texts = batch.column("text").to_pylist()
+    fps = [int.from_bytes(
+        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+        & 0x7FFF_FFFF_FFFF_FFFF for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fp": pa.array(fps, pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------- pipelines
+def term_df_simple(sf_dir: str):
+    """df per simple-tokenizer term over `documents`, df > 1 — the A1
+    aggregation expressed SQL-checkably.  Pre-aggregates per batch before
+    the groupby (partial combine), as at scale."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(simple_tokenize(t)))
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "df_part": pa.array(list(c.values()), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+            .groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    return agg.filter(expr="df > 1")
+
+
+def top_terms_simple(sf_dir: str, k: int = 100):
+    """Top-k terms by (df desc, term asc)."""
+    ds = term_df_simple(sf_dir)
+    return ds.sort(["df", "term"], descending=[True, False]).limit(k)
+
+
+def token_count_total(sf_dir: str):
+    """Corpus-wide token count (simple tokenizer) — one-row scalar."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    stats = ds.map_batches(doc_token_stats, batch_format="pyarrow")
+    total = stats.aggregate(Sum("n_tokens"))
+    val = int(next(iter(total.values())))
+    return pa.table({"total_tokens": pa.array([val], pa.int64())})
+
+
+def lang_counts(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))

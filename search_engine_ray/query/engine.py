@@ -1,0 +1,350 @@
+"""Query engine: candidate fetch + scoring + top-k.
+
+Two scorers over the same sharded index:
+
+- ``mode="reference"`` — exact reproduction of the reference's blended
+  scorer (0.9·tf-idf-cosine + 0.05·BM25 + 0.05·GloVe-cosine,
+  /root/reference/ranker.py:65-102) including the as-written quirk that
+  per-term tf is ``max_tf/doc_length`` (searcher.py:113-124 reads posting
+  tuple index 2), the min-match gate ``count >= int(0.35·|q|)``
+  (searcher.py:67-68) and idf=log10(N/df) with 0 for unknown terms
+  (searcher.py:56-60, 126-136).  Vectorized over the candidate set.
+- ``mode="bm25"`` — the scale-path scorer: pure BM25 with real tf,
+  term-at-a-time vectorized accumulation.
+- ``mode="bm25_wand"`` — same scores via block-max WAND (Ding & Suel's
+  published BMW algorithm) using the per-block metadata stored in the
+  posting blobs; returns identical results to ``bm25`` (property-tested)
+  while skipping blocks that cannot beat the running threshold.
+
+Results are ``(score, doc_id, ts_us)`` ascending by (score, ts, id),
+last k — the reference's exact output order (ranker.py:46-63).
+
+Posting/doc-meta access: term-pruned parquet reads via pyarrow dataset
+filters, with a per-engine LRU-ish cache (the reference lazily caches
+loaded posting files the same way, searcher.py:39-51).  At cluster scale
+the same index layout is served by per-shard actors; this in-process
+reader is the single-node instantiation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.dataset as pads
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.glove import GloveCache
+from search_engine_ray.index import manifest as mf
+from search_engine_ray.index.encoding import decode_postings, tf_norm
+from search_engine_ray.text.parser import Parser
+
+
+class SearchEngine:
+    def __init__(self, out_dir: str, *, preload_docmeta: bool = True):
+        man = mf.read_manifest(out_dir)
+        self.cfg = EngineConfig(**man["config"])
+        self.n_docs = man["n_docs"]
+        self.avg_dl = man["avg_doc_length"]
+        self.parser = Parser(
+            stemming=self.cfg.stemming, tokenizer=self.cfg.tokenizer,
+            harvest_page_url=self.cfg.harvest_page_url)
+        self.glove = GloveCache()
+
+        ddir = mf.stage_dir(out_dir, "dict")
+        dt = pads.dataset(ddir).to_table(columns=["term", "df"])
+        self.df_map = dict(zip(dt.column("term").to_pylist(),
+                               dt.column("df").to_pylist()))
+
+        self._postings_ds = pads.dataset(
+            mf.stage_dir(out_dir, "postings"), partitioning="hive")
+        self._pcache: dict[str, dict | None] = {}
+
+        self._docmeta_ds = pads.dataset(
+            mf.stage_dir(out_dir, "docmeta"), partitioning="hive")
+        self._meta = None
+        if preload_docmeta:
+            self._load_docmeta()
+
+    def _load_docmeta(self):
+        t = self._docmeta_ds.to_table(columns=["doc_id", "warc_ts", "glove"])
+        ids = t.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        glove = np.asarray(t.column("glove").combine_chunks().flatten()
+                           .to_numpy(zero_copy_only=False)).reshape(
+            len(ids), self.cfg.glove_dim)
+        self._meta = {
+            "ids": ids[order],
+            "ts": t.column("warc_ts").to_numpy()[order],
+            "glove": glove[order],
+        }
+
+    # ---------------------------------------------------------- postings
+    def postings(self, term: str) -> dict | None:
+        """Merged cross-shard postings for one (final) term, sorted by
+        doc_id; None if the term is not in the dictionary."""
+        if term in self._pcache:
+            return self._pcache[term]
+        if term not in self.df_map:
+            self._pcache[term] = None
+            return None
+        t = self._postings_ds.to_table(
+            filter=pads.field("term") == term)
+        parts = [decode_postings({k: t.column(k)[i].as_py()
+                                  for k in ("n", "docids_vb", "tf_vb",
+                                            "dl_vb", "mtf_vb", "uniq_vb",
+                                            "blk_last", "blk_max",
+                                            "blk_doc_off", "blk_tf_off")})
+                 for i in range(t.num_rows)]
+        ids = np.concatenate([p["doc_ids"] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        merged = {
+            "doc_ids": ids[order],
+            "tfs": np.concatenate([p["tfs"] for p in parts])[order],
+            "dls": np.concatenate([p["dls"] for p in parts])[order],
+            "mtfs": np.concatenate([p["mtfs"] for p in parts])[order],
+            # per-shard block metadata kept for WAND (shard streams
+            # processed independently there)
+            "shards": parts,
+        }
+        self._pcache[term] = merged
+        return merged
+
+    def _meta_for(self, doc_ids: np.ndarray):
+        if self._meta is None:
+            self._load_docmeta()
+        pos = np.searchsorted(self._meta["ids"], doc_ids)
+        pos = np.clip(pos, 0, len(self._meta["ids"]) - 1)
+        found = self._meta["ids"][pos] == doc_ids
+        return pos, found
+
+    # ------------------------------------------------------------ search
+    def search(self, query_text: str, k: int = 10, mode: str = "reference"):
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        if mode == "reference":
+            return self._search_reference(query, k)
+        if mode == "bm25":
+            return self._search_bm25_taat(query, k)
+        if mode == "bm25_wand":
+            return self._search_bm25_wand(query, k)
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _idf(self, term: str) -> float:
+        df = self.df_map.get(term)
+        return math.log10(self.n_docs / df) if df else 0.0
+
+    def _search_reference(self, query: list[str], k: int):
+        cfg = self.cfg
+        Q = len(query)
+        qg = np.zeros(cfg.glove_dim)
+        for t in query:
+            g = self.glove.get(t)
+            if g is not None:
+                qg = qg + g
+        qg = qg / Q
+
+        uniq_terms = list(dict.fromkeys(query))
+        plists = {t: self.postings(t) for t in uniq_terms}
+        known = [t for t in uniq_terms if plists[t] is not None]
+        if not known:
+            return []
+
+        # candidate union + match counts + per-doc (dl, mtf)
+        all_ids = np.concatenate([plists[t]["doc_ids"] for t in known])
+        all_dls = np.concatenate([plists[t]["dls"] for t in known])
+        all_mtfs = np.concatenate([plists[t]["mtfs"] for t in known])
+        cand, first_idx, counts = np.unique(
+            all_ids, return_index=True, return_counts=True)
+        min_match = int(Q * cfg.min_match_ratio)
+        if min_match > 0:
+            keep = counts >= min_match
+            cand = cand[keep]
+            first_idx = first_idx[keep]
+        if len(cand) == 0:
+            return []
+        dl = all_dls[first_idx].astype(np.float64)
+        mtf = all_mtfs[first_idx].astype(np.float64)
+        tf_quirk = mtf / dl  # calculate_tf reads max_tf (searcher.py:121)
+
+        qidf = np.array([self._idf(t) for t in query])
+        pos_count = {t: 0 for t in uniq_terms}
+        for t in query:
+            pos_count[t] += 1
+        qtf = np.array([
+            (pos_count[t] if plists.get(t) is not None else 1) / Q
+            for t in query
+        ])
+
+        member = np.zeros((len(cand), Q))
+        for i, t in enumerate(query):
+            p = plists.get(t)
+            if p is None:
+                continue
+            member[:, i] = np.isin(cand, p["doc_ids"])
+        dtf = member * tf_quirk[:, None]
+
+        dvec = dtf * qidf[None, :]
+        qvec = qtf * qidf
+        num = dvec @ qvec
+        den = np.linalg.norm(dvec, axis=1) * np.linalg.norm(qvec)
+        wcos = np.where((den == 0) | (num == 0), 0.0, num / np.where(den == 0, 1, den))
+
+        denom = dtf + cfg.bm25_k1 * (
+            1 - cfg.bm25_b + cfg.bm25_b * dl[:, None] / self.avg_dl)
+        bm25 = ((qidf[None, :] * dtf * (cfg.bm25_k1 + 1)) / denom).sum(axis=1)
+
+        pos, found = self._meta_for(cand)
+        gmat = self._meta["glove"][pos]
+        ts = self._meta["ts"][pos]
+        gnum = gmat @ qg
+        gden = np.linalg.norm(gmat, axis=1) * np.linalg.norm(qg)
+        gcos = np.where((gden == 0) | (gnum == 0), 0.0,
+                        gnum / np.where(gden == 0, 1, gden))
+
+        score = (cfg.w_cos_weight * wcos + cfg.bm25_weight * bm25
+                 + cfg.glove_weight * gcos)
+        return _topk_reference_order(score, cand, ts, k)
+
+    def _search_bm25_taat(self, query: list[str], k: int):
+        cfg = self.cfg
+        terms = list(dict.fromkeys(query))
+        id_parts, contrib_parts = [], []
+        for t in terms:
+            p = self.postings(t)
+            if p is None:
+                continue
+            idf = self._idf(t)
+            tn = tf_norm(p["tfs"], p["dls"].astype(np.float64),
+                         self.avg_dl, cfg.bm25_k1, cfg.bm25_b)
+            id_parts.append(p["doc_ids"])
+            contrib_parts.append(idf * tn)
+        if not id_parts:
+            return []
+        ids = np.concatenate(id_parts)
+        contribs = np.concatenate(contrib_parts)
+        cand, inv = np.unique(ids, return_inverse=True)
+        scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+        pos, found = self._meta_for(cand)
+        ts = self._meta["ts"][pos]
+        return _topk_reference_order(scores, cand, ts, k)
+
+    def _search_bm25_wand(self, query: list[str], k: int):
+        """Block-max WAND over per-shard posting streams; identical
+        results to TAAT (same float contributions, summed per doc)."""
+        cfg = self.cfg
+        terms = list(dict.fromkeys(query))
+        streams = []  # (ids, contrib, blk_last, blk_ub) per (term, shard)
+        for t in terms:
+            p = self.postings(t)
+            if p is None:
+                continue
+            idf = self._idf(t)
+            for part in p["shards"]:
+                ids = part["doc_ids"]
+                if len(ids) == 0:
+                    continue
+                tn = tf_norm(part["tfs"], part["dls"].astype(np.float64),
+                             self.avg_dl, cfg.bm25_k1, cfg.bm25_b)
+                streams.append({
+                    "ids": ids,
+                    "contrib": idf * tn,
+                    "blk_last": part["blk_last"],
+                    "blk_ub": idf * part["blk_max"].astype(np.float64),
+                    "cur": 0,
+                })
+        if not streams:
+            return []
+        import heapq
+
+        for s in streams:
+            s["max_ub"] = float(s["blk_ub"].max()) if len(s["blk_ub"]) else 0.0
+        if self._meta is None:
+            self._load_docmeta()
+        meta_ids, meta_ts = self._meta["ids"], self._meta["ts"]
+
+        def ts_of(doc: int) -> int:
+            i = int(np.searchsorted(meta_ids, doc))
+            return int(meta_ts[i]) if i < len(meta_ids) and meta_ids[i] == doc else 0
+
+        # min-heap of (score, ts, doc_id) — the FULL reference tie-break
+        # key, so boundary ties resolve identically to TAAT's lexsort
+        heap: list[tuple] = []
+
+        def theta():
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        while True:
+            live = [s for s in streams if s["cur"] < len(s["ids"])]
+            if not live:
+                break
+            live.sort(key=lambda s: s["ids"][s["cur"]])
+            # pivot: first doc whose prefix upper-bound sum can reach theta
+            ub_sum = 0.0
+            pivot = None
+            pivot_i = -1
+            th = theta()
+            for i, s in enumerate(live):
+                ub_sum += s["max_ub"]
+                if ub_sum >= th:
+                    pivot = int(s["ids"][s["cur"]])
+                    pivot_i = i
+                    break
+            if pivot is None:
+                break  # no remaining doc can enter the top-k
+            first_doc = int(live[0]["ids"][live[0]["cur"]])
+            if first_doc == pivot:
+                # every list up to pivot_i is AT pivot; block-max refine
+                aligned = [s for s in live if s["cur"] < len(s["ids"])
+                           and s["ids"][s["cur"]] == pivot]
+                bm_sum = 0.0
+                blk_ends = []
+                for s in aligned:
+                    bi = int(np.searchsorted(s["blk_last"], pivot))
+                    if bi < len(s["blk_ub"]):
+                        bm_sum += float(s["blk_ub"][bi])
+                        blk_ends.append(int(s["blk_last"][bi]))
+                if bm_sum >= th:
+                    score = 0.0
+                    for s in aligned:
+                        score += float(s["contrib"][s["cur"]])
+                        s["cur"] += 1
+                    entry = (score, ts_of(pivot), pivot)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+                else:
+                    # BMW skip: next candidate is bounded by the smallest
+                    # aligned block end AND the next list's current doc,
+                    # so no reachable scorer combination is skipped
+                    candidate = min(blk_ends) + 1 if blk_ends else pivot + 1
+                    for s in live:
+                        d = int(s["ids"][s["cur"]])
+                        if d > pivot:
+                            candidate = min(candidate, d)
+                            break
+                    for s in aligned:
+                        c = s["cur"]
+                        s["cur"] = c + int(np.searchsorted(
+                            s["ids"][c:], candidate))
+            else:
+                # advance lists before the pivot up to it
+                for s in live[:pivot_i + 1]:
+                    c = s["cur"]
+                    if int(s["ids"][c]) >= pivot:
+                        continue
+                    s["cur"] = c + int(np.searchsorted(s["ids"][c:], pivot))
+        if not heap:
+            return []
+        heap.sort()
+        return [(float(sc), int(d), int(t)) for sc, t, d in heap]
+
+
+def _topk_reference_order(scores: np.ndarray, doc_ids: np.ndarray,
+                          ts: np.ndarray, k: int):
+    """Ascending (score, ts, doc_id), last k (ranker.py:51-63)."""
+    order = np.lexsort((doc_ids, ts, scores))
+    order = order[-k:] if k <= len(order) else order
+    return [(float(scores[i]), int(doc_ids[i]), int(ts[i])) for i in order]
