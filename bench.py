@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: builds the full inverted index over (a) the adapted
+$GRAFT_SF_DIR documents table and (b) a deterministic synthetic bench
+corpus (GRAFT_BENCH_DOCS pages, default 50k), then measures BM25 query
+latency over the fixture query set.  Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "query_p95_ms": ...}
+
+--scaling: runs the same headline in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 over the SAME pre-generated corpus (page cache
+warmed by the generation write) and reports throughput at both plus
+scaling efficiency = thr32 / (4 * thr8)  (BASELINE.md methodology).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+SCRATCH = os.environ.get("GRAFT_BENCH_SCRATCH", "/tmp/se_ray_bench")
+
+
+def _bench_corpus_dir(n: int) -> str:
+    """Generate (once) the deterministic synthetic bench corpus."""
+    path = os.path.join(SCRATCH, f"pages_{n}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.fixtures import gen_pages
+
+        # write in 4 row-group-friendly files so the read parallelizes
+        per = (n + 3) // 4
+        for i in range(4):
+            cnt = min(per, n - i * per)
+            if cnt <= 0:
+                break
+            t = gen_pages(cnt, seed=42 + i)
+            pq.write_table(t, os.path.join(path, f"part_{i}.parquet"))
+        open(marker, "w").close()
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from search_engine_ray.adapters import documents_to_pages_parquet
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.fixtures import gen_queries
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+
+    timings: dict[str, float] = {}
+    cfg = EngineConfig(num_shards=16, term_buckets=16,
+                       parser_concurrency=max(2, NUM_CPUS // 2))
+
+    # --- phase 1: sf documents flagship (adapter -> build -> query)
+    sf_pages = os.path.join(SCRATCH, "sf_pages")
+    shutil.rmtree(sf_pages, ignore_errors=True)
+    t0 = time.perf_counter()
+    documents_to_pages_parquet(SF_DIR, sf_pages)
+    timings["sf_adapter"] = time.perf_counter() - t0
+
+    sf_index = os.path.join(SCRATCH, "sf_index")
+    shutil.rmtree(sf_index, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(sf_pages, sf_index, cfg)
+    timings["sf_index_build"] = time.perf_counter() - t0
+
+    # --- phase 2: synthetic bench corpus build (the throughput headline)
+    corpus = _bench_corpus_dir(BENCH_DOCS)
+    bench_index = os.path.join(SCRATCH, f"bench_index_{BENCH_DOCS}")
+    shutil.rmtree(bench_index, ignore_errors=True)
+    t0 = time.perf_counter()
+    man = build_index(corpus, bench_index, cfg)
+    timings["bench_index_build"] = time.perf_counter() - t0
+    docs_per_sec = man["n_docs"] / timings["bench_index_build"]
+
+    # --- phase 3: BM25 query latency over the bench index
+    eng = SearchEngine(bench_index)
+    queries = [q for q in gen_queries()]
+    lat_ms = []
+    t0 = time.perf_counter()
+    for _ in range(3):
+        for q in queries:
+            tq = time.perf_counter()
+            eng.search(q, k=10, mode="bm25")
+            lat_ms.append((time.perf_counter() - tq) * 1000)
+    timings["bm25_queries_total"] = time.perf_counter() - t0
+    lat_sorted = sorted(lat_ms)
+    p95_ms = lat_sorted[int(0.95 * (len(lat_sorted) - 1))]
+    p50_ms = statistics.median(lat_sorted)
+
+    ray.shutdown()
+    headline = timings["sf_index_build"] + timings["bench_index_build"]
+    return {
+        "metric": "index_build_sec(sf_docs + %dk synthetic pages)"
+                  % (BENCH_DOCS // 1000),
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": man["n_docs"],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "query_p50_ms": round(p50_ms, 2),
+        "query_p95_ms": round(p95_ms, 2),
+    }
+
+
+def run_scaling() -> dict:
+    # pre-generate the corpus (also warms the page cache)
+    _bench_corpus_dir(BENCH_DOCS)
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           check=True)
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        out[ncpu] = payload
+    thr8 = out[8]["docs_per_sec"]
+    thr32 = out[32]["docs_per_sec"]
+    eff = thr32 / (4.0 * thr8)
+    return {
+        "metric": "scaling_efficiency(docs_per_sec, 8->32 cpus)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_sec_8": thr8,
+        "docs_per_sec_32": thr32,
+        "build_sec_8": out[8]["queries"]["bench_index_build"],
+        "build_sec_32": out[32]["queries"]["bench_index_build"],
+        "query_p95_ms_8": out[8]["query_p95_ms"],
+        "query_p95_ms_32": out[32]["query_p95_ms"],
+        "bench_docs": out[32]["bench_docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -31,6 +31,9 @@ class EngineConfig:
     term_buckets: int = 16          # hash(term) % term_buckets groupby fan-in per shard
     block_size: int = 128           # postings per block-max block
     parse_batch_size: int = 1024    # docs per parser batch
+    run_batch_size: int = 16384     # docs per SPIMI run-builder batch
+                                    # (bigger batch => longer runs => fewer
+                                    # rows through the posting shuffle)
     parser_concurrency: int = 4     # parser actor pool size
     prune_df1: bool = True          # reference df==1 prune (/root/reference/indexer.py:167-169)
     harvest_page_url: bool = True   # pages input: treat the row url as the harvested URL set

@@ -121,49 +121,41 @@ def dict_partial_rows(batch: pa.Table) -> pa.Table:
     """Per-batch pre-aggregation for the dictionary groupby: df partials
     (terms are unique per doc so a flat value_count is a doc count),
     capitals-AND partials, entity doc-count partials."""
+    import pandas as pd
     import pyarrow.compute as pc
 
-    out_key, out_df, out_caps, out_ent = [], [], [], []
+    tables = []
 
-    terms_flat = pc.list_flatten(batch.column("terms"))
-    vc = terms_flat.value_counts()
-    keys = vc.field("values").to_pylist()
-    counts = vc.field("counts").to_pylist()
-    out_key.extend(keys)
-    out_df.extend(counts)
-    out_caps.extend([None] * len(keys))
-    out_ent.extend([None] * len(keys))
+    def sub(keys: pa.Array, df=None, caps=None, ent=None):
+        n = len(keys)
+        tables.append(pa.table({
+            "key": keys.cast(pa.string()),
+            "df_part": pa.nulls(n, pa.int64()) if df is None
+            else df.cast(pa.int64()),
+            "caps_part": pa.nulls(n, pa.int8()) if caps is None
+            else pa.array(caps, pa.int8()),
+            "ent_part": pa.nulls(n, pa.int64()) if ent is None
+            else ent.cast(pa.int64()),
+        }))
 
-    caps_t = pc.list_flatten(batch.column("caps_terms")).to_numpy(
-        zero_copy_only=False)
-    caps_f = pc.list_flatten(batch.column("caps_flags")).to_numpy(
-        zero_copy_only=False)
+    vc = pc.list_flatten(batch.column("terms")).value_counts()
+    sub(vc.field("values"), df=vc.field("counts"))
+
+    caps_t = pc.list_flatten(batch.column("caps_terms"))
     if len(caps_t):
-        import pandas as pd
-
-        s = pd.Series(caps_f.astype(np.int8))
-        g = s.groupby(caps_t).min()  # AND within batch
-        out_key.extend(g.index.tolist())
-        out_df.extend([None] * len(g))
-        out_caps.extend(g.values.tolist())
-        out_ent.extend([None] * len(g))
+        caps_f = pc.list_flatten(batch.column("caps_flags")).to_numpy(
+            zero_copy_only=False).astype(np.int8)
+        codes, uniq = pd.factorize(caps_t.to_numpy(zero_copy_only=False))
+        mins = np.ones(len(uniq), dtype=np.int8)
+        np.minimum.at(mins, codes, caps_f)  # AND within batch
+        sub(pa.array(uniq, pa.string()), caps=mins)
 
     ents = pc.list_flatten(batch.column("entities"))
     if len(ents):
         vc = ents.value_counts()
-        ekeys = vc.field("values").to_pylist()
-        ecounts = vc.field("counts").to_pylist()
-        out_key.extend(ekeys)
-        out_df.extend([None] * len(ekeys))
-        out_caps.extend([None] * len(ekeys))
-        out_ent.extend(ecounts)
+        sub(vc.field("values"), ent=vc.field("counts"))
 
-    return pa.table({
-        "key": pa.array(out_key, pa.string()),
-        "df_part": pa.array(out_df, pa.int64()),
-        "caps_part": pa.array(out_caps, pa.int8()),
-        "ent_part": pa.array(out_ent, pa.int64()),
-    })
+    return pa.concat_tables(tables)
 
 
 def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
@@ -305,47 +297,113 @@ class FinalizeBucket:
         self.avg_dl = avg_dl
         self.cfg = config
 
+    _OUT_COLS = ("shard", "term", "df_global", "n", "docids_vb", "tf_vb",
+                 "dl_vb", "mtf_vb", "uniq_vb", "blk_last", "blk_max",
+                 "blk_doc_off", "blk_tf_off")
+
+    def _empty(self) -> pa.Table:
+        types = {"shard": pa.int32(), "term": pa.string(),
+                 "df_global": pa.int64(), "n": pa.int64()}
+        return pa.table({k: pa.array([], type=types.get(k, pa.binary()))
+                         for k in self._OUT_COLS})
+
     def __call__(self, group) -> pa.Table:
+        """Vectorized merge+encode: ONE lexsort and ONE varbyte pass per
+        stream over the whole group, then cheap per-(term,shard) byte
+        slicing — no per-term numpy call overhead."""
         import pandas as pd
+
+        from search_engine_ray.index.encoding import tf_norm, varbyte_encode
 
         assert isinstance(group, pd.DataFrame)
         dict_rows = group[group["kind"] == 1]
         term_map = dict(zip(dict_rows["term"], zip(dict_rows["final_term"],
                                                    dict_rows["df_global"])))
         runs = group[group["kind"] == 0]
-        out = {k: [] for k in ("shard", "term", "df_global", "n",
-                               "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
-                               "uniq_vb", "blk_last", "blk_max",
-                               "blk_doc_off", "blk_tf_off")}
-        for (term, shard), g in runs.groupby(["term", "shard"], sort=True):
+        if len(runs) == 0:
+            return self._empty()
+
+        ids_parts = [np.frombuffer(b, dtype=np.int64)
+                     for b in runs["docids"]]
+        lens = np.fromiter((len(x) for x in ids_parts), dtype=np.int64,
+                           count=len(ids_parts))
+        ids = np.concatenate(ids_parts)
+        tfs = np.frombuffer(b"".join(runs["tfs"]), dtype=np.int32)
+        dls = np.frombuffer(b"".join(runs["dls"]), dtype=np.int32)
+        mtfs = np.frombuffer(b"".join(runs["mtfs"]), dtype=np.int32)
+        uniqs = np.frombuffer(b"".join(runs["uniqs"]), dtype=np.int32)
+
+        codes, uniques = pd.factorize(runs["term"].to_numpy())
+        seg_term = np.repeat(codes, lens)
+        seg_shard = np.repeat(runs["shard"].to_numpy().astype(np.int32), lens)
+        order = np.lexsort((ids, seg_shard, seg_term))  # indexer.py:219
+        ids = ids[order]
+        tfs = tfs[order]
+        dls = dls[order]
+        mtfs = mtfs[order]
+        uniqs = uniqs[order]
+        seg_term = seg_term[order]
+        seg_shard = seg_shard[order]
+
+        boundary = np.empty(len(ids), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (seg_term[1:] != seg_term[:-1]) | (
+            seg_shard[1:] != seg_shard[:-1])
+        seg_starts = np.flatnonzero(boundary)
+        seg_ends = np.append(seg_starts[1:], len(ids))
+        counts = seg_ends - seg_starts
+
+        deltas = np.empty_like(ids)
+        deltas[1:] = ids[1:] - ids[:-1]
+        deltas[seg_starts] = ids[seg_starts]
+
+        doc_buf, doc_off = varbyte_encode(deltas)
+        tf_buf, tf_off = varbyte_encode(tfs)
+        dl_buf, dl_off = varbyte_encode(dls)
+        mtf_buf, mtf_off = varbyte_encode(mtfs)
+        uniq_buf, uniq_off = varbyte_encode(uniqs)
+
+        B = self.cfg.block_size
+        tn = tf_norm(tfs, dls.astype(np.float64), self.avg_dl,
+                     self.cfg.bm25_k1, self.cfg.bm25_b)
+        nblocks = (counts + B - 1) // B
+        seg_of_block = np.repeat(np.arange(len(seg_starts)), nblocks)
+        first_block = np.zeros(len(seg_starts), dtype=np.int64)
+        np.cumsum(nblocks[:-1], out=first_block[1:])
+        block_in_seg = np.arange(int(nblocks.sum())) - first_block[seg_of_block]
+        block_starts = seg_starts[seg_of_block] + block_in_seg * B
+        block_ends = np.minimum(block_starts + B, seg_ends[seg_of_block])
+        blk_max64 = np.maximum.reduceat(tn, block_starts)
+        blk_max32 = blk_max64.astype(np.float32)
+        low = blk_max32.astype(np.float64) < blk_max64
+        blk_max32[low] = np.nextafter(blk_max32[low], np.float32(np.inf))
+        blk_last_all = ids[block_ends - 1]
+        blk_doc_all = (doc_off[block_starts]
+                       - doc_off[seg_starts[seg_of_block]]).astype(np.int32)
+        blk_tf_all = (tf_off[block_starts]
+                      - tf_off[seg_starts[seg_of_block]]).astype(np.int32)
+
+        out = {k: [] for k in self._OUT_COLS}
+        for k in range(len(seg_starts)):
+            term = uniques[seg_term[seg_starts[k]]]
             verdict = term_map.get(term)
             if verdict is None:
                 continue  # pruned by dictionary rules
-            final_term, dfg = verdict
-            ids = np.frombuffer(b"".join(g["docids"]), dtype=np.int64)
-            tfs = np.frombuffer(b"".join(g["tfs"]), dtype=np.int32)
-            dls = np.frombuffer(b"".join(g["dls"]), dtype=np.int32)
-            mtfs = np.frombuffer(b"".join(g["mtfs"]), dtype=np.int32)
-            uniqs = np.frombuffer(b"".join(g["uniqs"]), dtype=np.int32)
-            order = np.argsort(ids, kind="stable")  # indexer.py:219
-            enc = encode_postings(
-                ids[order], tfs[order], dls[order], mtfs[order], uniqs[order],
-                avg_dl=self.avg_dl, k1=self.cfg.bm25_k1, b=self.cfg.bm25_b,
-                block_size=self.cfg.block_size,
-            )
-            out["shard"].append(int(shard))
-            out["term"].append(final_term)
-            out["df_global"].append(int(dfg))
-            out["n"].append(enc.n)
-            out["docids_vb"].append(enc.docids_vb)
-            out["tf_vb"].append(enc.tf_vb)
-            out["dl_vb"].append(enc.dl_vb)
-            out["mtf_vb"].append(enc.mtf_vb)
-            out["uniq_vb"].append(enc.uniq_vb)
-            out["blk_last"].append(enc.blk_last)
-            out["blk_max"].append(enc.blk_max)
-            out["blk_doc_off"].append(enc.blk_doc_off)
-            out["blk_tf_off"].append(enc.blk_tf_off)
+            s, e = seg_starts[k], seg_ends[k]
+            fb, nb = first_block[k], nblocks[k]
+            out["shard"].append(int(seg_shard[s]))
+            out["term"].append(verdict[0])
+            out["df_global"].append(int(verdict[1]))
+            out["n"].append(int(e - s))
+            out["docids_vb"].append(doc_buf[doc_off[s]:doc_off[e]])
+            out["tf_vb"].append(tf_buf[tf_off[s]:tf_off[e]])
+            out["dl_vb"].append(dl_buf[dl_off[s]:dl_off[e]])
+            out["mtf_vb"].append(mtf_buf[mtf_off[s]:mtf_off[e]])
+            out["uniq_vb"].append(uniq_buf[uniq_off[s]:uniq_off[e]])
+            out["blk_last"].append(blk_last_all[fb:fb + nb].tobytes())
+            out["blk_max"].append(blk_max32[fb:fb + nb].tobytes())
+            out["blk_doc_off"].append(blk_doc_all[fb:fb + nb].tobytes())
+            out["blk_tf_off"].append(blk_tf_all[fb:fb + nb].tobytes())
         types = {"shard": pa.int32(), "term": pa.string(),
                  "df_global": pa.int64(), "n": pa.int64()}
         return pa.table({k: pa.array(v, type=types.get(k, pa.binary()))
@@ -427,11 +485,15 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     # ---- stage 1: parse (checkpointed forward index)
     if not mf.stage_complete(out_dir, "parsed", input_fp, cfg_fp):
         mf.clear_stage(out_dir, "parsed")
-        ds = ray.data.read_parquet(in_files, columns=["url", "warc_ts", "html"])
+        ds = ray.data.read_parquet(
+            in_files, columns=["url", "warc_ts", "html"],
+            override_num_blocks=max(len(in_files),
+                                    cfg.parser_concurrency * 2))
         parsed = ds.map_batches(
             ParsePages, fn_constructor_args=(cfg,),
             batch_format="pyarrow", batch_size=cfg.parse_batch_size,
-            concurrency=(1, cfg.parser_concurrency),
+            concurrency=(max(1, cfg.parser_concurrency // 2),
+                         cfg.parser_concurrency),
         )
         parsed.write_parquet(parsed_dir)
         mf.commit_stage(out_dir, "parsed", input_fp=input_fp,
@@ -477,7 +539,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                      "unique_terms", "terms", "tfs"])
         runs = src.map_batches(
             BuildRuns, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=cfg.parse_batch_size * 4,
+            batch_format="pyarrow", batch_size=cfg.run_batch_size,
             concurrency=(1, cfg.parser_concurrency),
         )
         dict_src = ray.data.read_parquet(dict_dir)

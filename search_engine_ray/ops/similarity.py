@@ -121,8 +121,17 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
                   for i, qid in enumerate(qids)}
     all_probed = sorted(set().union(*probe_sets.values()))
 
-    probed = assigned.filter(
-        expr=f"centroid in {tuple(all_probed)}") if len(all_probed) else assigned
+    probe_arr = np.array(all_probed, dtype=np.int32)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(batch.column("centroid"),
+                     value_set=pa.array(probe_arr, pa.int32())))
+
+    probed = (assigned.map_batches(keep_probed, batch_format="pyarrow")
+              if len(all_probed) else assigned)
     tbl = probed.to_pandas()
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-30)[:, None]
     rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}

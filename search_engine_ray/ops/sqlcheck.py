@@ -1,0 +1,294 @@
+"""Driver-checkable query implementations + their ANSI-SQL oracles.
+
+Every pair here is run by the driver at sf=0.01: the Ray pipeline result
+and the DuckDB result must match on row count, schema and value hash
+(column names are aligned on BOTH sides; floats are rounded identically
+before returning).  Non-SQL-expressible pipelines (full tokenizer,
+ranking, LSH) are registered rows-only in __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.text.stopwords import NLTK_ENGLISH_STOPWORDS
+
+_TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+             " x -> x <> '')")
+_MIN_MATCH_TERMS = ("spark", "join", "merge")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(NLTK_ENGLISH_STOPWORDS)
+                            if "'" not in w) + "]"
+_STOP_SET = frozenset(w for w in NLTK_ENGLISH_STOPWORDS if "'" not in w)
+
+
+# ------------------------------------------------------------------ doc stats
+def q_doc_token_stats(sf_dir: str):
+    import ray.data
+
+    from search_engine_ray.ops.textstats import doc_token_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(doc_token_stats, batch_format="pyarrow")
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS_SQL}) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_counts(sf_dir: str):
+    """Integer quality-feature counts (ratios derive from these; integers
+    hash exactly)."""
+    import ray.data
+
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import re
+
+        dig = re.compile(r"[0-9]")
+        n_tok, n_stop, n_digit, sum_len = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            ts = simple_tokenize(t)
+            n_tok.append(len(ts))
+            n_stop.append(sum(1 for x in ts if x in _STOP_SET))
+            n_digit.append(sum(1 for x in ts if dig.search(x)))
+            sum_len.append(sum(len(x) for x in ts))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_stopword_tokens": pa.array(n_stop, pa.int64()),
+            "n_digit_tokens": pa.array(n_digit, pa.int64()),
+            "sum_token_len": pa.array(sum_len, pa.int64()),
+        })
+
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+SQL_QUALITY_COUNTS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents)
+SELECT doc_id,
+       len(ts) AS n_tokens,
+       len(list_filter(ts, x -> list_contains({_STOP_SQL}, x)))
+           AS n_stopword_tokens,
+       len(list_filter(ts, x -> regexp_matches(x, '[0-9]')))
+           AS n_digit_tokens,
+       coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT
+           AS sum_token_len
+FROM toks
+"""
+
+
+# --------------------------------------------------------------------- terms
+def q_term_df(sf_dir: str):
+    from search_engine_ray.ops.textstats import term_df_simple
+
+    return term_df_simple(sf_dir)
+
+
+SQL_TERM_DF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents)
+SELECT term, count(*) AS df FROM toks GROUP BY term HAVING count(*) > 1
+"""
+
+
+def q_top_terms(sf_dir: str):
+    from search_engine_ray.ops.textstats import top_terms_simple
+
+    return top_terms_simple(sf_dir, k=100)
+
+
+SQL_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents),
+df AS (SELECT term, count(*) AS df FROM toks GROUP BY term
+       HAVING count(*) > 1)
+SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+def q_token_count_total(sf_dir: str):
+    from search_engine_ray.ops.textstats import token_count_total
+
+    return token_count_total(sf_dir)
+
+
+SQL_TOKEN_COUNT_TOTAL = f"""
+SELECT coalesce(sum(len({_TOKS_SQL})), 0)::BIGINT AS total_tokens
+FROM documents
+"""
+
+
+def q_min_match(sf_dir: str):
+    """Docs containing >= 2 distinct terms of the fixed query set — the
+    reference's min-match relevance gate (searcher.py:67-68) expressed
+    standalone and SQL-checkably."""
+    import ray.data
+
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    terms = frozenset(_MIN_MATCH_TERMS)
+
+    def match(batch: pa.Table) -> pa.Table:
+        ids, nm = [], []
+        for did, t in zip(batch.column("doc_id").to_pylist(),
+                          batch.column("text").to_pylist()):
+            n = len(terms & set(simple_tokenize(t)))
+            if n >= 2:
+                ids.append(did)
+                nm.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_match": pa.array(nm, pa.int64())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+_terms_sql = ", ".join(f"'{t}'" for t in _MIN_MATCH_TERMS)
+SQL_MIN_MATCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents),
+m AS (SELECT doc_id, count(*) AS n_match FROM toks
+      WHERE term IN ({_terms_sql}) GROUP BY doc_id)
+SELECT doc_id, n_match FROM m WHERE n_match >= 2
+"""
+
+
+# --------------------------------------------------------------------- dedup
+def q_exact_dedup(sf_dir: str):
+    from search_engine_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(sf_dir)
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    from search_engine_ray.ops.textstats import lang_counts
+
+    return lang_counts(sf_dir)
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+# -------------------------------------------------------------------- events
+def q_tumbling(sf_dir: str):
+    from search_engine_ray.ops.events import tumbling_window_agg
+
+    ds = tumbling_window_agg(sf_dir)
+
+    # float sums are association-sensitive; export as 1e-4-scaled integers
+    # so the value hash is exact on both sides
+    def scale_sum(batch: pa.Table) -> pa.Table:
+        sv = np.round(np.asarray(batch.column("sum_value").to_pylist())
+                      * 10000).astype(np.int64)
+        batch = batch.drop_columns(["sum_value"])
+        return batch.append_column("sum_value_e4", pa.array(sv, pa.int64()))
+
+    return ds.map_batches(scale_sum, batch_format="pyarrow")
+
+
+SQL_TUMBLING = """
+SELECT event_type,
+       (floor(epoch(ts) / 3600))::BIGINT * 3600 AS window_start_s,
+       count(*) AS n,
+       round(sum(value) * 10000)::BIGINT AS sum_value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    from search_engine_ray.ops.events import sessionize
+
+    return sessionize(sf_dir)
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s FROM events),
+o AS (
+  SELECT user_id, ts_s,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+s AS (
+  SELECT user_id, ts_s,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+       min(ts_s) AS session_start_s,
+       count(*) AS n_events,
+       max(ts_s) - min(ts_s) AS duration_s
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    from search_engine_ray.ops.events import event_type_stats
+
+    ds = event_type_stats(sf_dir)
+
+    # mean is association-sensitive -> 1e-4-scaled integer; min/max of the
+    # same value set are bit-identical doubles, exported raw
+    def scale_mean(batch: pa.Table) -> pa.Table:
+        mv = np.round(np.asarray(batch.column("mean_value").to_pylist())
+                      * 10000).astype(np.int64)
+        batch = batch.drop_columns(["mean_value"])
+        return batch.append_column("mean_value_e4", pa.array(mv, pa.int64()))
+
+    return ds.map_batches(scale_mean, batch_format="pyarrow")
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(avg(value) * 10000)::BIGINT AS mean_value_e4
+FROM events GROUP BY event_type
+"""
+
+
+# ----------------------------------------------------------------------- knn
+def q_knn(sf_dir: str):
+    from search_engine_ray.ops.similarity import knn_brute
+
+    t = knn_brute(sf_dir, query_vec_ids=(0, 1, 2), k=10)
+    cos = np.round(np.asarray(t.column("cosine").to_pylist())
+                   * 1_000_000).astype(np.int64)
+    t = t.drop_columns(["cosine"])
+    return t.append_column("cosine_e6", pa.array(cos, pa.int64()))
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                    AS cos
+         FROM embeddings e, q),
+ranked AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+           FROM sims)
+SELECT query_id, rank, vec_id, round(cos * 1000000)::BIGINT AS cosine_e6
+FROM ranked WHERE rank <= 10
+"""

@@ -80,35 +80,46 @@ class SearchEngine:
         }
 
     # ---------------------------------------------------------- postings
+    def prefetch(self, terms) -> None:
+        """Load postings for all uncached dictionary terms in ONE filtered
+        parquet read (the reference's same-file prefetch generalized,
+        searcher.py:47-51)."""
+        need = [t for t in dict.fromkeys(terms)
+                if t not in self._pcache and t in self.df_map]
+        if not need:
+            return
+        t = self._postings_ds.to_table(
+            filter=pads.field("term").isin(need))
+        by_term: dict[str, list] = {x: [] for x in need}
+        term_col = t.column("term").to_pylist()
+        cols = {k: t.column(k).to_pylist()
+                for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
+                          "uniq_vb", "blk_last", "blk_max", "blk_doc_off",
+                          "blk_tf_off")}
+        for i, term in enumerate(term_col):
+            by_term[term].append(
+                decode_postings({k: cols[k][i] for k in cols}))
+        for term, parts in by_term.items():
+            if not parts:
+                self._pcache[term] = None
+                continue
+            ids = np.concatenate([p["doc_ids"] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            self._pcache[term] = {
+                "doc_ids": ids[order],
+                "tfs": np.concatenate([p["tfs"] for p in parts])[order],
+                "dls": np.concatenate([p["dls"] for p in parts])[order],
+                "mtfs": np.concatenate([p["mtfs"] for p in parts])[order],
+                # per-shard streams kept for WAND (processed independently)
+                "shards": parts,
+            }
+
     def postings(self, term: str) -> dict | None:
         """Merged cross-shard postings for one (final) term, sorted by
         doc_id; None if the term is not in the dictionary."""
-        if term in self._pcache:
-            return self._pcache[term]
-        if term not in self.df_map:
-            self._pcache[term] = None
-            return None
-        t = self._postings_ds.to_table(
-            filter=pads.field("term") == term)
-        parts = [decode_postings({k: t.column(k)[i].as_py()
-                                  for k in ("n", "docids_vb", "tf_vb",
-                                            "dl_vb", "mtf_vb", "uniq_vb",
-                                            "blk_last", "blk_max",
-                                            "blk_doc_off", "blk_tf_off")})
-                 for i in range(t.num_rows)]
-        ids = np.concatenate([p["doc_ids"] for p in parts])
-        order = np.argsort(ids, kind="stable")
-        merged = {
-            "doc_ids": ids[order],
-            "tfs": np.concatenate([p["tfs"] for p in parts])[order],
-            "dls": np.concatenate([p["dls"] for p in parts])[order],
-            "mtfs": np.concatenate([p["mtfs"] for p in parts])[order],
-            # per-shard block metadata kept for WAND (shard streams
-            # processed independently there)
-            "shards": parts,
-        }
-        self._pcache[term] = merged
-        return merged
+        if term not in self._pcache:
+            self.prefetch([term])
+        return self._pcache.get(term)
 
     def _meta_for(self, doc_ids: np.ndarray):
         if self._meta is None:
@@ -123,6 +134,7 @@ class SearchEngine:
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []
+        self.prefetch(query)
         if mode == "reference":
             return self._search_reference(query, k)
         if mode == "bm25":
