@@ -49,12 +49,17 @@ def _zipf_probs(size: int, s: float = 1.07) -> np.ndarray:
     return p / p.sum()
 
 
-def gen_pages(n: int, seed: int = 42) -> pa.Table:
-    """F1 pages table; deterministic in (n, seed)."""
+def gen_pages(n: int, seed: int = 42, min_len: int = 8,
+              max_len: int = 28) -> pa.Table:
+    """F1 pages table; deterministic in (n, seed, lengths).
+
+    Default lengths are tweet-like (reference avg 21.5 terms/doc,
+    BASELINE.md); pass e.g. min_len=150/max_len=350 for Common-Crawl-like
+    page bodies (bench corpus)."""
     rng = np.random.default_rng(seed)
     vocab = _zipf_vocab()
     probs = _zipf_probs(len(vocab))
-    lengths = rng.integers(8, 28, size=n)
+    lengths = rng.integers(min_len, max_len, size=n)
     base_idx = rng.choice(len(vocab), size=int(lengths.sum()), p=probs)
     r = rng.random(size=(n, 12))  # decision rolls per doc
 

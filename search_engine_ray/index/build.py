@@ -10,28 +10,38 @@ checkpointed Dataset stages over zero-copy Arrow batches:
    by the three downstream stages so parsing runs ONCE (the reference
    parses once too), and is the resume point.
 2. ``dict``    — term dictionary: per-batch partial rows (df partials,
-   capitals-AND partials, entity-count partials) -> one compact
-   groupby(key) -> merge-time rules applied exactly as the reference's
-   merge does (entity<2 prune, capitals UPPER rewrite, df==1 prune;
-   /root/reference/indexer.py:156-169).
-3. ``postings``— SPIMI partial runs per (shard, term) built inside
-   map_batches (the pre-shuffle combine), then ONE bucketed
-   groupby(shard, term_bucket) shuffle merges runs and encodes
-   delta+varbyte posting blobs with block-max metadata.  The dictionary
-   is joined in by replicating its (small) rows to every shard through
-   the same shuffle — no broadcast of vocab-sized state.
+   capitals-AND partials, entity-count partials, corpus stats) ->
+   key-bucketed shuffle -> per-bucket aggregation + the reference's
+   merge-time rules (entity<2 prune, capitals UPPER rewrite, df==1
+   prune; /root/reference/indexer.py:156-169).
+3. ``postings``— SPIMI partial runs per term built inside map_batches
+   (the pre-shuffle combine; stats varbyte-compressed in flight), merged
+   per term bucket and encoded into delta+varbyte posting blobs with
+   block-max metadata.  The dictionary verdicts are routed through the
+   same shuffle as co-partitioned rows — no broadcast of vocab-sized
+   state.
 4. ``docmeta`` — GloVe doc centroids (/root/reference/indexer.py:54-69)
    + covid flag as an ordinary boolean column, hash-partitioned by shard.
 
-Skew: postings are DOC-SHARDED (shard = doc_id % S).  A head term like
-the reference's 'rt' (df = 70% of corpus) is split across all S shards,
-so no reducer ever holds a full head-term posting list; per-reducer
-volume is bounded by total_postings / (S * term_buckets).  This is the
-standard document-partitioned web-search layout and is what lets the
-build scale linearly with nodes.
+Shuffles are EXPLICIT filesystem exchanges (write hash-partitioned by
+bucket with every map task appending its own files, then one reduce task
+per bucket): both phases are embarrassingly parallel, unlike Ray's
+driver-coordinated sort at these block counts.  Spills live on tmpfs and
+are deleted after the stage commits.  This is the reference's disk
+spill + k-way merge (indexer.py:110-253) as a parallel external shuffle.
+
+Skew: postings are DOC-SHARDED (shard = doc_id % S, derived from the doc
+id at finalize).  A head term like the reference's 'rt' (df = 70% of
+corpus) is split into S independent per-shard posting lists, so no
+single blob ever holds a full head-term posting list and query actors
+serve disjoint doc sets.  At cluster scale the bucket count (term_buckets)
+scales with nodes; per-reducer volume is bounded by
+total_postings / term_buckets.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -60,15 +70,25 @@ PARSED_SCHEMA = pa.schema([
     ("entities", pa.list_(pa.string())),
 ])
 
+# reserved dictionary keys carrying corpus stats through the dict shuffle
+NDOCS_KEY = "\x00__ndocs__"
+SUMDL_KEY = "\x00__sumdl__"
+
 _RUN_FIELDS = [
-    ("shard", pa.int32()), ("tbucket", pa.int32()), ("term", pa.string()),
+    ("tbucket", pa.int32()),  # shuffle partition: hash(term) % term_buckets
+    ("term", pa.string()),
     ("kind", pa.int8()),                # 0 = posting run, 1 = dict row
     ("n", pa.int64()),
-    ("docids", pa.binary()), ("tfs", pa.binary()), ("dls", pa.binary()),
+    ("docids", pa.binary()),            # raw int64 doc ids, doc-sorted
+    ("tfs", pa.binary()), ("dls", pa.binary()),   # varbyte streams
     ("mtfs", pa.binary()), ("uniqs", pa.binary()),
     ("final_term", pa.string()), ("df_global", pa.int64()),
 ]
 RUN_SCHEMA = pa.schema(_RUN_FIELDS)
+
+# bump when the on-disk index layout changes — part of the checkpoint
+# fingerprint so stale checkpoints rebuild instead of misloading
+INDEX_FORMAT = 4
 
 
 # --------------------------------------------------------------- stage 1
@@ -128,7 +148,10 @@ def dict_partial_rows(batch: pa.Table) -> pa.Table:
 
     def sub(keys: pa.Array, df=None, caps=None, ent=None):
         n = len(keys)
+        kb = pa.array([term_bucket(k, 32) for k in keys.to_pylist()],
+                      pa.int32())
         tables.append(pa.table({
+            "kbucket": kb,
             "key": keys.cast(pa.string()),
             "df_part": pa.nulls(n, pa.int64()) if df is None
             else df.cast(pa.int64()),
@@ -141,14 +164,22 @@ def dict_partial_rows(batch: pa.Table) -> pa.Table:
     vc = pc.list_flatten(batch.column("terms")).value_counts()
     sub(vc.field("values"), df=vc.field("counts"))
 
-    caps_t = pc.list_flatten(batch.column("caps_terms"))
+    # corpus stats ride the same shuffle as reserved "\x00" keys — saves a
+    # separate full-scan aggregate execution (n_docs / sum(doc_length))
+    sub(pa.array([NDOCS_KEY, SUMDL_KEY], pa.string()),
+        df=pa.array([batch.num_rows,
+                     int(pc.sum(batch.column("doc_length")).as_py() or 0)],
+                    pa.int64()))
+
+    caps_t = pc.list_flatten(batch.column("caps_terms")).combine_chunks()
     if len(caps_t):
         caps_f = pc.list_flatten(batch.column("caps_flags")).to_numpy(
             zero_copy_only=False).astype(np.int8)
-        codes, uniq = pd.factorize(caps_t.to_numpy(zero_copy_only=False))
-        mins = np.ones(len(uniq), dtype=np.int8)
+        denc = caps_t.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        mins = np.ones(len(denc.dictionary), dtype=np.int8)
         np.minimum.at(mins, codes, caps_f)  # AND within batch
-        sub(pa.array(uniq, pa.string()), caps=mins)
+        sub(denc.dictionary, caps=mins)
 
     ents = pc.list_flatten(batch.column("entities"))
     if len(ents):
@@ -164,6 +195,8 @@ def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
     import pandas as pd
 
     df = batch.to_pandas()
+    stats = df[df["key"].str.startswith("\x00")]
+    df = df[~df["key"].str.startswith("\x00")]
     df = df[df["df"].notna() & (df["df"] > 0)]
     # entity<2 prune: posting term string equals an entity-chunk string
     # with doc-count < 2  (case mismatch makes this near-dead; as-written)
@@ -174,83 +207,109 @@ def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
     rewritten = df["caps"].astype("float64").fillna(0.0).astype(int) == 1
     final = df["key"].where(~rewritten, df["key"].str.upper())
     return pa.table({
-        "term": pa.array(final.tolist(), pa.string()),
-        "orig_term": pa.array(df["key"].tolist(), pa.string()),
-        "df": pa.array(df["df"].astype(np.int64).tolist(), pa.int64()),
-        "rewritten": pa.array(rewritten.tolist(), pa.bool_()),
+        "term": pa.array(final.tolist() + stats["key"].tolist(), pa.string()),
+        "orig_term": pa.array(df["key"].tolist() + stats["key"].tolist(),
+                              pa.string()),
+        "df": pa.array(df["df"].astype(np.int64).tolist()
+                       + stats["df"].astype(np.int64).tolist(), pa.int64()),
+        "rewritten": pa.array(rewritten.tolist() + [False] * len(stats),
+                              pa.bool_()),
     })
+
+
+# Per-worker-process caches: stateless TASK UDFs reuse Ray worker
+# processes, so module-level state gives the once-per-worker setup of an
+# actor pool without per-stage actor spawn cost (significant when many
+# short stages run back to back).
+_WORKER_BUCKET_CACHE: dict[tuple[int, str], int] = {}
+_WORKER_GLOVE = GloveCache()
+
+
+def build_runs_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    return BuildRuns(cfg, _WORKER_BUCKET_CACHE)(batch)
+
+
+def finalize_group(group, avg_dl: float, cfg: EngineConfig) -> pa.Table:
+    return FinalizeBucket(avg_dl, cfg)(group)
+
+
+def doc_vec_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    return DocVec(cfg, _WORKER_GLOVE)(batch)
 
 
 # --------------------------------------------------------------- stage 3
 class BuildRuns:
-    """SPIMI partial posting runs per (shard, term) within each batch —
-    the pre-shuffle combine (reference analogue: the in-memory posting
-    chunk, /root/reference/indexer.py:89-105)."""
+    """SPIMI partial posting runs per TERM within each batch — the
+    pre-shuffle combine (reference analogue: the in-memory posting chunk,
+    /root/reference/indexer.py:89-105).  Runs are keyed by term only; the
+    doc shard is derived from doc_id at finalize, so per-batch row count
+    is vocabulary-capped (not vocab x shards) and the per-posting stats
+    ship varbyte-compressed."""
 
-    def __init__(self, config: EngineConfig):
+    def __init__(self, config: EngineConfig, bucket_cache=None):
         self.cfg = config
-        self._bucket_cache: dict[str, int] = {}
+        self._bucket_cache = ({} if bucket_cache is None else bucket_cache)
 
     def _tbucket(self, term: str) -> int:
-        b = self._bucket_cache.get(term)
+        key = (self.cfg.term_buckets, term)
+        b = self._bucket_cache.get(key)
         if b is None:
             b = term_bucket(term, self.cfg.term_buckets)
-            self._bucket_cache[term] = b
+            self._bucket_cache[key] = b
         return b
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from search_engine_ray.index.encoding import varbyte_encode
+
         terms_col = batch.column("terms").combine_chunks()
         tfs_col = batch.column("tfs").combine_chunks()
         lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
-        flat_terms = np.asarray(pc.list_flatten(terms_col).to_pylist(),
-                                dtype=object)
-        flat_tfs = pc.list_flatten(tfs_col).to_numpy().astype(np.int32)
+        flat = pc.list_flatten(terms_col)
+        if len(flat) == 0:
+            return pa.table({n: pa.array([], type=t) for n, t in _RUN_FIELDS})
+        # Arrow-side dictionary encode: no Python string materialization
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = denc.dictionary.to_pylist()
+        flat_tfs = pc.list_flatten(tfs_col).to_numpy().astype(np.int64)
         doc_ids = np.repeat(batch.column("doc_id").to_numpy(), lens)
         dls = np.repeat(
-            batch.column("doc_length").to_numpy(), lens).astype(np.int32)
+            batch.column("doc_length").to_numpy(), lens).astype(np.int64)
         mtfs = np.repeat(
-            batch.column("max_tf").to_numpy(), lens).astype(np.int32)
+            batch.column("max_tf").to_numpy(), lens).astype(np.int64)
         uniqs = np.repeat(
-            batch.column("unique_terms").to_numpy(), lens).astype(np.int32)
-        shards = np.repeat(
-            batch.column("shard").to_numpy(), lens).astype(np.int32)
+            batch.column("unique_terms").to_numpy(), lens).astype(np.int64)
 
-        # group by (term, shard): factorize + lexsort + boundary slicing
-        import pandas as pd
-
-        if len(flat_terms) == 0:
-            return pa.table({n: pa.array([], type=t) for n, t in _RUN_FIELDS})
-        codes, uniques = pd.factorize(flat_terms)
-        order = np.lexsort((doc_ids, shards, codes))
+        order = np.lexsort((doc_ids, codes))
         codes_o = codes[order]
-        shards_o = shards[order]
         doc_ids = doc_ids[order]
-        flat_tfs = flat_tfs[order]
-        dls = dls[order]
-        mtfs = mtfs[order]
-        uniqs = uniqs[order]
         boundary = np.empty(len(order), dtype=bool)
         boundary[0] = True
-        boundary[1:] = (codes_o[1:] != codes_o[:-1]) | (
-            shards_o[1:] != shards_o[:-1])
+        boundary[1:] = codes_o[1:] != codes_o[:-1]
         starts = np.flatnonzero(boundary)
         ends = np.append(starts[1:], len(order))
+
+        # ONE varbyte pass per stat stream over the whole batch, then
+        # cheap per-segment byte slicing (same trick as finalize)
+        tf_buf, tf_off = varbyte_encode(flat_tfs[order])
+        dl_buf, dl_off = varbyte_encode(dls[order])
+        mtf_buf, mtf_off = varbyte_encode(mtfs[order])
+        uniq_buf, uniq_off = varbyte_encode(uniqs[order])
 
         rows = {n: [] for n, _ in _RUN_FIELDS}
         for s, e in zip(starts, ends):
             term = uniques[codes_o[s]]
-            rows["shard"].append(int(shards_o[s]))
             rows["tbucket"].append(self._tbucket(term))
             rows["term"].append(term)
             rows["kind"].append(0)
             rows["n"].append(int(e - s))
             rows["docids"].append(doc_ids[s:e].tobytes())
-            rows["tfs"].append(flat_tfs[s:e].tobytes())
-            rows["dls"].append(dls[s:e].tobytes())
-            rows["mtfs"].append(mtfs[s:e].tobytes())
-            rows["uniqs"].append(uniqs[s:e].tobytes())
+            rows["tfs"].append(tf_buf[tf_off[s]:tf_off[e]])
+            rows["dls"].append(dl_buf[dl_off[s]:dl_off[e]])
+            rows["mtfs"].append(mtf_buf[mtf_off[s]:mtf_off[e]])
+            rows["uniqs"].append(uniq_buf[uniq_off[s]:uniq_off[e]])
             rows["final_term"].append(None)
             rows["df_global"].append(0)
         return pa.table({n: pa.array(rows[n], type=t) for n, t in _RUN_FIELDS})
@@ -258,33 +317,33 @@ class BuildRuns:
 
 def replicate_dict_rows(batch: pa.Table, num_shards: int,
                         term_buckets: int) -> pa.Table:
-    """Fan the (small) dictionary out to every shard through the posting
-    shuffle — a replication join, not a driver broadcast, so the dict can
-    be vocabulary-scale without living in one process."""
+    """Route the (small) dictionary verdicts through the posting shuffle —
+    one row per term to its term bucket (a co-partitioned join, not a
+    driver broadcast, so the dict can be vocabulary-scale without living
+    in one process)."""
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.invert(pc.starts_with(
+        batch.column("orig_term"), "\x00")))  # drop reserved stats rows
     orig = batch.column("orig_term").to_pylist()
     final = batch.column("term").to_pylist()
     dfg = batch.column("df").to_pylist()
     n = len(orig)
-    S = num_shards
+    tbs = [term_bucket(t, term_buckets) for t in orig]
     rows = {
-        "shard": np.tile(np.arange(S, dtype=np.int32), n),
-        "tbucket": np.repeat(
-            np.array([term_bucket(t, term_buckets) for t in orig],
-                     dtype=np.int32), S),
-        "term": np.repeat(np.asarray(orig, dtype=object), S),
-        "kind": np.full(n * S, 1, dtype=np.int8),
-        "n": np.zeros(n * S, dtype=np.int64),
-        "docids": [b""] * (n * S),
-        "tfs": [b""] * (n * S),
-        "dls": [b""] * (n * S),
-        "mtfs": [b""] * (n * S),
-        "uniqs": [b""] * (n * S),
-        "final_term": np.repeat(np.asarray(final, dtype=object), S),
-        "df_global": np.repeat(np.asarray(dfg, dtype=np.int64), S),
+        "tbucket": pa.array(tbs, pa.int32()),
+        "term": pa.array(orig, pa.string()),
+        "kind": pa.array([1] * n, pa.int8()),
+        "n": pa.array([0] * n, pa.int64()),
+        "docids": pa.array([b""] * n, pa.binary()),
+        "tfs": pa.array([b""] * n, pa.binary()),
+        "dls": pa.array([b""] * n, pa.binary()),
+        "mtfs": pa.array([b""] * n, pa.binary()),
+        "uniqs": pa.array([b""] * n, pa.binary()),
+        "final_term": pa.array(final, pa.string()),
+        "df_global": pa.array(dfg, pa.int64()),
     }
-    return pa.table({name: pa.array(
-        rows[name] if isinstance(rows[name], list) else rows[name].tolist(),
-        type=t) for name, t in _RUN_FIELDS})
+    return pa.table({name: rows[name] for name, _ in _RUN_FIELDS})
 
 
 class FinalizeBucket:
@@ -297,13 +356,14 @@ class FinalizeBucket:
         self.avg_dl = avg_dl
         self.cfg = config
 
-    _OUT_COLS = ("shard", "term", "df_global", "n", "docids_vb", "tf_vb",
-                 "dl_vb", "mtf_vb", "uniq_vb", "blk_last", "blk_max",
-                 "blk_doc_off", "blk_tf_off")
+    _OUT_COLS = ("shard", "tbucket", "term", "df_global", "n",
+                 "docids_vb", "tf_vb", "dl_vb", "mtf_vb", "uniq_vb",
+                 "blk_last", "blk_max", "blk_doc_off", "blk_tf_off")
 
     def _empty(self) -> pa.Table:
-        types = {"shard": pa.int32(), "term": pa.string(),
-                 "df_global": pa.int64(), "n": pa.int64()}
+        types = {"shard": pa.int32(), "tbucket": pa.int32(),
+                 "term": pa.string(), "df_global": pa.int64(),
+                 "n": pa.int64()}
         return pa.table({k: pa.array([], type=types.get(k, pa.binary()))
                          for k in self._OUT_COLS})
 
@@ -316,6 +376,8 @@ class FinalizeBucket:
         from search_engine_ray.index.encoding import tf_norm, varbyte_encode
 
         assert isinstance(group, pd.DataFrame)
+        if len(group) == 0 or "kind" not in group.columns:
+            return self._empty()
         dict_rows = group[group["kind"] == 1]
         term_map = dict(zip(dict_rows["term"], zip(dict_rows["final_term"],
                                                    dict_rows["df_global"])))
@@ -323,19 +385,23 @@ class FinalizeBucket:
         if len(runs) == 0:
             return self._empty()
 
+        from search_engine_ray.index.encoding import varbyte_decode
+
         ids_parts = [np.frombuffer(b, dtype=np.int64)
                      for b in runs["docids"]]
         lens = np.fromiter((len(x) for x in ids_parts), dtype=np.int64,
                            count=len(ids_parts))
         ids = np.concatenate(ids_parts)
-        tfs = np.frombuffer(b"".join(runs["tfs"]), dtype=np.int32)
-        dls = np.frombuffer(b"".join(runs["dls"]), dtype=np.int32)
-        mtfs = np.frombuffer(b"".join(runs["mtfs"]), dtype=np.int32)
-        uniqs = np.frombuffer(b"".join(runs["uniqs"]), dtype=np.int32)
+        total = len(ids)
+        tfs = varbyte_decode(b"".join(runs["tfs"]), count=total)
+        dls = varbyte_decode(b"".join(runs["dls"]), count=total)
+        mtfs = varbyte_decode(b"".join(runs["mtfs"]), count=total)
+        uniqs = varbyte_decode(b"".join(runs["uniqs"]), count=total)
 
         codes, uniques = pd.factorize(runs["term"].to_numpy())
         seg_term = np.repeat(codes, lens)
-        seg_shard = np.repeat(runs["shard"].to_numpy().astype(np.int32), lens)
+        # doc shard derived from the id — runs are term-keyed only
+        seg_shard = (ids % self.cfg.num_shards).astype(np.int32)
         order = np.lexsort((ids, seg_shard, seg_term))  # indexer.py:219
         ids = ids[order]
         tfs = tfs[order]
@@ -383,6 +449,9 @@ class FinalizeBucket:
         blk_tf_all = (tf_off[block_starts]
                       - tf_off[seg_starts[seg_of_block]]).astype(np.int32)
 
+        tbucket = int(group["tbucket"].iloc[0])
+        from search_engine_ray.ids import term_bucket as _tb
+
         out = {k: [] for k in self._OUT_COLS}
         for k in range(len(seg_starts)):
             term = uniques[seg_term[seg_starts[k]]]
@@ -392,6 +461,11 @@ class FinalizeBucket:
             s, e = seg_starts[k], seg_ends[k]
             fb, nb = first_block[k], nblocks[k]
             out["shard"].append(int(seg_shard[s]))
+            # bucket keyed by the FINAL term so query-side pruning finds
+            # capitals-rewritten terms too
+            out["tbucket"].append(
+                tbucket if verdict[0] == term
+                else _tb(verdict[0], self.cfg.term_buckets))
             out["term"].append(verdict[0])
             out["df_global"].append(int(verdict[1]))
             out["n"].append(int(e - s))
@@ -404,8 +478,9 @@ class FinalizeBucket:
             out["blk_max"].append(blk_max32[fb:fb + nb].tobytes())
             out["blk_doc_off"].append(blk_doc_all[fb:fb + nb].tobytes())
             out["blk_tf_off"].append(blk_tf_all[fb:fb + nb].tobytes())
-        types = {"shard": pa.int32(), "term": pa.string(),
-                 "df_global": pa.int64(), "n": pa.int64()}
+        types = {"shard": pa.int32(), "tbucket": pa.int32(),
+                 "term": pa.string(), "df_global": pa.int64(),
+                 "n": pa.int64()}
         return pa.table({k: pa.array(v, type=types.get(k, pa.binary()))
                          for k, v in out.items()})
 
@@ -416,28 +491,37 @@ class DocVec:
     terms divided by unique-term count (/root/reference/indexer.py:54-61
     — divides by len(term_dict), not by the matched count)."""
 
-    def __init__(self, config: EngineConfig):
+    def __init__(self, config: EngineConfig, glove: GloveCache | None = None):
         self.cfg = config
-        self.glove = GloveCache()
+        self.glove = glove or GloveCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
         import pyarrow.compute as pc
 
         terms_col = batch.column("terms").combine_chunks()
         lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
-        flat = pc.list_flatten(terms_col).to_pylist()
+        flat = pc.list_flatten(terms_col)
         dim = self.cfg.glove_dim
         vecs = np.zeros((len(lens), dim))
         row_idx = np.repeat(np.arange(len(lens)), lens)
+        # lookup once per UNIQUE term in the batch, scatter by codes
+        if len(flat):
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False)
+            uniq = denc.dictionary.to_pylist()
+        else:
+            codes, uniq = np.zeros(0, int), []
         get = self.glove.get
-        flat_vecs = np.zeros((len(flat), dim))
-        hit = np.zeros(len(flat), dtype=bool)
-        for i, t in enumerate(flat):
+        uniq_vecs = np.zeros((len(uniq), dim))
+        uniq_hit = np.zeros(len(uniq), dtype=bool)
+        for i, t in enumerate(uniq):
             g = get(t)
             if g is not None:
-                flat_vecs[i] = g
-                hit[i] = True
-        np.add.at(vecs, row_idx[hit], flat_vecs[hit])
+                uniq_vecs[i] = g
+                uniq_hit[i] = True
+        hit = uniq_hit[codes]
+        np.add.at(vecs, row_idx[hit], uniq_vecs[codes[hit]])
         vecs /= np.maximum(lens, 1)[:, None]
 
         keep = ["doc_id", "url", "warc_ts", "shard", "doc_length",
@@ -446,6 +530,31 @@ class DocVec:
         glove_col = pa.FixedSizeListArray.from_arrays(
             pa.array(vecs.reshape(-1), pa.float64()), dim)
         return tbl.append_column("glove", glove_col)
+
+
+def _spill_base(out_dir: str) -> str:
+    """Transient shuffle spills go to tmpfs when available — concurrent
+    partitioned writes from many tasks thrash a disk-backed /tmp."""
+    if os.path.isdir("/dev/shm"):
+        import hashlib
+
+        tag = hashlib.blake2b(os.path.abspath(out_dir).encode(),
+                              digest_size=4).hexdigest()
+        return f"/dev/shm/se_ray_spill_{tag}"
+    return out_dir
+
+
+def _row_count_from_metadata(parquet_dir: str) -> int:
+    """Total rows from parquet footers only — no data scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _glob.glob(os.path.join(parquet_dir, "**", "*.parquet"),
+                        recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 # ------------------------------------------------------------------ driver
@@ -471,7 +580,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     else:
         in_files = [input_path]
     input_fp = mf.input_fingerprint(in_files)
-    cfg_fp = cfg.fingerprint()
+    cfg_fp = f"{cfg.fingerprint()}-v{INDEX_FORMAT}"
     if overwrite:
         for st in ("parsed", "dict", "postings", "docmeta"):
             mf.clear_stage(out_dir, st)
@@ -499,36 +608,78 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         mf.commit_stage(out_dir, "parsed", input_fp=input_fp,
                         config_fp=cfg_fp, counters={})
 
-    # ---- corpus stats (cheap column scan of the checkpoint)
-    from ray.data.aggregate import Count, Sum
+    # Effective batch size for the batch-combine stages: big enough to
+    # amortize per-batch work, small enough that task count keeps every
+    # core busy (rows known from parquet footers, no scan)
+    parsed_rows = _row_count_from_metadata(parsed_dir)
+    eff_batch = max(1024, min(cfg.run_batch_size,
+                              parsed_rows // (2 * cfg.parser_concurrency)
+                              or 1024))
 
-    stats_ds = ray.data.read_parquet(parsed_dir, columns=["doc_length"])
-    agg = stats_ds.aggregate(Count(), Sum("doc_length"))
-    n_docs = int(next(v for k, v in agg.items() if k.startswith("count")))
-    sum_dl = int(next(v for k, v in agg.items() if k.startswith("sum")))
-    avg_dl = sum_dl / n_docs if n_docs else 0.0
-    counters.update(n_docs=n_docs, sum_doc_length=sum_dl, avg_doc_length=avg_dl)
-
-    # ---- stage 2: term dictionary
+    # ---- stage 2: term dictionary (corpus stats ride the same shuffle).
+    # Same explicit filesystem shuffle as postings: partial rows spill
+    # hash-partitioned by key bucket, each bucket aggregates + applies the
+    # merge rules independently — no driver-side Sort operator.
     if not mf.stage_complete(out_dir, "dict", input_fp, cfg_fp):
         mf.clear_stage(out_dir, "dict")
-        from ray.data.aggregate import Min
-
         src = ray.data.read_parquet(
             parsed_dir,
-            columns=["terms", "caps_terms", "caps_flags", "entities"])
-        partials = src.map_batches(dict_partial_rows, batch_format="pyarrow")
-        agg_ds = partials.groupby("key").aggregate(
-            Sum("df_part", alias_name="df"),
-            Min("caps_part", alias_name="caps"),
-            Sum("ent_part", alias_name="ent"),
-        )
-        dict_ds = agg_ds.map_batches(
-            lambda b: apply_dict_rules(b, cfg.prune_df1),
-            batch_format="pyarrow")
-        dict_ds.write_parquet(dict_dir)
+            columns=["terms", "caps_terms", "caps_flags", "entities",
+                     "doc_length"])
+        partials = src.map_batches(dict_partial_rows,
+                                   batch_format="pyarrow",
+                                   batch_size=eff_batch)
+        dict_spill = os.path.join(_spill_base(out_dir), "_dict_spill")
+        import shutil as _sh
+
+        _sh.rmtree(dict_spill, ignore_errors=True)
+        partials.write_parquet(dict_spill, partition_cols=["kbucket"],
+                               compression="none")
+        kdirs = sorted(os.path.join(dict_spill, d)
+                       for d in os.listdir(dict_spill)
+                       if d.startswith("kbucket="))
+
+        def reduce_dict(batch, prune_df1=cfg.prune_df1):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            outs = []
+            for d in batch["dir"]:
+                df = pq.read_table(d).to_pandas()
+                g = df.groupby("key", sort=False)
+                # min_count=1 keeps all-null groups null (a key with no
+                # entity rows must NOT look like entity-count 0)
+                agg = pd.DataFrame({
+                    "df": g["df_part"].sum(min_count=1),
+                    "caps": g["caps_part"].min(),
+                    "ent": g["ent_part"].sum(min_count=1),
+                }).reset_index()
+                outs.append(apply_dict_rules(
+                    pa.Table.from_pandas(agg, preserve_index=False),
+                    prune_df1))
+            return pa.concat_tables(outs)
+
+        red = ray.data.from_items([{"dir": d} for d in kdirs],
+                                  override_num_blocks=len(kdirs))
+        red.map_batches(reduce_dict, batch_size=1,
+                        batch_format="numpy").write_parquet(dict_dir)
+        _sh.rmtree(dict_spill, ignore_errors=True)
         mf.commit_stage(out_dir, "dict", input_fp=input_fp,
                         config_fp=cfg_fp, counters={})
+
+    # corpus stats from the dict stage's reserved rows
+    import pyarrow.dataset as pads
+
+    stats_t = pads.dataset(dict_dir).to_table(
+        filter=pads.field("term").isin([NDOCS_KEY, SUMDL_KEY]),
+        columns=["term", "df"])
+    stats_map = dict(zip(stats_t.column("term").to_pylist(),
+                         stats_t.column("df").to_pylist()))
+    n_docs = int(stats_map.get(NDOCS_KEY, 0))
+    sum_dl = int(stats_map.get(SUMDL_KEY, 0))
+    avg_dl = sum_dl / n_docs if n_docs else 0.0
+    counters.update(n_docs=n_docs, sum_doc_length=sum_dl,
+                    avg_doc_length=avg_dl)
 
     # ---- stage 3: postings (the one big shuffle)
     if not mf.stage_complete(out_dir, "postings", input_fp, cfg_fp):
@@ -538,21 +689,58 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
             columns=["shard", "doc_id", "doc_length", "max_tf",
                      "unique_terms", "terms", "tfs"])
         runs = src.map_batches(
-            BuildRuns, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=cfg.run_batch_size,
-            concurrency=(1, cfg.parser_concurrency),
+            build_runs_batch, fn_args=(cfg,),
+            batch_format="pyarrow", batch_size=eff_batch,
         )
         dict_src = ray.data.read_parquet(dict_dir)
         dict_rep = dict_src.map_batches(
             lambda b: replicate_dict_rows(b, cfg.num_shards, cfg.term_buckets),
-            batch_format="pyarrow")
+            batch_format="pyarrow").repartition(max(4, cfg.num_shards // 2))
         unioned = runs.union(dict_rep)
-        final = unioned.groupby(["shard", "tbucket"]).map_groups(
-            FinalizeBucket, fn_constructor_args=(avg_dl, cfg),
-            batch_format="pandas", concurrency=(1, cfg.parser_concurrency))
-        final.write_parquet(postings_dir, partition_cols=["shard"])
+
+        # Explicit filesystem shuffle (Ray's sort-based groupby serializes
+        # on a driver-side Sort op at this scale): phase A writes runs
+        # hash-partitioned by term bucket — every map task
+        # appends its own files per partition dir — and phase B reduces
+        # each partition independently in parallel tasks.  This is the
+        # spill/merge the reference does on one disk (indexer.py:110-253),
+        # done as a parallel external shuffle.
+        spill_dir = os.path.join(_spill_base(out_dir), "_postings_spill")
+        import shutil as _sh
+
+        _sh.rmtree(spill_dir, ignore_errors=True)
+        unioned.write_parquet(spill_dir, partition_cols=["tbucket"],
+                              compression="none")  # tmpfs spill: skip codec
+
+        part_dirs = sorted(
+            os.path.join(spill_dir, d) for d in os.listdir(spill_dir)
+            if d.startswith("tbucket="))
+
+        def reduce_partitions(batch, avg_dl=avg_dl, cfg=cfg):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            outs = []
+            for d in batch["dir"]:
+                # hive partitioning moved tbucket into the dir name
+                tb = int(str(d).rstrip("/").rsplit("tbucket=", 1)[1])
+                df = pq.read_table(d).to_pandas()
+                df["tbucket"] = tb
+                outs.append(finalize_group(df, avg_dl, cfg))
+            return pa.concat_tables(outs) if outs else finalize_group(
+                pd.DataFrame(), avg_dl, cfg)
+
+        red = ray.data.from_items([{"dir": d} for d in part_dirs],
+                                  override_num_blocks=len(part_dirs))
+        final = red.map_batches(reduce_partitions, batch_size=1,
+                                batch_format="numpy")
+        # partition by TERM bucket: a query for term t prunes to ONE
+        # directory (postings/tbucket=hash(t)%B) instead of scanning all
+        final.write_parquet(postings_dir, partition_cols=["tbucket"])
+        _sh.rmtree(spill_dir, ignore_errors=True)
         mf.commit_stage(out_dir, "postings", input_fp=input_fp,
-                        config_fp=cfg_fp, counters={})
+                        config_fp=cfg_fp, counters={
+                            "shuffle_partitions": len(part_dirs)})
 
     # ---- stage 4: doc metadata
     if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
@@ -562,9 +750,8 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
             columns=["doc_id", "url", "warc_ts", "shard", "doc_length",
                      "max_tf", "unique_terms", "is_covid", "terms"])
         meta = src.map_batches(
-            DocVec, fn_constructor_args=(cfg,),
+            doc_vec_batch, fn_args=(cfg,),
             batch_format="pyarrow", batch_size=cfg.parse_batch_size,
-            concurrency=(1, cfg.parser_concurrency),
         )
         meta.write_parquet(docmeta_dir, partition_cols=["shard"])
         mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,

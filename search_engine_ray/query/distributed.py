@@ -1,0 +1,237 @@
+"""Distributed query serving: per-shard actors + driver merge.
+
+The single-node ``SearchEngine`` reads postings in-process; at cluster
+scale query serving is an ACTOR POOL where each actor owns a disjoint set
+of doc shards — its slice of docmeta in memory and a lazy posting cache
+(the reference's posting/doc caches, searcher.py:39-51 / ranker.py:30-36,
+promoted to per-shard server state).
+
+Doc-sharding makes this exact: a document's postings live entirely in its
+shard, so each actor computes complete per-doc scores locally using the
+GLOBAL corpus stats (N, avg_dl, df) from the manifest; the driver merges
+per-shard top-k with the same (score, ts, doc_id) tie-break.  Results are
+rank-identical to the in-process engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import ray
+
+
+@ray.remote
+class QueryShardActor:
+    """Serves a subset of shards of one index."""
+
+    def __init__(self, out_dir: str, shards: list[int]):
+        import pyarrow.dataset as pads
+
+        from search_engine_ray.config import EngineConfig
+        from search_engine_ray.index import manifest as mf
+
+        man = mf.read_manifest(out_dir)
+        self.cfg = EngineConfig(**man["config"])
+        self.n_docs = man["n_docs"]
+        self.avg_dl = man["avg_doc_length"]
+        self.shards = set(shards)
+        self._postings_ds = pads.dataset(
+            mf.stage_dir(out_dir, "postings"), partitioning="hive")
+        self._pcache: dict[str, dict | None] = {}
+
+        meta = pads.dataset(
+            mf.stage_dir(out_dir, "docmeta"), partitioning="hive").to_table(
+            columns=["doc_id", "warc_ts", "shard", "glove"],
+            filter=pads.field("shard").isin(list(self.shards)))
+        ids = meta.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        self._meta_ids = ids[order]
+        self._meta_ts = meta.column("warc_ts").to_numpy()[order]
+        glove = np.asarray(meta.column("glove").combine_chunks().flatten()
+                           .to_numpy(zero_copy_only=False)).reshape(
+            len(ids), self.cfg.glove_dim)
+        self._meta_glove = glove[order]
+
+    def _postings(self, terms: list[str], df_map: dict):
+        import pyarrow.dataset as pads
+
+        from search_engine_ray.ids import term_bucket
+        from search_engine_ray.index.encoding import decode_postings
+
+        need = [t for t in terms if t not in self._pcache and t in df_map]
+        if need:
+            buckets = sorted({term_bucket(t, self.cfg.term_buckets)
+                              for t in need})
+            t = self._postings_ds.to_table(
+                filter=(pads.field("tbucket").isin(buckets)
+                        & pads.field("term").isin(need)
+                        & pads.field("shard").isin(list(self.shards))))
+            by_term = {x: [] for x in need}
+            term_col = t.column("term").to_pylist()
+            cols = {k: t.column(k).to_pylist()
+                    for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
+                              "uniq_vb", "blk_last", "blk_max",
+                              "blk_doc_off", "blk_tf_off")}
+            for i, term in enumerate(term_col):
+                by_term[term].append(
+                    decode_postings({k: cols[k][i] for k in cols}))
+            for term, parts in by_term.items():
+                if not parts:
+                    self._pcache[term] = None
+                    continue
+                ids = np.concatenate([p["doc_ids"] for p in parts])
+                order = np.argsort(ids, kind="stable")
+                self._pcache[term] = {
+                    "doc_ids": ids[order],
+                    "tfs": np.concatenate([p["tfs"] for p in parts])[order],
+                    "dls": np.concatenate([p["dls"] for p in parts])[order],
+                    "mtfs": np.concatenate(
+                        [p["mtfs"] for p in parts])[order],
+                }
+        return {t: self._pcache.get(t) for t in terms}
+
+    def search_local(self, query: list[str], k: int, mode: str,
+                     df_map: dict[str, int]):
+        """Local top-k over this actor's shards; returns (score, ts, id)
+        tuples (at most k)."""
+        from search_engine_ray.index.encoding import tf_norm
+
+        cfg = self.cfg
+        terms = list(dict.fromkeys(query))
+        plists = self._postings(terms, df_map)
+
+        def idf(t):
+            df = df_map.get(t)
+            return math.log10(self.n_docs / df) if df else 0.0
+
+        if mode == "bm25":
+            id_parts, contrib = [], []
+            for t in terms:
+                p = plists.get(t)
+                if p is None or len(p["doc_ids"]) == 0:
+                    continue
+                tn = tf_norm(p["tfs"], p["dls"].astype(np.float64),
+                             self.avg_dl, cfg.bm25_k1, cfg.bm25_b)
+                id_parts.append(p["doc_ids"])
+                contrib.append(idf(t) * tn)
+            if not id_parts:
+                return []
+            ids = np.concatenate(id_parts)
+            contribs = np.concatenate(contrib)
+            cand, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+        elif mode == "reference":
+            Q = len(query)
+            from search_engine_ray.glove import GloveCache
+
+            if not hasattr(self, "_glove"):
+                self._glove = GloveCache()
+            qg = np.zeros(cfg.glove_dim)
+            for t in query:
+                g = self._glove.get(t)
+                if g is not None:
+                    qg = qg + g
+            qg = qg / Q
+            known = [t for t in terms if plists.get(t) is not None]
+            if not known:
+                return []
+            all_ids = np.concatenate([plists[t]["doc_ids"] for t in known])
+            all_dls = np.concatenate([plists[t]["dls"] for t in known])
+            all_mtfs = np.concatenate([plists[t]["mtfs"] for t in known])
+            cand, first_idx, counts = np.unique(
+                all_ids, return_index=True, return_counts=True)
+            min_match = int(Q * cfg.min_match_ratio)
+            if min_match > 0:
+                keep = counts >= min_match
+                cand, first_idx = cand[keep], first_idx[keep]
+            if len(cand) == 0:
+                return []
+            dl = all_dls[first_idx].astype(np.float64)
+            mtf = all_mtfs[first_idx].astype(np.float64)
+            tf_quirk = mtf / dl
+            qidf = np.array([idf(t) for t in query])
+            pos_count: dict[str, int] = {}
+            for t in query:
+                pos_count[t] = pos_count.get(t, 0) + 1
+            qtf = np.array([
+                (pos_count[t] if plists.get(t) is not None else 1) / Q
+                for t in query])
+            member = np.zeros((len(cand), Q))
+            for i, t in enumerate(query):
+                p = plists.get(t)
+                if p is not None:
+                    member[:, i] = np.isin(cand, p["doc_ids"])
+            dtf = member * tf_quirk[:, None]
+            dvec = dtf * qidf[None, :]
+            qvec = qtf * qidf
+            num = dvec @ qvec
+            den = np.linalg.norm(dvec, axis=1) * np.linalg.norm(qvec)
+            wcos = np.where((den == 0) | (num == 0), 0.0,
+                            num / np.where(den == 0, 1, den))
+            denom = dtf + cfg.bm25_k1 * (
+                1 - cfg.bm25_b + cfg.bm25_b * dl[:, None] / self.avg_dl)
+            bm25 = ((qidf[None, :] * dtf * (cfg.bm25_k1 + 1))
+                    / denom).sum(axis=1)
+            pos = np.searchsorted(self._meta_ids, cand)
+            pos = np.clip(pos, 0, max(len(self._meta_ids) - 1, 0))
+            gmat = self._meta_glove[pos]
+            gnum = gmat @ qg
+            gden = np.linalg.norm(gmat, axis=1) * np.linalg.norm(qg)
+            gcos = np.where((gden == 0) | (gnum == 0), 0.0,
+                            gnum / np.where(gden == 0, 1, gden))
+            scores = (cfg.w_cos_weight * wcos + cfg.bm25_weight * bm25
+                      + cfg.glove_weight * gcos)
+        else:
+            raise ValueError(mode)
+
+        pos = np.searchsorted(self._meta_ids, cand)
+        pos = np.clip(pos, 0, max(len(self._meta_ids) - 1, 0))
+        ts = self._meta_ts[pos]
+        order = np.lexsort((cand, ts, scores))
+        order = order[-k:] if k <= len(order) else order
+        return [(float(scores[i]), int(ts[i]), int(cand[i])) for i in order]
+
+
+class DistributedSearchEngine:
+    """Driver-side facade: parse once, fan out, merge shard top-ks."""
+
+    def __init__(self, out_dir: str, num_actors: int = 4):
+        from search_engine_ray.config import EngineConfig
+        from search_engine_ray.index import manifest as mf
+
+        man = mf.read_manifest(out_dir)
+        self.cfg = EngineConfig(**man["config"])
+        from search_engine_ray.text.parser import Parser
+
+        self.parser = Parser(
+            stemming=self.cfg.stemming, tokenizer=self.cfg.tokenizer,
+            harvest_page_url=self.cfg.harvest_page_url)
+        import pyarrow.dataset as pads
+
+        dt = pads.dataset(mf.stage_dir(out_dir, "dict")).to_table(
+            columns=["term", "df"])
+        self.df_map = {t: d for t, d in zip(dt.column("term").to_pylist(),
+                                            dt.column("df").to_pylist())
+                       if not t.startswith("\x00")}  # reserved stats rows
+        S = self.cfg.num_shards
+        num_actors = min(num_actors, S)
+        assignment = [list(range(i, S, num_actors))
+                      for i in range(num_actors)]
+        self.actors = [QueryShardActor.remote(out_dir, sh)
+                       for sh in assignment]
+
+    def search(self, query_text: str, k: int = 10, mode: str = "bm25"):
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        # ship only the df entries the query needs (tiny broadcast)
+        df_small = {t: self.df_map[t] for t in set(query)
+                    if t in self.df_map}
+        futures = [a.search_local.remote(query, k, mode, df_small)
+                   for a in self.actors]
+        merged = [t for part in ray.get(futures) for t in part]
+        merged.sort(key=lambda t: (t[0], t[1], t[2]))  # (score, ts, id)
+        top = merged[-k:] if k <= len(merged) else merged
+        return [(s, d, ts) for s, ts, d in top]

@@ -53,8 +53,9 @@ class SearchEngine:
 
         ddir = mf.stage_dir(out_dir, "dict")
         dt = pads.dataset(ddir).to_table(columns=["term", "df"])
-        self.df_map = dict(zip(dt.column("term").to_pylist(),
-                               dt.column("df").to_pylist()))
+        self.df_map = {t: d for t, d in zip(dt.column("term").to_pylist(),
+                                            dt.column("df").to_pylist())
+                       if not t.startswith("\x00")}  # reserved stats rows
 
         self._postings_ds = pads.dataset(
             mf.stage_dir(out_dir, "postings"), partitioning="hive")
@@ -88,8 +89,13 @@ class SearchEngine:
                 if t not in self._pcache and t in self.df_map]
         if not need:
             return
+        from search_engine_ray.ids import term_bucket
+
+        buckets = sorted({term_bucket(t, self.cfg.term_buckets)
+                          for t in need})
         t = self._postings_ds.to_table(
-            filter=pads.field("term").isin(need))
+            filter=(pads.field("tbucket").isin(buckets)
+                    & pads.field("term").isin(need)))
         by_term: dict[str, list] = {x: [] for x in need}
         term_col = t.column("term").to_pylist()
         cols = {k: t.column(k).to_pylist()

@@ -40,3 +40,26 @@ def small_oracle(small_pages):
         t.column("text").to_pylist(),
     ))
     return OracleIndex().build(pages)
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, small_pages, tmp_path_factory):
+    """Full Ray index build over the small fixture corpus (shared)."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.index.build import build_index
+
+    data_dir = tmp_path_factory.mktemp("pages")
+    out_dir = str(tmp_path_factory.mktemp("index"))
+    pq.write_table(small_pages, str(data_dir / "pages.parquet"))
+    cfg = EngineConfig(num_shards=4, term_buckets=4, parser_concurrency=2)
+    man = build_index(str(data_dir), out_dir, cfg)
+    return out_dir, man, cfg, str(data_dir)
+
+
+@pytest.fixture(scope="session")
+def engine(built_index):
+    from search_engine_ray.query.engine import SearchEngine
+
+    return SearchEngine(built_index[0])

@@ -11,28 +11,8 @@ from search_engine_ray.fixtures import gen_pages, gen_queries
 from search_engine_ray.oracle import OracleIndex
 
 
-@pytest.fixture(scope="session")
-def built_index(ray_session, small_pages, tmp_path_factory):
-    from search_engine_ray.index.build import build_index
-
-    data_dir = tmp_path_factory.mktemp("pages")
-    out_dir = str(tmp_path_factory.mktemp("index"))
-    pq.write_table(small_pages, str(data_dir / "pages.parquet"))
-    cfg = EngineConfig(num_shards=4, term_buckets=4, parser_concurrency=2)
-    man = build_index(str(data_dir), out_dir, cfg)
-    return out_dir, man, cfg
-
-
-@pytest.fixture(scope="session")
-def engine(built_index):
-    from search_engine_ray.query.engine import SearchEngine
-
-    out_dir, _, _ = built_index
-    return SearchEngine(out_dir)
-
-
 def test_manifest_stats_match_oracle(built_index, small_oracle):
-    _, man, _ = built_index
+    _, man, _, _ = built_index
     assert man["n_docs"] == small_oracle.n_docs
     assert abs(man["avg_doc_length"] - small_oracle.avg_dl) < 1e-12
 
@@ -80,7 +60,7 @@ def test_capitals_rewrite_quirk(engine, small_oracle):
     assert engine.search("nasa", k=5) == []
 
 
-def test_resume_skips_completed_stages(built_index, tmp_path):
+def test_resume_skips_completed_stages(built_index):
     """Kill-and-rerun: a missing stage marker rebuilds ONLY that stage;
     completed stages are untouched (manifest-based checkpoint resume)."""
     import os
@@ -89,7 +69,7 @@ def test_resume_skips_completed_stages(built_index, tmp_path):
     from search_engine_ray.index.build import build_index
     from search_engine_ray.query.engine import SearchEngine
 
-    out_dir, man, cfg = built_index
+    out_dir, man, cfg, data_dir = built_index
     parsed_marker = os.path.join(out_dir, "parsed", mf.STAGE_MARKER)
     parsed_mtime = os.path.getmtime(parsed_marker)
     dict_table_before = sorted(
@@ -97,7 +77,7 @@ def test_resume_skips_completed_stages(built_index, tmp_path):
 
     # simulate failure after dict stage: postings marker lost
     os.remove(os.path.join(out_dir, "postings", mf.STAGE_MARKER))
-    man2 = build_index(None if False else _input_dir_of(out_dir), out_dir, cfg)
+    man2 = build_index(data_dir, out_dir, cfg)
     assert os.path.getmtime(parsed_marker) == parsed_mtime  # not re-run
     assert man2["n_docs"] == man["n_docs"]
     eng2 = SearchEngine(out_dir, preload_docmeta=False)
@@ -105,13 +85,3 @@ def test_resume_skips_completed_stages(built_index, tmp_path):
     # postings readable and consistent after resume
     p = eng2.postings("covid")
     assert p is not None and len(p["doc_ids"]) == eng2.df_map["covid"]
-
-
-def _input_dir_of(out_dir):
-    # the built_index fixture wrote pages.parquet next to the index dir
-    import glob
-    import os
-
-    base = os.path.dirname(out_dir.rstrip("/"))
-    cands = glob.glob(os.path.join(base, "pages*", "pages.parquet"))
-    return os.path.dirname(sorted(cands)[0])

@@ -1,0 +1,146 @@
+"""Training-data ops: dedup families find planted duplicates; multimodal
+plumbing runs with the fake decoder and refuses cleanly with the real one;
+IVF ANN recalls most of brute-force."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_corpus_dir(ray_session, tmp_path_factory):
+    """documents.parquet with planted exact + near duplicates."""
+    base_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                  "eta", "theta", "iota", "kappa"]
+    rng = np.random.default_rng(7)
+    texts, ids = [], []
+    for i in range(80):
+        words = [base_words[j] for j in rng.integers(0, 10, size=30)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # exact duplicates: 100<-0, 101<-1
+    texts += [texts[0], texts[1]]
+    ids += [100, 101]
+    # near duplicate of doc 2: one word changed
+    w = texts[2].split()
+    w[5] = "CHANGED"
+    texts.append(" ".join(w))
+    ids.append(102)
+    d = tmp_path_factory.mktemp("dupdocs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_keeps_min_id(dup_corpus_dir):
+    from search_engine_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(dup_corpus_dir).to_pandas()
+    assert len(out) == 81  # 83 docs, 2 exact dupes removed
+    assert 100 not in set(out["doc_id"])
+    assert 101 not in set(out["doc_id"])
+    assert 0 in set(out["doc_id"]) and 1 in set(out["doc_id"])
+
+
+def test_minhash_finds_planted_near_dups(dup_corpus_dir):
+    from search_engine_ray.ops.dedup import minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(dup_corpus_dir, threshold=0.5).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 100) in found      # exact dup -> jaccard 1.0
+    assert (1, 101) in found
+    assert (2, 102) in found      # near dup
+    j = dict(zip(zip(pairs["a"], pairs["b"]), pairs["jaccard"]))
+    assert j[(0, 100)] == 1.0
+    assert 0.5 <= j[(2, 102)] < 1.0
+
+
+def test_simhash_finds_exact_dups(dup_corpus_dir):
+    from search_engine_ray.ops.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(dup_corpus_dir, max_hamming=3).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 100) in found and (1, 101) in found
+
+
+def test_embedding_near_dups_selfconsistent(ray_session, tmp_path_factory):
+    from search_engine_ray.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    E = rng.standard_normal((60, 16)).astype(np.float32)
+    E[50] = E[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+    d = tmp_path_factory.mktemp("emb")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 60, pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    pairs = embedding_near_dup_pairs(str(d), threshold=0.98).to_pandas()
+    assert (0, 50) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_multimodal_fake_decode_and_real_stub(ray_session):
+    import ray.data
+
+    from search_engine_ray.ops.multimodal import (
+        MediaDecoder,
+        decode_media,
+        synthetic_media_table,
+    )
+
+    t = synthetic_media_table(32)
+    ds = ray.data.from_arrow(t)
+    out = decode_media(ds, impl="fake", batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert set(out.columns) == {"media_id", "kind", "payload_bytes",
+                                "features"}
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic: same payload -> same features
+    out2 = decode_media(ray.data.from_arrow(t), impl="fake",
+                        batch_size=8).to_pandas()
+    f1 = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    f2 = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    assert np.allclose(f1, f2)
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(impl="real")(t.slice(0, 2))
+
+
+def test_knn_ivf_recall(ray_session):
+    from search_engine_ray.ops.similarity import knn_brute, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    brute = knn_brute(sf, (0, 1, 2), k=10).to_pandas()
+    ivf = knn_ivf(sf, (0, 1, 2), k=10, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in (0, 1, 2):
+        b = set(brute[brute["query_id"] == q]["vec_id"])
+        a = set(ivf[ivf["query_id"] == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 buckets
+
+
+def test_sessionize_gap_semantics(ray_session, tmp_path_factory):
+    from search_engine_ray.ops.events import sessionize
+
+    ts = [0, 100, 200, 4000, 4100, 10000]  # gaps: 3800s and 5900s > 1800s
+    d = tmp_path_factory.mktemp("ev")
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([t * 1_000_000 for t in ts], pa.timestamp("us")),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": pa.array(["x"] * 6, pa.string()),
+        "value": pa.array([1.0] * 6, pa.float64()),
+        "props": pa.array(["{}"] * 6, pa.string()),
+    }), str(d / "events.parquet"))
+    out = sessionize(str(d)).to_pandas().sort_values("session_start_s")
+    assert len(out) == 3
+    assert out["n_events"].tolist() == [3, 2, 1]
+    assert out["duration_s"].tolist() == [200, 100, 0]
