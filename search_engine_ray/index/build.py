@@ -136,6 +136,58 @@ class ParsePages:
         )
 
 
+class ParseTweets:
+    """Actor-pool UDF for the reference's native tweet-row shape (F2):
+    positional fields, JSON url dicts, quote-text concat, date strings
+    '%a %b %d %X %z %Y' (/root/reference/parser_module.py:104-191).
+    Rows are passed positionally — column ORDER in the parquet file is the
+    contract, like the reference's df.values.tolist() (reader.py:17-19)."""
+
+    def __init__(self, config: EngineConfig):
+        self.cfg = config
+        self.parser = Parser(
+            stemming=config.stemming,
+            tokenizer=config.tokenizer,
+            harvest_page_url=config.harvest_page_url,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from datetime import datetime
+
+        cols_in = [batch.column(i).to_pylist()
+                   for i in range(batch.num_columns)]
+        cols = {name: [] for name in PARSED_SCHEMA.names}
+        S = self.cfg.num_shards
+        for i in range(batch.num_rows):
+            row = [c[i] for c in cols_in]
+            d = self.parser.parse_tweet_row(row)
+            if d is None:
+                continue
+            tweet_id = int(row[0])
+            try:
+                ts = int(datetime.strptime(
+                    row[1], "%a %b %d %X %z %Y").timestamp() * 1_000_000)
+            except (ValueError, TypeError):
+                continue  # reference would raise; we drop the row
+            cols["doc_id"].append(tweet_id)
+            cols["url"].append(str(tweet_id))
+            cols["warc_ts"].append(ts)
+            cols["shard"].append(tweet_id % S)
+            cols["doc_length"].append(d.doc_length)
+            cols["max_tf"].append(d.max_tf)
+            cols["unique_terms"].append(d.unique_terms)
+            cols["is_covid"].append("covid" in d.term_tfs)
+            cols["terms"].append(list(d.term_tfs.keys()))
+            cols["tfs"].append(list(d.term_tfs.values()))
+            cols["caps_terms"].append(list(d.capitals.keys()))
+            cols["caps_flags"].append(list(d.capitals.values()))
+            cols["entities"].append(sorted(d.entities))
+        return pa.table(
+            {n: pa.array(cols[n], type=t)
+             for n, t in zip(PARSED_SCHEMA.names, PARSED_SCHEMA.types)}
+        )
+
+
 # --------------------------------------------------------------- stage 2
 def dict_partial_rows(batch: pa.Table) -> pa.Table:
     """Per-batch pre-aggregation for the dictionary groupby: df partials
@@ -559,7 +611,8 @@ def _row_count_from_metadata(parquet_dir: str) -> int:
 
 # ------------------------------------------------------------------ driver
 def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
-                *, overwrite: bool = False) -> dict:
+                *, overwrite: bool = False,
+                input_format: str = "pages") -> dict:
     """Build the full index at ``out_dir``; resumes completed stages.
 
     ``input_path``: parquet file/dir with the F1 pages schema
@@ -580,7 +633,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     else:
         in_files = [input_path]
     input_fp = mf.input_fingerprint(in_files)
-    cfg_fp = f"{cfg.fingerprint()}-v{INDEX_FORMAT}"
+    cfg_fp = f"{cfg.fingerprint()}-{input_format}-v{INDEX_FORMAT}"
     if overwrite:
         for st in ("parsed", "dict", "postings", "docmeta"):
             mf.clear_stage(out_dir, st)
@@ -594,19 +647,24 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     # ---- stage 1: parse (checkpointed forward index)
     if not mf.stage_complete(out_dir, "parsed", input_fp, cfg_fp):
         mf.clear_stage(out_dir, "parsed")
+        read_cols = (["url", "warc_ts", "html"]
+                     if input_format == "pages" else None)
         ds = ray.data.read_parquet(
-            in_files, columns=["url", "warc_ts", "html"],
+            in_files, columns=read_cols,
             override_num_blocks=max(len(in_files),
                                     cfg.parser_concurrency * 2))
+        parse_cls = ParsePages if input_format == "pages" else ParseTweets
         parsed = ds.map_batches(
-            ParsePages, fn_constructor_args=(cfg,),
+            parse_cls, fn_constructor_args=(cfg,),
             batch_format="pyarrow", batch_size=cfg.parse_batch_size,
             concurrency=(max(1, cfg.parser_concurrency // 2),
                          cfg.parser_concurrency),
         )
         parsed.write_parquet(parsed_dir)
         mf.commit_stage(out_dir, "parsed", input_fp=input_fp,
-                        config_fp=cfg_fp, counters={})
+                        config_fp=cfg_fp, counters={
+                            "rows": _row_count_from_metadata(parsed_dir),
+                            "input_files": len(in_files)})
 
     # Effective batch size for the batch-combine stages: big enough to
     # amortize per-batch work, small enough that task count keeps every
@@ -665,7 +723,9 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                         batch_format="numpy").write_parquet(dict_dir)
         _sh.rmtree(dict_spill, ignore_errors=True)
         mf.commit_stage(out_dir, "dict", input_fp=input_fp,
-                        config_fp=cfg_fp, counters={})
+                        config_fp=cfg_fp, counters={
+                            "rows": _row_count_from_metadata(dict_dir),
+                            "shuffle_partitions": len(kdirs)})
 
     # corpus stats from the dict stage's reserved rows
     import pyarrow.dataset as pads
@@ -740,6 +800,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         _sh.rmtree(spill_dir, ignore_errors=True)
         mf.commit_stage(out_dir, "postings", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
+                            "rows": _row_count_from_metadata(postings_dir),
                             "shuffle_partitions": len(part_dirs)})
 
     # ---- stage 4: doc metadata
@@ -755,7 +816,8 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         )
         meta.write_parquet(docmeta_dir, partition_cols=["shard"])
         mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,
-                        config_fp=cfg_fp, counters={})
+                        config_fp=cfg_fp, counters={
+                            "rows": _row_count_from_metadata(docmeta_dir)})
 
     from dataclasses import asdict
 

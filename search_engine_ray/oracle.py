@@ -61,11 +61,28 @@ class OracleIndex:
         parsed = self.parser.parse_page(url, text)
         if parsed is None:
             return False
-        doc_id = doc_id_for_url(url)
+        return self._add_parsed(doc_id_for_url(url), url, warc_ts_us, parsed)
+
+    def add_tweet_row(self, row: list) -> bool:
+        """Native tweet-row shape (F2): positional parse + reference date
+        format (/root/reference/parser_module.py:104-191)."""
+        from datetime import datetime
+
+        parsed = self.parser.parse_tweet_row(row)
+        if parsed is None:
+            return False
+        try:
+            ts = int(datetime.strptime(
+                row[1], "%a %b %d %X %z %Y").timestamp() * 1_000_000)
+        except (ValueError, TypeError):
+            return False
+        doc_id = int(row[0])
+        return self._add_parsed(doc_id, str(doc_id), ts, parsed)
+
+    def _add_parsed(self, doc_id, url, warc_ts_us, parsed) -> bool:
         self.tokens_by_url[url] = parsed.tokens
         self.n_docs += 1
         self.sum_dl += parsed.doc_length
-
         for term, cap in parsed.capitals.items():
             if term not in self.global_capitals:
                 self.global_capitals[term] = cap
@@ -73,7 +90,6 @@ class OracleIndex:
                 self.global_capitals[term] = False
         for ent in parsed.entities:
             self.entities[ent] += 1
-
         vec = np.zeros(self.config.glove_dim)
         is_covid = False
         for term in parsed.term_tfs:
@@ -86,7 +102,6 @@ class OracleIndex:
         self.doc_meta[doc_id] = (vec, warc_ts_us)
         if is_covid:
             self.doc_covid.add(doc_id)
-
         for term, tf in parsed.term_tfs.items():
             self.df[term] = self.df.get(term, 0) + 1
             self.postings.setdefault(term, []).append(
@@ -94,6 +109,12 @@ class OracleIndex:
                  parsed.unique_terms, tf)
             )
         return True
+
+    def build_tweets(self, rows) -> "OracleIndex":
+        for row in rows:
+            self.add_tweet_row(list(row))
+        self.finalize()
+        return self
 
     def finalize(self):
         """Apply the reference's merge-time rules (indexer.py:156-169)."""

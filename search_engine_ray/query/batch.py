@@ -1,0 +1,76 @@
+"""Batch query mode + query-set I/O.
+
+Reference analogues: ``handle_queries`` reads one query per non-empty
+line (/root/reference/search_engine.py:121-132); ``write_to_csv`` dumps
+(query, tweet_id, score) rows (/root/reference/search_engine.py:115-118).
+
+``search_many`` runs a query set against the distributed shard-actor
+engine with all per-query fan-outs in flight at once (pipeline
+parallelism across queries as well as shards), merging each query's
+shard top-ks with the reference tie-break.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+
+def read_queries_file(path: str) -> list[str]:
+    """One query per non-empty line (search_engine.py:126-132; like the
+    reference, the line is NOT stripped — the tokenizer handles it)."""
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line != "\n":
+                out.append(line)
+    return out
+
+
+def search_many(dist_engine, queries: list[str], k: int = 10,
+                mode: str = "bm25") -> pa.Table:
+    """All queries x all shard actors submitted before any result is
+    awaited; returns (query_id, rank, doc_id, score, warc_ts) with rank 1
+    = best."""
+    parsed = []
+    futures = []
+    for qi, qtext in enumerate(queries):
+        q, _, _ = dist_engine.parser.parse_sentence(qtext)
+        parsed.append(q)
+        if not q:
+            futures.append(None)
+            continue
+        df_small = {t: dist_engine.df_map[t] for t in set(q)
+                    if t in dist_engine.df_map}
+        futures.append([a.search_local.remote(q, k, mode, df_small)
+                        for a in dist_engine.actors])
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score": [],
+            "warc_ts": []}
+    for qi, futs in enumerate(futures):
+        if futs is None:
+            continue
+        merged = [t for part in ray.get(futs) for t in part]
+        merged.sort(key=lambda t: (t[0], t[1], t[2]))  # (score, ts, id)
+        top = merged[-k:] if k <= len(merged) else merged
+        for rank, (score, ts, doc_id) in enumerate(reversed(top), start=1):
+            rows["query_id"].append(qi)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(doc_id)
+            rows["score"].append(score)
+            rows["warc_ts"].append(ts)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score": pa.array(rows["score"], pa.float64()),
+        "warc_ts": pa.array(rows["warc_ts"], pa.int64()),
+    })
+
+
+def write_results_csv(results: pa.Table, path: str) -> str:
+    """Results -> CSV (reference write_to_csv, search_engine.py:115-118)."""
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(results, path)
+    return path

@@ -1,0 +1,45 @@
+"""Batch query mode: search_many == per-query distributed search; query
+file reader; CSV sink."""
+
+import pytest
+
+from search_engine_ray.fixtures import gen_queries
+
+
+@pytest.fixture(scope="module")
+def dist_engine(ray_session, built_index):
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    return DistributedSearchEngine(built_index[0], num_actors=2)
+
+
+def test_search_many_matches_sequential(dist_engine):
+    from search_engine_ray.query.batch import search_many
+
+    queries = gen_queries()[:10]
+    table = search_many(dist_engine, queries, k=5, mode="bm25")
+    df = table.to_pandas()
+    for qi, q in enumerate(queries):
+        seq = dist_engine.search(q, k=5, mode="bm25")
+        got = df[df["query_id"] == qi].sort_values("rank")
+        # seq ascending (score, ts, id); table rank 1 = best
+        assert got["doc_id"].tolist() == [d for _, d, _ in reversed(seq)], q
+
+
+def test_queries_file_roundtrip(tmp_path):
+    from search_engine_ray.query.batch import read_queries_file
+
+    p = tmp_path / "queries.txt"
+    p.write_text("covid vaccine\n\nmasks\n", encoding="utf-8")
+    qs = read_queries_file(str(p))
+    assert qs == ["covid vaccine\n", "masks\n"]  # unstripped, like reference
+
+
+def test_csv_sink(dist_engine, tmp_path):
+    from search_engine_ray.query.batch import search_many, write_results_csv
+
+    table = search_many(dist_engine, ["covid"], k=3)
+    out = write_results_csv(table, str(tmp_path / "results.csv"))
+    text = open(out).read()
+    assert text.splitlines()[0].startswith('"query_id","rank","doc_id"')
+    assert len(text.splitlines()) == table.num_rows + 1

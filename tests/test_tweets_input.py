@@ -1,0 +1,74 @@
+"""F2 conformance: the engine's native tweet-row input path (positional
+fields, JSON url dicts, quote concat, '%a %b %d %X %z %Y' dates) matches
+the oracle, and stemming-enabled builds stay rank-identical."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import EngineConfig
+from search_engine_ray.fixtures import gen_pages, gen_queries, gen_tweets
+from search_engine_ray.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def tweets_index(ray_session, tmp_path_factory):
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+
+    t = gen_tweets(200)
+    data_dir = tmp_path_factory.mktemp("tweets")
+    out_dir = str(tmp_path_factory.mktemp("tweets_index"))
+    pq.write_table(t, str(data_dir / "tweets.parquet"))
+    cfg = EngineConfig(num_shards=4, term_buckets=8, parser_concurrency=2)
+    build_index(str(data_dir), out_dir, cfg, input_format="tweets")
+    oracle = OracleIndex(cfg).build_tweets(
+        zip(*(t.column(i).to_pylist() for i in range(t.num_columns))))
+    return SearchEngine(out_dir), oracle
+
+
+def test_tweets_dictionary_and_postings(tweets_index):
+    import numpy as np
+
+    eng, oracle = tweets_index
+    assert eng.n_docs == oracle.n_docs
+    assert set(eng.df_map) == set(oracle.df)
+    for term in list(oracle.df)[:150]:
+        p = eng.postings(term)
+        o = sorted(oracle.postings[term])
+        assert (p["doc_ids"] == np.array([x[0] for x in o])).all(), term
+        assert (p["tfs"] == np.array([x[4] for x in o])).all(), term
+
+
+def test_tweets_topk(tweets_index):
+    eng, oracle = tweets_index
+    for q in gen_queries()[:12]:
+        ro = oracle.search(q, k=10)
+        re_ = eng.search(q, k=10)
+        assert [(d, ts) for _, d, ts in ro] == [(d, ts) for _, d, ts in re_], q
+        for (so, _, _), (se, _, _) in zip(ro, re_):
+            assert abs(so - se) < 1e-9, q
+
+
+def test_stemming_build_matches_oracle(ray_session, tmp_path_factory):
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+
+    pages = gen_pages(150)
+    data_dir = tmp_path_factory.mktemp("stem_pages")
+    out_dir = str(tmp_path_factory.mktemp("stem_index"))
+    pq.write_table(pages, str(data_dir / "pages.parquet"))
+    cfg = EngineConfig(stemming=True, num_shards=4, term_buckets=8,
+                       parser_concurrency=2)
+    build_index(str(data_dir), out_dir, cfg)
+    oracle = OracleIndex(cfg).build(zip(
+        pages.column("url").to_pylist(),
+        [x.value for x in pages.column("warc_ts")],
+        pages.column("text").to_pylist()))
+    eng = SearchEngine(out_dir)
+    assert set(eng.df_map) == set(oracle.df)
+    # stemmed forms present, unstemmed absent
+    assert any(t == "mask" for t in eng.df_map) or "vaccin" in eng.df_map
+    for q in ["covid vaccine news", "masks masks masks", "pandemic world"]:
+        ro = oracle.search(q, k=10)
+        re_ = eng.search(q, k=10)
+        assert [(d, ts) for _, d, ts in ro] == [(d, ts) for _, d, ts in re_], q
