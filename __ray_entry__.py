@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": sq.q_sessionize,
         "event_type_stats": sq.q_event_type_stats,
         "knn_cosine_top10": sq.q_knn,
+        "bm25_topk_simple": sq.q_bm25_topk,
         # --- rows-only (non-SQL-expressible semantics) ---
         "index_dictionary_full": index_dictionary,
         "search_bm25_top10": lambda sf: _search_topk(sf, "bm25"),
@@ -175,4 +176,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": sq.SQL_SESSIONIZE,
         "event_type_stats": sq.SQL_EVENT_TYPE_STATS,
         "knn_cosine_top10": sq.SQL_KNN,
+        "bm25_topk_simple": sq.SQL_BM25_TOPK,
     }

@@ -267,6 +267,117 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------------------------------- bm25 in SQL
+_BM25_QUERY_TERMS = ("spark", "join", "merge", "window", "batch")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(sf_dir: str, k: int = 20):
+    """BM25 top-k over `documents` with the simple tokenizer — the whole
+    scoring path (df, idf=log10(N/df), tf, dl, avgdl, k1/b normalization,
+    (score desc, doc_id) ranking) value-checked against DuckDB SQL.
+    Distributed shape: per-batch (doc,term,tf,dl) partials for the query
+    terms only -> driver-side scoring of the (tiny) candidate set."""
+    import os as _os
+
+    import ray.data
+
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    terms = set(_BM25_QUERY_TERMS)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        d_ids, d_terms, d_tfs, d_dls = [], [], [], []
+        stats_docs, stats_dl = 0, 0
+        df_c = Counter()
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            ts = simple_tokenize(text)
+            stats_docs += 1
+            stats_dl += len(ts)
+            c = Counter(ts)
+            df_c.update(c.keys() & terms)
+            for t in c.keys() & terms:
+                d_ids.append(did)
+                d_terms.append(t)
+                d_tfs.append(c[t])
+                d_dls.append(len(ts))
+        # stats rows ride along (doc_id=-1)
+        d_ids.append(-1)
+        d_terms.append("\x00stats")
+        d_tfs.append(stats_docs)
+        d_dls.append(stats_dl)
+        for t, n in df_c.items():
+            d_ids.append(-2)
+            d_terms.append(t)
+            d_tfs.append(n)
+            d_dls.append(0)
+        return pa.table({
+            "doc_id": pa.array(d_ids, pa.int64()),
+            "term": pa.array(d_terms, pa.string()),
+            "tf": pa.array(d_tfs, pa.int64()),
+            "dl": pa.array(d_dls, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    t = ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+    import ray as _ray
+
+    rows = pa.concat_tables([_ray.get(r) for r in t]).to_pandas()
+    stats = rows[rows["doc_id"] == -1]
+    n_docs = int(stats["tf"].sum())
+    avgdl = float(stats["dl"].sum()) / n_docs
+    dfs = rows[rows["doc_id"] == -2].groupby("term")["tf"].sum()
+    cand = rows[rows["doc_id"] >= 0].copy()
+    idf = np.log10(n_docs / dfs)
+    cand["contrib"] = (
+        idf.reindex(cand["term"]).to_numpy()
+        * cand["tf"].to_numpy() * (_BM25_K1 + 1)
+        / (cand["tf"].to_numpy()
+           + _BM25_K1 * (1 - _BM25_B + _BM25_B * cand["dl"].to_numpy()
+                         / avgdl)))
+    scores = cand.groupby("doc_id")["contrib"].sum().reset_index()
+    scores = scores.sort_values(["contrib", "doc_id"],
+                                ascending=[False, True]).head(k)
+    return pa.table({
+        "rank": pa.array(range(1, len(scores) + 1), pa.int64()),
+        "doc_id": pa.array(scores["doc_id"].tolist(), pa.int64()),
+        "score_e6": pa.array(
+            np.round(scores["contrib"].to_numpy() * 1e6).astype(np.int64),
+            pa.int64()),
+    })
+
+
+_bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({_bm25_terms_sql}) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         log10(stats.n_docs / df.df) * tf.tf * ({_BM25_K1} + 1)
+         / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+            + {_BM25_B} * dl.dl / stats.avgdl)) AS c
+  FROM tf, stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM scored)
+SELECT rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 20
+"""
+
+
 # ----------------------------------------------------------------------- knn
 def q_knn(sf_dir: str):
     from search_engine_ray.ops.similarity import knn_brute
