@@ -28,7 +28,8 @@ class EngineConfig:
 
     # --- physical layout / scale knobs ---
     num_shards: int = 8             # doc_id % num_shards postings partitioning
-    term_buckets: int = 16          # hash(term) % term_buckets groupby fan-in per shard
+    term_buckets: int = 32          # posting shuffle partition count AND
+                                    # query-side directory pruning granularity
     block_size: int = 128           # postings per block-max block
     parse_batch_size: int = 1024    # docs per parser batch
     run_batch_size: int = 16384     # docs per SPIMI run-builder batch

@@ -533,8 +533,11 @@ class FinalizeBucket:
         types = {"shard": pa.int32(), "tbucket": pa.int32(),
                  "term": pa.string(), "df_global": pa.int64(),
                  "n": pa.int64()}
-        return pa.table({k: pa.array(v, type=types.get(k, pa.binary()))
-                         for k, v in out.items()})
+        tbl = pa.table({k: pa.array(v, type=types.get(k, pa.binary()))
+                        for k, v in out.items()})
+        # term-sorted rows => tight parquet row-group min/max stats =>
+        # query-side predicate pushdown skips row groups
+        return tbl.sort_by("term")
 
 
 # --------------------------------------------------------------- stage 4
@@ -795,8 +798,10 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         final = red.map_batches(reduce_partitions, batch_size=1,
                                 batch_format="numpy")
         # partition by TERM bucket: a query for term t prunes to ONE
-        # directory (postings/tbucket=hash(t)%B) instead of scanning all
-        final.write_parquet(postings_dir, partition_cols=["tbucket"])
+        # directory (postings/tbucket=hash(t)%B) instead of scanning all;
+        # small row groups + term-sorted rows let the filter skip groups
+        final.write_parquet(postings_dir, partition_cols=["tbucket"],
+                            row_group_size=512)
         _sh.rmtree(spill_dir, ignore_errors=True)
         mf.commit_stage(out_dir, "postings", input_fp=input_fp,
                         config_fp=cfg_fp, counters={

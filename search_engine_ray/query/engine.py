@@ -225,19 +225,28 @@ class SearchEngine:
                  + cfg.glove_weight * gcos)
         return _topk_reference_order(score, cand, ts, k)
 
+    def _bm25_contrib(self, term: str):
+        """idf * tf-norm array for a term, cached (corpus-constant)."""
+        p = self.postings(term)
+        if p is None:
+            return None
+        c = p.get("contrib")
+        if c is None:
+            c = self._idf(term) * tf_norm(
+                p["tfs"], p["dls"].astype(np.float64),
+                self.avg_dl, self.cfg.bm25_k1, self.cfg.bm25_b)
+            p["contrib"] = c
+        return p["doc_ids"], c
+
     def _search_bm25_taat(self, query: list[str], k: int):
-        cfg = self.cfg
         terms = list(dict.fromkeys(query))
         id_parts, contrib_parts = [], []
         for t in terms:
-            p = self.postings(t)
-            if p is None:
+            pc_ = self._bm25_contrib(t)
+            if pc_ is None:
                 continue
-            idf = self._idf(t)
-            tn = tf_norm(p["tfs"], p["dls"].astype(np.float64),
-                         self.avg_dl, cfg.bm25_k1, cfg.bm25_b)
-            id_parts.append(p["doc_ids"])
-            contrib_parts.append(idf * tn)
+            id_parts.append(pc_[0])
+            contrib_parts.append(pc_[1])
         if not id_parts:
             return []
         ids = np.concatenate(id_parts)
@@ -249,29 +258,33 @@ class SearchEngine:
         return _topk_reference_order(scores, cand, ts, k)
 
     def _search_bm25_wand(self, query: list[str], k: int):
-        """Block-max WAND over per-shard posting streams; identical
-        results to TAAT (same float contributions, summed per doc)."""
+        """Block-max WAND over merged per-term streams (block metadata
+        recomputed on the merged doc-sorted arrays); identical results to
+        TAAT (same float contributions, summed per doc)."""
         cfg = self.cfg
+        B = cfg.block_size
         terms = list(dict.fromkeys(query))
-        streams = []  # (ids, contrib, blk_last, blk_ub) per (term, shard)
+        streams = []  # one stream per term
         for t in terms:
             p = self.postings(t)
-            if p is None:
+            if p is None or len(p["doc_ids"]) == 0:
                 continue
             idf = self._idf(t)
-            for part in p["shards"]:
-                ids = part["doc_ids"]
-                if len(ids) == 0:
-                    continue
-                tn = tf_norm(part["tfs"], part["dls"].astype(np.float64),
-                             self.avg_dl, cfg.bm25_k1, cfg.bm25_b)
-                streams.append({
-                    "ids": ids,
-                    "contrib": idf * tn,
-                    "blk_last": part["blk_last"],
-                    "blk_ub": idf * part["blk_max"].astype(np.float64),
-                    "cur": 0,
-                })
+            ids = p["doc_ids"]
+            tn = tf_norm(p["tfs"], p["dls"].astype(np.float64),
+                         self.avg_dl, cfg.bm25_k1, cfg.bm25_b)
+            contrib = idf * tn
+            n = len(ids)
+            starts = np.arange(0, n, B)
+            ends = np.minimum(starts + B, n)
+            blk_ub = np.maximum.reduceat(contrib, starts)
+            streams.append({
+                "ids": ids,
+                "contrib": contrib,
+                "blk_last": ids[ends - 1],
+                "blk_ub": blk_ub,
+                "cur": 0,
+            })
         if not streams:
             return []
         import heapq
