@@ -32,7 +32,12 @@ BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
 # Common-Crawl-like page bodies (~250 terms/doc) so the bench measures
 # parse+index compute, not per-stage fixed overhead
 BENCH_DOC_LEN = int(os.environ.get("GRAFT_BENCH_DOC_LEN", "250"))
-SCRATCH = os.environ.get("GRAFT_BENCH_SCRATCH", "/tmp/se_ray_bench")
+# default scratch on tmpfs when present: the VM's disk-backed /tmp has
+# very noisy throughput, which would dominate the measurement; a real
+# cluster writes to a parallel DFS/object store
+_DEFAULT_SCRATCH = ("/dev/shm/se_ray_bench" if os.path.isdir("/dev/shm")
+                    else "/tmp/se_ray_bench")
+SCRATCH = os.environ.get("GRAFT_BENCH_SCRATCH", _DEFAULT_SCRATCH)
 
 
 def _bench_corpus_dir(n: int) -> str:

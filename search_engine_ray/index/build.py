@@ -801,7 +801,9 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         # directory (postings/tbucket=hash(t)%B) instead of scanning all;
         # small row groups + term-sorted rows let the filter skip groups
         final.write_parquet(postings_dir, partition_cols=["tbucket"],
-                            row_group_size=512)
+                            row_group_size=128, compression="none")
+        # (blobs are already varbyte-compressed; parquet codec on top only
+        # slows query-side reads)
         _sh.rmtree(spill_dir, ignore_errors=True)
         mf.commit_stage(out_dir, "postings", input_fp=input_fp,
                         config_fp=cfg_fp, counters={

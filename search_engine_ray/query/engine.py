@@ -59,6 +59,7 @@ class SearchEngine:
 
         self._postings_ds = pads.dataset(
             mf.stage_dir(out_dir, "postings"), partitioning="hive")
+        self._postings_ds.files  # force fragment discovery at init
         self._pcache: dict[str, dict | None] = {}
 
         self._docmeta_ds = pads.dataset(
@@ -93,31 +94,46 @@ class SearchEngine:
 
         buckets = sorted({term_bucket(t, self.cfg.term_buckets)
                           for t in need})
+        from search_engine_ray.index.encoding import varbyte_decode
+
         t = self._postings_ds.to_table(
             filter=(pads.field("tbucket").isin(buckets)
                     & pads.field("term").isin(need)))
         by_term: dict[str, list] = {x: [] for x in need}
         term_col = t.column("term").to_pylist()
         cols = {k: t.column(k).to_pylist()
-                for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
-                          "uniq_vb", "blk_last", "blk_max", "blk_doc_off",
-                          "blk_tf_off")}
+                for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb")}
         for i, term in enumerate(term_col):
-            by_term[term].append(
-                decode_postings({k: cols[k][i] for k in cols}))
-        for term, parts in by_term.items():
-            if not parts:
+            by_term[term].append(i)
+        for term, idxs in by_term.items():
+            if not idxs:
                 self._pcache[term] = None
                 continue
-            ids = np.concatenate([p["doc_ids"] for p in parts])
+            # decode each stream ONCE over the concatenated shard buffers
+            # (not per shard row) — delta resets at shard-run starts are
+            # undone with a per-segment cumsum-offset correction
+            ns = np.array([cols["n"][i] for i in idxs], dtype=np.int64)
+            total = int(ns.sum())
+            deltas = varbyte_decode(
+                b"".join(cols["docids_vb"][i] for i in idxs), count=total)
+            cs = np.cumsum(deltas)
+            seg_starts = np.zeros(len(ns), dtype=np.int64)
+            np.cumsum(ns[:-1], out=seg_starts[1:])
+            base = np.zeros(len(ns), dtype=np.int64)
+            base[1:] = cs[seg_starts[1:] - 1]
+            ids = cs - np.repeat(base, ns)
+            tfs = varbyte_decode(
+                b"".join(cols["tf_vb"][i] for i in idxs), count=total)
+            dls = varbyte_decode(
+                b"".join(cols["dl_vb"][i] for i in idxs), count=total)
+            mtfs = varbyte_decode(
+                b"".join(cols["mtf_vb"][i] for i in idxs), count=total)
             order = np.argsort(ids, kind="stable")
             self._pcache[term] = {
                 "doc_ids": ids[order],
-                "tfs": np.concatenate([p["tfs"] for p in parts])[order],
-                "dls": np.concatenate([p["dls"] for p in parts])[order],
-                "mtfs": np.concatenate([p["mtfs"] for p in parts])[order],
-                # per-shard streams kept for WAND (processed independently)
-                "shards": parts,
+                "tfs": tfs[order],
+                "dls": dls[order],
+                "mtfs": mtfs[order],
             }
 
     def postings(self, term: str) -> dict | None:
