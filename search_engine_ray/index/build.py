@@ -805,6 +805,10 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         # (blobs are already varbyte-compressed; parquet codec on top only
         # slows query-side reads)
         _sh.rmtree(spill_dir, ignore_errors=True)
+        try:  # remove the (now empty) tmpfs spill base
+            os.rmdir(os.path.dirname(spill_dir))
+        except OSError:
+            pass
         mf.commit_stage(out_dir, "postings", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(postings_dir),
