@@ -673,6 +673,21 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     # amortize per-batch work, small enough that task count keeps every
     # core busy (rows known from parquet footers, no scan)
     parsed_rows = _row_count_from_metadata(parsed_dir)
+    if parsed_rows == 0:
+        # every row dropped at parse (reference drops unparseable rows
+        # too); commit empty downstream stages and a zero-doc manifest
+        from dataclasses import asdict as _asdict
+
+        for st in ("dict", "postings", "docmeta"):
+            os.makedirs(mf.stage_dir(out_dir, st), exist_ok=True)
+            mf.commit_stage(out_dir, st, input_fp=input_fp,
+                            config_fp=cfg_fp, counters={"rows": 0})
+        payload = {"version": 1, "config": _asdict(cfg),
+                   "config_fp": cfg_fp, "input_fp": input_fp,
+                   "n_docs": 0, "sum_doc_length": 0,
+                   "avg_doc_length": 0.0, "counters": counters}
+        mf.write_manifest(out_dir, payload)
+        return payload
     eff_batch = max(1024, min(cfg.run_batch_size,
                               parsed_rows // (2 * cfg.parser_concurrency)
                               or 1024))

@@ -41,6 +41,7 @@ def commit_stage(out_dir: str, stage: str, *, input_fp: str, config_fp: str,
                  counters: dict) -> dict:
     """Atomically write the stage marker with per-file lineage."""
     sdir = stage_dir(out_dir, stage)
+    os.makedirs(sdir, exist_ok=True)  # a stage may legitimately write 0 files
     files = []
     for root, _, names in os.walk(sdir):
         for n in sorted(names):

@@ -51,24 +51,48 @@ class SearchEngine:
             harvest_page_url=self.cfg.harvest_page_url)
         self.glove = GloveCache()
 
-        ddir = mf.stage_dir(out_dir, "dict")
-        dt = pads.dataset(ddir).to_table(columns=["term", "df"])
-        self.df_map = {t: d for t, d in zip(dt.column("term").to_pylist(),
-                                            dt.column("df").to_pylist())
-                       if not t.startswith("\x00")}  # reserved stats rows
+        import glob as _glob
+        import os
 
-        self._postings_ds = pads.dataset(
-            mf.stage_dir(out_dir, "postings"), partitioning="hive")
-        self._postings_ds.files  # force fragment discovery at init
+        ddir = mf.stage_dir(out_dir, "dict")
+        if _glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True):
+            dt = pads.dataset(ddir).to_table(columns=["term", "df"])
+            self.df_map = {
+                t: d for t, d in zip(dt.column("term").to_pylist(),
+                                     dt.column("df").to_pylist())
+                if not t.startswith("\x00")}  # reserved stats rows
+        else:
+            self.df_map = {}  # zero-doc / fully-pruned index
+
+        def _maybe_dataset(stage):
+            # a stage dir may hold zero parquet files (e.g. every term
+            # pruned by the df==1 rule on a degenerate corpus)
+            import glob as _glob
+
+            d = mf.stage_dir(out_dir, stage)
+            if _glob.glob(os.path.join(d, "**", "*.parquet"),
+                          recursive=True):
+                ds = pads.dataset(d, partitioning="hive")
+                ds.files  # force fragment discovery at init
+                return ds
+            return None
+
+        import os
+
+        self._postings_ds = _maybe_dataset("postings")
         self._pcache: dict[str, dict | None] = {}
 
-        self._docmeta_ds = pads.dataset(
-            mf.stage_dir(out_dir, "docmeta"), partitioning="hive")
+        self._docmeta_ds = _maybe_dataset("docmeta")
         self._meta = None
-        if preload_docmeta:
+        if preload_docmeta and self._docmeta_ds is not None:
             self._load_docmeta()
 
     def _load_docmeta(self):
+        if self._docmeta_ds is None:
+            self._meta = {"ids": np.zeros(0, np.int64),
+                          "ts": np.zeros(0, np.int64),
+                          "glove": np.zeros((0, self.cfg.glove_dim))}
+            return
         t = self._docmeta_ds.to_table(columns=["doc_id", "warc_ts", "glove"])
         ids = t.column("doc_id").to_numpy()
         order = np.argsort(ids)
@@ -89,6 +113,10 @@ class SearchEngine:
         need = [t for t in dict.fromkeys(terms)
                 if t not in self._pcache and t in self.df_map]
         if not need:
+            return
+        if self._postings_ds is None:
+            for t in need:
+                self._pcache[t] = None
             return
         from search_engine_ray.ids import term_bucket
 
