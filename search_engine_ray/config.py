@@ -39,7 +39,19 @@ class EngineConfig:
     prune_df1: bool = True          # reference df==1 prune (/root/reference/indexer.py:167-169)
     harvest_page_url: bool = True   # pages input: treat the row url as the harvested URL set
 
+    # fields that change the INDEX CONTENT (not just how fast it builds);
+    # only these participate in checkpoint fingerprints, so tuning
+    # concurrency/batch knobs never forces a rebuild
+    _SEMANTIC_FIELDS = (
+        "stemming", "tokenizer", "bm25_k1", "bm25_b", "min_match_ratio",
+        "w_cos_weight", "bm25_weight", "glove_weight", "glove_dim",
+        "num_shards", "term_buckets", "block_size", "prune_df1",
+        "harvest_page_url",
+    )
+
     def fingerprint(self) -> str:
         """Stable hash of semantics-affecting fields, recorded in manifests."""
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        d = asdict(self)
+        payload = json.dumps({k: d[k] for k in self._SEMANTIC_FIELDS},
+                             sort_keys=True).encode()
         return hashlib.blake2b(payload, digest_size=8).hexdigest()

@@ -50,7 +50,6 @@ from search_engine_ray.config import EngineConfig
 from search_engine_ray.glove import GloveCache
 from search_engine_ray.ids import doc_id_for_url, term_bucket
 from search_engine_ray.index import manifest as mf
-from search_engine_ray.index.encoding import encode_postings
 from search_engine_ray.text.extract import extract_text
 from search_engine_ray.text.parser import Parser
 
@@ -306,6 +305,8 @@ class BuildRuns:
         key = (self.cfg.term_buckets, term)
         b = self._bucket_cache.get(key)
         if b is None:
+            if len(self._bucket_cache) >= 2_000_000:
+                self._bucket_cache.clear()  # bound per-worker memory
             b = term_bucket(term, self.cfg.term_buckets)
             self._bucket_cache[key] = b
         return b
@@ -495,6 +496,10 @@ class FinalizeBucket:
         blk_max32 = blk_max64.astype(np.float32)
         low = blk_max32.astype(np.float64) < blk_max64
         blk_max32[low] = np.nextafter(blk_max32[low], np.float32(np.inf))
+        # NOTE: block offsets below are SEGMENT-RELATIVE (encode_postings
+        # in encoding.py writes absolute offsets for standalone blobs);
+        # the in-process scorers recompute merged-stream bounds, so this
+        # metadata serves per-shard skip-decode serving at cluster scale
         blk_last_all = ids[block_ends - 1]
         blk_doc_all = (doc_off[block_starts]
                        - doc_off[seg_starts[seg_of_block]]).astype(np.int32)

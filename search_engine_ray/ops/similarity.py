@@ -42,6 +42,10 @@ def knn_brute(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
     q_ref = ray.put((qids, Qn))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         qids_, Qn_ = ray.get(q_ref)
         E = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
         ids = batch.column("vec_id").to_numpy()

@@ -16,6 +16,12 @@ import pyarrow as pa
 
 from search_engine_ray.text.stopwords import NLTK_ENGLISH_STOPWORDS
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """DuckDB round() is half-AWAY-from-zero; np.round is half-to-even.
+    Scaled-integer oracle columns must round the same way on both sides."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 _TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
              " x -> x <> '')")
 _MIN_MATCH_TERMS = ("spark", "join", "merge")
@@ -197,8 +203,8 @@ def q_tumbling(sf_dir: str):
     # float sums are association-sensitive; export as 1e-4-scaled integers
     # so the value hash is exact on both sides
     def scale_sum(batch: pa.Table) -> pa.Table:
-        sv = np.round(np.asarray(batch.column("sum_value").to_pylist())
-                      * 10000).astype(np.int64)
+        sv = _round_half_away(
+            np.asarray(batch.column("sum_value").to_pylist()) * 10000)
         batch = batch.drop_columns(["sum_value"])
         return batch.append_column("sum_value_e4", pa.array(sv, pa.int64()))
 
@@ -250,8 +256,8 @@ def q_event_type_stats(sf_dir: str):
     # mean is association-sensitive -> 1e-4-scaled integer; min/max of the
     # same value set are bit-identical doubles, exported raw
     def scale_mean(batch: pa.Table) -> pa.Table:
-        mv = np.round(np.asarray(batch.column("mean_value").to_pylist())
-                      * 10000).astype(np.int64)
+        mv = _round_half_away(
+            np.asarray(batch.column("mean_value").to_pylist()) * 10000)
         batch = batch.drop_columns(["mean_value"])
         return batch.append_column("mean_value_e4", pa.array(mv, pa.int64()))
 
@@ -346,7 +352,7 @@ def q_bm25_topk(sf_dir: str, k: int = 20):
         "rank": pa.array(range(1, len(scores) + 1), pa.int64()),
         "doc_id": pa.array(scores["doc_id"].tolist(), pa.int64()),
         "score_e6": pa.array(
-            np.round(scores["contrib"].to_numpy() * 1e6).astype(np.int64),
+            _round_half_away(scores["contrib"].to_numpy() * 1e6),
             pa.int64()),
     })
 
@@ -383,8 +389,8 @@ def q_knn(sf_dir: str):
     from search_engine_ray.ops.similarity import knn_brute
 
     t = knn_brute(sf_dir, query_vec_ids=(0, 1, 2), k=10)
-    cos = np.round(np.asarray(t.column("cosine").to_pylist())
-                   * 1_000_000).astype(np.int64)
+    cos = _round_half_away(
+        np.asarray(t.column("cosine").to_pylist()) * 1_000_000)
     t = t.drop_columns(["cosine"])
     return t.append_column("cosine_e6", pa.array(cos, pa.int64()))
 

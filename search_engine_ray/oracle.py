@@ -146,6 +146,8 @@ class OracleIndex:
     def search(self, query_text: str, k: int = 10, mode: str = "reference"):
         """Returns list of (score, doc_id, ts_us) ascending (score, ts, id),
         last-k — the reference's exact output order (ranker.py:51-63)."""
+        if k <= 0:
+            return []
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []

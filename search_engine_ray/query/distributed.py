@@ -32,17 +32,32 @@ class QueryShardActor:
         from search_engine_ray.config import EngineConfig
         from search_engine_ray.index import manifest as mf
 
+        import glob
+        import os
+
         man = mf.read_manifest(out_dir)
         self.cfg = EngineConfig(**man["config"])
         self.n_docs = man["n_docs"]
         self.avg_dl = man["avg_doc_length"]
         self.shards = set(shards)
-        self._postings_ds = pads.dataset(
-            mf.stage_dir(out_dir, "postings"), partitioning="hive")
+
+        def _maybe_dataset(stage):  # degenerate indexes may have 0 files
+            d = mf.stage_dir(out_dir, stage)
+            if glob.glob(os.path.join(d, "**", "*.parquet"),
+                         recursive=True):
+                return pads.dataset(d, partitioning="hive")
+            return None
+
+        self._postings_ds = _maybe_dataset("postings")
         self._pcache: dict[str, dict | None] = {}
 
-        meta = pads.dataset(
-            mf.stage_dir(out_dir, "docmeta"), partitioning="hive").to_table(
+        meta_ds = _maybe_dataset("docmeta")
+        if meta_ds is None:
+            self._meta_ids = np.zeros(0, np.int64)
+            self._meta_ts = np.zeros(0, np.int64)
+            self._meta_glove = np.zeros((0, self.cfg.glove_dim))
+            return
+        meta = meta_ds.to_table(
             columns=["doc_id", "warc_ts", "shard", "glove"],
             filter=pads.field("shard").isin(list(self.shards)))
         ids = meta.column("doc_id").to_numpy()
@@ -61,6 +76,10 @@ class QueryShardActor:
         from search_engine_ray.index.encoding import decode_postings
 
         need = [t for t in terms if t not in self._pcache and t in df_map]
+        if self._postings_ds is None:
+            for t in need:
+                self._pcache[t] = None
+            need = []
         if need:
             buckets = sorted({term_bucket(t, self.cfg.term_buckets)
                               for t in need})
@@ -210,11 +229,18 @@ class DistributedSearchEngine:
             harvest_page_url=self.cfg.harvest_page_url)
         import pyarrow.dataset as pads
 
-        dt = pads.dataset(mf.stage_dir(out_dir, "dict")).to_table(
-            columns=["term", "df"])
-        self.df_map = {t: d for t, d in zip(dt.column("term").to_pylist(),
-                                            dt.column("df").to_pylist())
-                       if not t.startswith("\x00")}  # reserved stats rows
+        import glob
+        import os
+
+        ddir = mf.stage_dir(out_dir, "dict")
+        if glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True):
+            dt = pads.dataset(ddir).to_table(columns=["term", "df"])
+            self.df_map = {
+                t: d for t, d in zip(dt.column("term").to_pylist(),
+                                     dt.column("df").to_pylist())
+                if not t.startswith("\x00")}  # reserved stats rows
+        else:
+            self.df_map = {}  # zero-doc / fully-pruned index
         S = self.cfg.num_shards
         num_actors = min(num_actors, S)
         assignment = [list(range(i, S, num_actors))
@@ -223,6 +249,8 @@ class DistributedSearchEngine:
                        for sh in assignment]
 
     def search(self, query_text: str, k: int = 10, mode: str = "bm25"):
+        if k <= 0:
+            return []
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []

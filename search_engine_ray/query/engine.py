@@ -81,6 +81,7 @@ class SearchEngine:
 
         self._postings_ds = _maybe_dataset("postings")
         self._pcache: dict[str, dict | None] = {}
+        self._pcache_max_terms = 100_000  # FIFO eviction bound
 
         self._docmeta_ds = _maybe_dataset("docmeta")
         self._meta = None
@@ -157,6 +158,8 @@ class SearchEngine:
             mtfs = varbyte_decode(
                 b"".join(cols["mtf_vb"][i] for i in idxs), count=total)
             order = np.argsort(ids, kind="stable")
+            while len(self._pcache) >= self._pcache_max_terms:
+                self._pcache.pop(next(iter(self._pcache)))  # FIFO evict
             self._pcache[term] = {
                 "doc_ids": ids[order],
                 "tfs": tfs[order],
@@ -172,15 +175,24 @@ class SearchEngine:
         return self._pcache.get(term)
 
     def _meta_for(self, doc_ids: np.ndarray):
+        """Positions into the docmeta arrays + found mask; callers must
+        treat not-found rows as (ts=0, glove=0) rather than attributing a
+        neighbor's metadata (possible only on corrupt/degenerate indexes
+        or the documented doc-id hash-collision path, ids.py)."""
         if self._meta is None:
             self._load_docmeta()
-        pos = np.searchsorted(self._meta["ids"], doc_ids)
-        pos = np.clip(pos, 0, len(self._meta["ids"]) - 1)
+        n = len(self._meta["ids"])
+        if n == 0:
+            return (np.zeros(len(doc_ids), np.int64),
+                    np.zeros(len(doc_ids), bool))
+        pos = np.clip(np.searchsorted(self._meta["ids"], doc_ids), 0, n - 1)
         found = self._meta["ids"][pos] == doc_ids
         return pos, found
 
     # ------------------------------------------------------------ search
     def search(self, query_text: str, k: int = 10, mode: str = "reference"):
+        if k <= 0:
+            return []
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []
@@ -258,8 +270,8 @@ class SearchEngine:
         bm25 = ((qidf[None, :] * dtf * (cfg.bm25_k1 + 1)) / denom).sum(axis=1)
 
         pos, found = self._meta_for(cand)
-        gmat = self._meta["glove"][pos]
-        ts = self._meta["ts"][pos]
+        gmat = self._meta["glove"][pos] * found[:, None]
+        ts = self._meta["ts"][pos] * found
         gnum = gmat @ qg
         gden = np.linalg.norm(gmat, axis=1) * np.linalg.norm(qg)
         gcos = np.where((gden == 0) | (gnum == 0), 0.0,
@@ -298,7 +310,7 @@ class SearchEngine:
         cand, inv = np.unique(ids, return_inverse=True)
         scores = np.bincount(inv, weights=contribs, minlength=len(cand))
         pos, found = self._meta_for(cand)
-        ts = self._meta["ts"][pos]
+        ts = self._meta["ts"][pos] * found
         return _topk_reference_order(scores, cand, ts, k)
 
     def _search_bm25_wand(self, query: list[str], k: int):
@@ -420,6 +432,8 @@ class SearchEngine:
 def _topk_reference_order(scores: np.ndarray, doc_ids: np.ndarray,
                           ts: np.ndarray, k: int):
     """Ascending (score, ts, doc_id), last k (ranker.py:51-63)."""
+    if k <= 0:
+        return []
     order = np.lexsort((doc_ids, ts, scores))
     order = order[-k:] if k <= len(order) else order
     return [(float(scores[i]), int(doc_ids[i]), int(ts[i])) for i in order]
