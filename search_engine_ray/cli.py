@@ -1,0 +1,102 @@
+"""CLI entry points (reference analogue: search_engine.main(corpus_path,
+output_path, stemming, queries, num_docs_to_retrieve),
+/root/reference/search_engine.py:99-112).
+
+    python -m search_engine_ray.cli build  <corpus_dir> <index_dir> [--stemming] [--tweets]
+    python -m search_engine_ray.cli search <index_dir> <query...> [--k N] [--mode bm25|reference|bm25_wand]
+    python -m search_engine_ray.cli batch  <index_dir> <queries_file> <out_csv> [--k N]
+
+Owns its Ray session (guarded init), unlike the library/driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="search_engine_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("corpus_dir")
+    b.add_argument("index_dir")
+    b.add_argument("--stemming", action="store_true")
+    b.add_argument("--tweets", action="store_true",
+                   help="input is the reference's 8-column tweet shape")
+    b.add_argument("--overwrite", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query", nargs="+")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--mode", default="bm25",
+                   choices=["bm25", "reference", "bm25_wand"])
+
+    q = sub.add_parser("batch")
+    q.add_argument("index_dir")
+    q.add_argument("queries_file")
+    q.add_argument("out_csv")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="bm25",
+                   choices=["bm25", "reference"])
+
+    args = ap.parse_args(argv)
+    _ensure_ray()
+
+    if args.cmd == "build":
+        from search_engine_ray.config import EngineConfig
+        from search_engine_ray.index.build import build_index
+
+        man = build_index(
+            args.corpus_dir, args.index_dir,
+            EngineConfig(stemming=args.stemming),
+            overwrite=args.overwrite,
+            input_format="tweets" if args.tweets else "pages")
+        print(json.dumps({"n_docs": man["n_docs"],
+                          "avg_doc_length": man["avg_doc_length"]}))
+    elif args.cmd == "search":
+        from search_engine_ray.query.engine import SearchEngine
+
+        eng = SearchEngine(args.index_dir)
+        res = eng.search(" ".join(args.query), k=args.k, mode=args.mode)
+        # print best-first, like the reference's output loop
+        # (search_engine.py:109-112)
+        for score, doc_id, ts in reversed(res):
+            print(f"doc id: {doc_id}, score: {score}")
+    elif args.cmd == "batch":
+        from search_engine_ray.query.batch import (
+            read_queries_file,
+            search_many,
+            write_results_csv,
+        )
+        from search_engine_ray.query.distributed import DistributedSearchEngine
+
+        eng = DistributedSearchEngine(args.index_dir)
+        table = search_many(eng, read_queries_file(args.queries_file),
+                            k=args.k, mode=args.mode)
+        write_results_csv(table, args.out_csv)
+        print(json.dumps({"queries": len(set(table.column('query_id')
+                                             .to_pylist())),
+                          "rows": table.num_rows, "csv": args.out_csv}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

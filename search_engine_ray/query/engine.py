@@ -12,9 +12,12 @@ Two scorers over the same sharded index:
 - ``mode="bm25"`` — the scale-path scorer: pure BM25 with real tf,
   term-at-a-time vectorized accumulation.
 - ``mode="bm25_wand"`` — same scores via block-max WAND (Ding & Suel's
-  published BMW algorithm) using the per-block metadata stored in the
-  posting blobs; returns identical results to ``bm25`` (property-tested)
-  while skipping blocks that cannot beat the running threshold.
+  published BMW algorithm) over merged per-term streams with block
+  bounds recomputed on the merged arrays; rank-identical to ``bm25``
+  (property-tested).  On zipf-headed corpora with short queries the
+  block maxima are flat and skipping rarely fires, so vectorized TAAT
+  is the faster default; the on-disk per-shard block metadata serves
+  skip-decode at per-shard serving scale.
 
 Results are ``(score, doc_id, ts_us)`` ascending by (score, ts, id),
 last k — the reference's exact output order (ranker.py:46-63).
