@@ -308,10 +308,14 @@ class SearchEngine:
             contrib_parts.append(pc_[1])
         if not id_parts:
             return []
-        ids = np.concatenate(id_parts)
-        contribs = np.concatenate(contrib_parts)
-        cand, inv = np.unique(ids, return_inverse=True)
-        scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+        if len(id_parts) == 1:
+            # single-term fast path: postings are already sorted + unique
+            cand, scores = id_parts[0], contrib_parts[0]
+        else:
+            ids = np.concatenate(id_parts)
+            contribs = np.concatenate(contrib_parts)
+            cand, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=contribs, minlength=len(cand))
         pos, found = self._meta_for(cand)
         ts = self._meta["ts"][pos] * found
         return _topk_reference_order(scores, cand, ts, k)
