@@ -83,7 +83,8 @@ class Parser:
         entities: set[str] = set()
 
         for idx, token in enumerate(toks):
-            if token.lower() in self.stop_words or (
+            tl = token.lower()
+            if tl in self.stop_words or (
                 len(token) == 1 and ord(token) > 126
             ):
                 continue
@@ -103,7 +104,8 @@ class Parser:
                 self._hashtags(out, idx)
             elif token == "@":
                 self._tags(out, idx)
-            elif self._is_fraction(token):
+            elif ("/" in token or "\\" in token) and self._is_fraction(token):
+                # (the fraction regexes require a slash — cheap pre-filter)
                 self._fraction(out, token, idx)
             elif token in _PERCENT_WORDS:
                 self._percent(out, idx)
@@ -120,7 +122,8 @@ class Parser:
             else:
                 if self.stemming:
                     token = porter2.stem(token)
-                self._append(out, capitals, token)
+                    tl = token  # stem output is already lowercase
+                self._append(out, capitals, token, tl)
 
         # NOTE: a trailing entity chunk is intentionally dropped here,
         # matching the reference (no flush after the loop).
@@ -332,10 +335,12 @@ class Parser:
         return (_RIGHT_SLASH.match(token) is not None
                 or _LEFT_SLASH.match(token) is not None)
 
-    def _append(self, out, capitals, token):                            # P15
+    def _append(self, out, capitals, token, tl=None):                   # P15
+        if tl is None:
+            tl = token.lower()
         if len(token) > 0 and token[0].isupper():
-            capitals[token.lower()] = True
+            capitals[tl] = True
         else:
-            capitals[token.lower()] = False
-        if token.lower() not in self.stop_words:
-            out.append(token.lower())
+            capitals[tl] = False
+        if tl not in self.stop_words:
+            out.append(tl)
