@@ -97,7 +97,15 @@ def run_bench() -> dict:
     build_index(sf_pages, sf_index, cfg)
     timings["sf_index_build"] = time.perf_counter() - t0
 
-    # --- phase 2: synthetic bench corpus build (the throughput headline)
+    # --- phase 2: synthetic bench corpus build (the throughput headline).
+    # Fresh Ray session: a prior build's actor-pool teardown overlaps the
+    # next build's pool spawn and measurably slows it (bisected: 79s ->
+    # 120s on a 400k build when a tiny build precedes it in-session)
+    ray.shutdown()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
     corpus = _bench_corpus_dir(BENCH_DOCS)
     bench_index = os.path.join(SCRATCH, f"bench_index_{BENCH_DOCS}")
     shutil.rmtree(bench_index, ignore_errors=True)
