@@ -74,3 +74,28 @@ def test_postings_roundtrip_property(idset):
 def test_delta_roundtrip():
     ids = np.array([5, 6, 100, 2**40], dtype=np.int64)
     assert (delta_decode(delta_encode(ids)) == ids).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.sets(st.integers(min_value=0, max_value=2**62),
+                        min_size=1, max_size=100),
+                min_size=1, max_size=8))
+def test_concatenated_stream_decode_matches_per_segment(segments):
+    """The query-side prefetch decodes ONE concatenated varbyte buffer and
+    undoes per-segment delta resets with cumsum offsets — must equal
+    per-segment decode (query/engine.py prefetch)."""
+    import numpy as np
+
+    segs = [np.array(sorted(s), dtype=np.int64) for s in segments]
+    bufs = [varbyte_encode(delta_encode(ids))[0] for ids in segs]
+    ns = np.array([len(s) for s in segs], dtype=np.int64)
+    total = int(ns.sum())
+    deltas = varbyte_decode(b"".join(bufs), count=total)
+    cs = np.cumsum(deltas)
+    seg_starts = np.zeros(len(ns), dtype=np.int64)
+    np.cumsum(ns[:-1], out=seg_starts[1:])
+    base = np.zeros(len(ns), dtype=np.int64)
+    base[1:] = cs[seg_starts[1:] - 1]
+    ids = cs - np.repeat(base, ns)
+    expected = np.concatenate(segs)
+    assert (ids == expected).all()
