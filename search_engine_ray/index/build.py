@@ -30,13 +30,15 @@ driver-coordinated sort at these block counts.  Spills live on tmpfs and
 are deleted after the stage commits.  This is the reference's disk
 spill + k-way merge (indexer.py:110-253) as a parallel external shuffle.
 
-Skew: postings are DOC-SHARDED (shard = doc_id % S, derived from the doc
-id at finalize).  A head term like the reference's 'rt' (df = 70% of
-corpus) is split into S independent per-shard posting lists, so no
-single blob ever holds a full head-term posting list and query actors
-serve disjoint doc sets.  At cluster scale the bucket count (term_buckets)
-scales with nodes; per-reducer volume is bounded by
-total_postings / term_buckets.
+Skew: postings are DOC-SHARDED (shard = doc_id % S, carried as the
+second shuffle key ``sshard``).  The spill partitions by
+(tbucket, sshard), so a head term like the reference's 'rt' (df = 70% of
+corpus) splits across S reducers that never see each other's rows — no
+single blob ever holds a full head-term posting list, query actors serve
+disjoint doc sets, and per-reducer volume is bounded by
+total_postings / (term_buckets * num_shards) EVEN under zipf skew
+(doc ids are url hashes, so a term's postings spread uniformly over
+doc_id % S).  At cluster scale both knobs scale with nodes.
 """
 
 from __future__ import annotations
@@ -75,6 +77,10 @@ SUMDL_KEY = "\x00__sumdl__"
 
 _RUN_FIELDS = [
     ("tbucket", pa.int32()),  # shuffle partition: hash(term) % term_buckets
+    ("sshard", pa.int32()),   # second shuffle key: doc_id % num_shards —
+                              # splits a head term across num_shards
+                              # reducers (bounded per-reducer volume under
+                              # zipf skew; the reference's 'rt' has df=70%)
     ("term", pa.string()),
     ("kind", pa.int8()),                # 0 = posting run, 1 = dict row
     ("n", pa.int64()),
@@ -290,12 +296,16 @@ def doc_vec_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
 
 # --------------------------------------------------------------- stage 3
 class BuildRuns:
-    """SPIMI partial posting runs per TERM within each batch — the
-    pre-shuffle combine (reference analogue: the in-memory posting chunk,
-    /root/reference/indexer.py:89-105).  Runs are keyed by term only; the
-    doc shard is derived from doc_id at finalize, so per-batch row count
-    is vocabulary-capped (not vocab x shards) and the per-posting stats
-    ship varbyte-compressed."""
+    """SPIMI partial posting runs per (TERM, doc shard) within each batch
+    — the pre-shuffle combine (reference analogue: the in-memory posting
+    chunk, /root/reference/indexer.py:89-105).  Runs carry the doc shard
+    (doc_id % num_shards) as a second shuffle key so the spill partitions
+    by (tbucket, sshard): a head term like the reference's 'rt' (df = 70%
+    of corpus) splits across num_shards reducers that never see each
+    other's rows — per-reducer volume is bounded by
+    total / (term_buckets * num_shards) even under zipf skew.  Row-count
+    cost is modest: only terms present in >1 shard within a batch emit
+    extra rows, and per-posting stats still ship varbyte-compressed."""
 
     def __init__(self, config: EngineConfig, bucket_cache=None):
         self.cfg = config
@@ -334,13 +344,16 @@ class BuildRuns:
             batch.column("max_tf").to_numpy(), lens).astype(np.int64)
         uniqs = np.repeat(
             batch.column("unique_terms").to_numpy(), lens).astype(np.int64)
+        shards = (doc_ids % self.cfg.num_shards).astype(np.int64)
 
-        order = np.lexsort((doc_ids, codes))
+        order = np.lexsort((doc_ids, shards, codes))
         codes_o = codes[order]
+        shards_o = shards[order]
         doc_ids = doc_ids[order]
         boundary = np.empty(len(order), dtype=bool)
         boundary[0] = True
-        boundary[1:] = codes_o[1:] != codes_o[:-1]
+        boundary[1:] = (codes_o[1:] != codes_o[:-1]) | (
+            shards_o[1:] != shards_o[:-1])
         starts = np.flatnonzero(boundary)
         ends = np.append(starts[1:], len(order))
 
@@ -355,6 +368,7 @@ class BuildRuns:
         for s, e in zip(starts, ends):
             term = uniques[codes_o[s]]
             rows["tbucket"].append(self._tbucket(term))
+            rows["sshard"].append(int(shards_o[s]))
             rows["term"].append(term)
             rows["kind"].append(0)
             rows["n"].append(int(e - s))
@@ -371,9 +385,11 @@ class BuildRuns:
 def replicate_dict_rows(batch: pa.Table, num_shards: int,
                         term_buckets: int) -> pa.Table:
     """Route the (small) dictionary verdicts through the posting shuffle —
-    one row per term to its term bucket (a co-partitioned join, not a
-    driver broadcast, so the dict can be vocabulary-scale without living
-    in one process)."""
+    one row per (term, sshard) to its (tbucket, sshard) partition (a
+    co-partitioned join, not a driver broadcast, so the dict can be
+    vocabulary-scale without living in one process).  The num_shards×
+    replication is cheap: verdict rows are ~40 bytes and carry no posting
+    payload."""
     import pyarrow.compute as pc
 
     batch = batch.filter(pc.invert(pc.starts_with(
@@ -383,18 +399,21 @@ def replicate_dict_rows(batch: pa.Table, num_shards: int,
     dfg = batch.column("df").to_pylist()
     n = len(orig)
     tbs = [term_bucket(t, term_buckets) for t in orig]
+    S = num_shards
     rows = {
-        "tbucket": pa.array(tbs, pa.int32()),
-        "term": pa.array(orig, pa.string()),
-        "kind": pa.array([1] * n, pa.int8()),
-        "n": pa.array([0] * n, pa.int64()),
-        "docids": pa.array([b""] * n, pa.binary()),
-        "tfs": pa.array([b""] * n, pa.binary()),
-        "dls": pa.array([b""] * n, pa.binary()),
-        "mtfs": pa.array([b""] * n, pa.binary()),
-        "uniqs": pa.array([b""] * n, pa.binary()),
-        "final_term": pa.array(final, pa.string()),
-        "df_global": pa.array(dfg, pa.int64()),
+        "tbucket": pa.array(np.repeat(np.asarray(tbs, np.int32), S)),
+        "sshard": pa.array(np.tile(np.arange(S, dtype=np.int32), n)),
+        "term": pa.array(np.repeat(np.asarray(orig, object), S), pa.string()),
+        "kind": pa.array([1] * (n * S), pa.int8()),
+        "n": pa.array([0] * (n * S), pa.int64()),
+        "docids": pa.array([b""] * (n * S), pa.binary()),
+        "tfs": pa.array([b""] * (n * S), pa.binary()),
+        "dls": pa.array([b""] * (n * S), pa.binary()),
+        "mtfs": pa.array([b""] * (n * S), pa.binary()),
+        "uniqs": pa.array([b""] * (n * S), pa.binary()),
+        "final_term": pa.array(np.repeat(np.asarray(final, object), S),
+                               pa.string()),
+        "df_global": pa.array(np.repeat(np.asarray(dfg, np.int64), S)),
     }
     return pa.table({name: rows[name] for name, _ in _RUN_FIELDS})
 
@@ -792,12 +811,24 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         import shutil as _sh
 
         _sh.rmtree(spill_dir, ignore_errors=True)
-        unioned.write_parquet(spill_dir, partition_cols=["tbucket"],
+        # two-level hive partitioning: a head term's rows split across
+        # num_shards sibling dirs, so no reduce task ever reads a full
+        # head-term posting list (the skew bound in the module docstring)
+        unioned.write_parquet(spill_dir, partition_cols=["tbucket", "sshard"],
                               compression="none")  # tmpfs spill: skip codec
 
         part_dirs = sorted(
-            os.path.join(spill_dir, d) for d in os.listdir(spill_dir)
-            if d.startswith("tbucket="))
+            os.path.join(spill_dir, tb, sh)
+            for tb in os.listdir(spill_dir) if tb.startswith("tbucket=")
+            for sh in os.listdir(os.path.join(spill_dir, tb))
+            if sh.startswith("sshard="))
+        # per-partition spill volume (file bytes, no scan): the skew
+        # evidence — max partition bounds any reduce task's input even
+        # when one term dominates the corpus
+        part_bytes = [
+            sum(os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet"))
+            for d in part_dirs]
 
         def reduce_partitions(batch, avg_dl=avg_dl, cfg=cfg):
             import pandas as pd
@@ -805,8 +836,9 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
 
             outs = []
             for d in batch["dir"]:
-                # hive partitioning moved tbucket into the dir name
-                tb = int(str(d).rstrip("/").rsplit("tbucket=", 1)[1])
+                # hive partitioning moved the keys into the dir names
+                parent, shpart = os.path.split(str(d).rstrip("/"))
+                tb = int(os.path.basename(parent).rsplit("tbucket=", 1)[1])
                 df = pq.read_table(d).to_pandas()
                 df["tbucket"] = tb
                 outs.append(finalize_group(df, avg_dl, cfg))
@@ -832,7 +864,10 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         mf.commit_stage(out_dir, "postings", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(postings_dir),
-                            "shuffle_partitions": len(part_dirs)})
+                            "shuffle_partitions": len(part_dirs),
+                            "spill_total_bytes": int(sum(part_bytes)),
+                            "spill_max_partition_bytes":
+                                int(max(part_bytes, default=0))})
 
     # ---- stage 4: doc metadata
     if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
