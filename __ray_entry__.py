@@ -125,7 +125,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(fingerprint64, batch_format="pyarrow")
 
     from search_engine_ray.ops.dedup import (
-        embedding_near_dup_pairs,
         minhash_near_dup_pairs,
         simhash_near_dup_pairs,
     )
@@ -153,7 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wand_top10": lambda sf: _search_topk(sf, "bm25_wand"),
         "minhash_near_dups": lambda sf: minhash_near_dup_pairs(sf),
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),
-        "embedding_near_dups": lambda sf: embedding_near_dup_pairs(sf),
+        "embedding_near_dups": sq.q_embedding_near_dups,
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
         "langid_pred": langid_pred,
         "fingerprint64": fingerprints,
@@ -177,4 +176,5 @@ def oracle_sql() -> dict[str, str]:
         "event_type_stats": sq.SQL_EVENT_TYPE_STATS,
         "knn_cosine_top10": sq.SQL_KNN,
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
+        "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
     }

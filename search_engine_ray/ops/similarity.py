@@ -136,21 +136,54 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
 
     probed = (assigned.map_batches(keep_probed, batch_format="pyarrow")
               if len(all_probed) else assigned)
-    tbl = probed.to_pandas()
+
+    # streaming scoring, same shape as knn_brute: per-batch partial
+    # top-k against the broadcast query matrix (only rows in each
+    # query's probed lists count), tiny driver merge at the end — the
+    # probed inverted lists are never materialized in one process
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-30)[:, None]
-    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
-    E = np.stack(tbl["embedding"].to_numpy()) if len(tbl) else np.zeros((0, 1))
-    if len(tbl):
+    probe_lists = [sorted(probe_sets[qid]) for qid in qids]
+    q_ref = ray.put((qids, Qn, probe_lists))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        qids_, Qn_, probes_ = ray.get(q_ref)
+        E = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy()
+        cents = batch.column("centroid").to_numpy()
         En = E / np.maximum(np.linalg.norm(E, axis=1), 1e-30)[:, None]
-        for i, qid in enumerate(qids):
-            mask = tbl["centroid"].isin(probe_sets[qid]).to_numpy()
-            cos = En[mask] @ Qn[i]
-            ids = tbl["vec_id"].to_numpy()[mask]
-            order = np.lexsort((ids, -cos))[:k]
-            rows["query_id"].extend([qid] * len(order))
-            rows["rank"].extend(range(1, len(order) + 1))
-            rows["vec_id"].extend(ids[order].tolist())
-            rows["cosine"].extend(cos[order].tolist())
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(qids_):
+            m = np.isin(cents, probes_[j])
+            if not m.any():
+                continue
+            cos = En[m] @ Qn_[j]
+            kk = min(k, len(cos))
+            top = np.argpartition(-cos, kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(ids[m][top].tolist())
+            out_c.extend(cos[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    parts = probed.map_batches(partial_topk,
+                               batch_format="pyarrow").to_pandas()
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"],
+                          ascending=[False, True]).head(k)
+        rows["query_id"].extend([qid] * len(g))
+        rows["rank"].extend(range(1, len(g) + 1))
+        rows["vec_id"].extend(g["vec_id"].tolist())
+        rows["cosine"].extend(g["cosine"].tolist())
     return pa.table({
         "query_id": pa.array(rows["query_id"], pa.int64()),
         "rank": pa.array(rows["rank"], pa.int64()),

@@ -409,3 +409,41 @@ ranked AS (SELECT query_id, vec_id, cos,
 SELECT query_id, rank, vec_id, round(cos * 1000000)::BIGINT AS cosine_e6
 FROM ranked WHERE rank <= 10
 """
+
+
+# ----------------------------------------------------- embedding near-dups
+def q_embedding_near_dups(sf_dir: str):
+    """Value-checkable LSH near-dup pipeline: a deterministic ×2-scaled
+    copy of every vector is unioned in (identical hyperplane signs →
+    same LSH bucket, cosine 1.0 by construction), so the pipeline's
+    output equals an exact all-pairs SQL oracle on the augmented table —
+    LSH recall is exactly 1 for the pairs the oracle emits as long as the
+    base corpus has no natural pair ≥ threshold (the fixture doesn't)."""
+    from search_engine_ray.ops.dedup import embedding_near_dup_pairs
+
+    ds = embedding_near_dup_pairs(sf_dir, augment_scaled=True)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        c = _round_half_away(
+            np.asarray(batch.column("cosine").to_pylist(),
+                       dtype=np.float64) * 1_000_000)
+        batch = batch.drop_columns(["cosine"])
+        return batch.append_column("cosine_e6", pa.array(c, pa.int64()))
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+  FROM embeddings),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.e, y.e) AS cos
+  FROM aug x JOIN aug y ON x.vec_id < y.vec_id)
+SELECT a, b, round(cos * 1000000)::BIGINT AS cosine_e6
+FROM pairs WHERE cos >= 0.95
+"""
