@@ -100,30 +100,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "df": pa.array([d for _, d in items], pa.int64()),
         })
 
-    def langid_pred(sf_dir: str):
-        import os as _os
-
-        import ray.data
-
-        from search_engine_ray.ops.textstats import LangId
-
-        ds = ray.data.read_parquet(
-            _os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"])
-        return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
-
-    def fingerprints(sf_dir: str):
-        import os as _os
-
-        import ray.data
-
-        from search_engine_ray.ops.textstats import fingerprint64
-
-        ds = ray.data.read_parquet(
-            _os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"])
-        return ds.map_batches(fingerprint64, batch_format="pyarrow")
-
     from search_engine_ray.ops.dedup import (
         minhash_near_dup_pairs,
         simhash_near_dup_pairs,
@@ -145,17 +121,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stats": sq.q_event_type_stats,
         "knn_cosine_top10": sq.q_knn,
         "bm25_topk_simple": sq.q_bm25_topk,
-        # --- rows-only (non-SQL-expressible semantics) ---
+        "embedding_near_dups": sq.q_embedding_near_dups,
+        "langid_pred": sq.q_langid_pred,
+        "fingerprint_md5": sq.q_fingerprint_md5,
+        # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
+        # -> postings -> SearchEngine), value-checked over a cleaned corpus
+        # whose semantics are SQL-expressible
+        "index_dict_clean": sq.q_index_dict_clean,
+        "search_bm25_clean_top10": lambda sf: sq.q_search_bm25_clean(
+            sf, "bm25"),
+        "search_wand_clean_top10": lambda sf: sq.q_search_bm25_clean(
+            sf, "bm25_wand"),
+        # --- rows-only (non-SQL-expressible semantics: full tokenizer,
+        # glove-blended reference scoring, LSH/IVF approximation) ---
         "index_dictionary_full": index_dictionary,
-        "search_bm25_top10": lambda sf: _search_topk(sf, "bm25"),
         "search_reference_top10": lambda sf: _search_topk(sf, "reference"),
-        "search_wand_top10": lambda sf: _search_topk(sf, "bm25_wand"),
         "minhash_near_dups": lambda sf: minhash_near_dup_pairs(sf),
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),
-        "embedding_near_dups": sq.q_embedding_near_dups,
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
-        "langid_pred": langid_pred,
-        "fingerprint64": fingerprints,
     }
 
 
@@ -177,4 +160,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top10": sq.SQL_KNN,
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
+        "langid_pred": sq.SQL_LANGID_PRED,
+        "fingerprint_md5": sq.SQL_FINGERPRINT_MD5,
+        "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
+        "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
+        "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
     }

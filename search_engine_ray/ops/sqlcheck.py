@@ -447,3 +447,256 @@ pairs AS (
 SELECT a, b, round(cos * 1000000)::BIGINT AS cosine_e6
 FROM pairs WHERE cos >= 0.95
 """
+
+
+# ------------------------------------------------ clean-corpus engine checks
+# The REAL build+search path (adapter -> wrap_html -> extract -> Parser ->
+# SPIMI shuffle -> postings -> SearchEngine) is value-checked end-to-end by
+# running it over a CLEANED corpus: only purely-alphabetic simple tokens
+# survive, none of which trigger the parser's non-SQL-expressible handlers
+# (numbers, percent, kbm shorthand, https splice, capitals/entities are
+# impossible on lowercase alpha text).  On that input the full pipeline's
+# semantics collapse to: stopword filter -> df -> df>=2 prune -> BM25 —
+# exactly expressible in DuckDB SQL.
+_CLEAN_DROP = ("https", "http", "percent", "percentage")
+# parser stopwords reachable from pure-alpha tokens: the NLTK list minus
+# apostrophe'd entries, plus the reference extension's "rt"
+_CLEAN_STOP_SQL = "[" + ", ".join(
+    f"'{w}'" for w in sorted(set(_STOP_SET) | {"rt"} | set(_CLEAN_DROP))) + "]"
+_CLEAN_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    f"t -> regexp_matches(t, '^[a-z]+$') AND NOT list_contains("
+    f"{_CLEAN_STOP_SQL}, t))")
+
+_CLEAN_IDX_CACHE: dict[str, tuple[str, dict[int, int]]] = {}
+
+
+def _clean_text(text: str) -> str:
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    return " ".join(t for t in simple_tokenize(text)
+                    if t.isalpha() and t not in _CLEAN_DROP)
+
+
+def _clean_index(sf_dir: str) -> tuple[str, dict[int, int]]:
+    """Build (once per process per sf_dir) the real index over the cleaned
+    corpus; returns (index_dir, hashed-doc-id -> original-doc-id map).
+
+    The id map exists because the engine keys docs by blake2(url)
+    (ids.py) which SQL cannot compute; it is check-scale-only state (the
+    driver gate runs at sf<=0.1) — production consumers keep hashed ids."""
+    import hashlib as _h
+    import tempfile
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from search_engine_ray.adapters import documents_batch_to_pages
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.ids import doc_id_for_url
+    from search_engine_ray.index.build import build_index
+
+    key = os.path.abspath(sf_dir)
+    if key in _CLEAN_IDX_CACHE:
+        return _CLEAN_IDX_CACHE[key]
+    tag = _h.blake2b(key.encode(), digest_size=6).hexdigest()
+    base = os.path.join(tempfile.gettempdir(), f"se_ray_cleanidx_{tag}")
+    pages = os.path.join(base, "pages")
+    index = os.path.join(base, "index")
+
+    def clean_pages(batch: pa.Table) -> pa.Table:
+        texts = [_clean_text(x) for x in batch.column("text").to_pylist()]
+        batch = batch.drop_columns(["text"]).append_column(
+            "text", pa.array(texts, pa.string()))
+        return documents_batch_to_pages(batch)
+
+    if not os.path.exists(os.path.join(pages, "_DONE")):
+        os.makedirs(pages, exist_ok=True)
+        (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+         .map_batches(clean_pages, batch_format="pyarrow")
+         .write_parquet(pages))
+        open(os.path.join(pages, "_DONE"), "w").close()
+    build_index(pages, index,
+                EngineConfig(tokenizer="simple", harvest_page_url=False))
+    t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "source"])
+    idmap = {doc_id_for_url(f"{s}/{d}"): d
+             for d, s in zip(t.column("doc_id").to_pylist(),
+                             t.column("source").to_pylist())}
+    _CLEAN_IDX_CACHE[key] = (index, idmap)
+    return index, idmap
+
+
+def q_index_dict_clean(sf_dir: str):
+    """Dictionary (term, df) from the REAL index built over the cleaned
+    corpus — value-checks S5/A1/A6 (dict build, df aggregation, df==1
+    prune) through the actual SPIMI+shuffle pipeline."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, _ = _clean_index(sf_dir)
+    eng = SearchEngine(index, preload_docmeta=False)
+    items = sorted(eng.df_map.items())
+    return pa.table({
+        "term": pa.array([t for t, _ in items], pa.string()),
+        "df": pa.array([d for _, d in items], pa.int64()),
+    })
+
+
+SQL_INDEX_DICT_CLEAN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 2
+ORDER BY term
+"""
+
+
+_CLEAN_SEARCH_QUERIES = [
+    (0, "spark join merge"),
+    (1, "data window stream query"),
+    (2, "the and a"),               # stopword-only -> no rows
+    (3, "zzzabsentzzz hash table"),  # unknown + known terms
+]
+
+
+def _clean_query_terms(q: str) -> list[str]:
+    """Query-side token derivation, shared with the embedded SQL lists:
+    mirrors Parser.parse_sentence on pure-alpha lowercase input (stopword
+    filter) + the engine's dict.fromkeys term dedup."""
+    from search_engine_ray.text.stopwords import STOPWORDS
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    toks = [t for t in simple_tokenize(q)
+            if t.isalpha() and t not in _CLEAN_DROP]
+    return list(dict.fromkeys(t for t in toks if t not in STOPWORDS))
+
+
+def q_search_bm25_clean(sf_dir: str, mode: str = "bm25", k: int = 10):
+    """BM25 top-k through the REAL engine (posting decode, df_map, tf_norm,
+    (score, ts, id) ranking) over the clean index; SQL-checked."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        res = eng.search(q, k=k, mode=mode)
+        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
+def _clean_qterms_values() -> str:
+    vals = []
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        for t in _clean_query_terms(q):
+            vals.append(f"({qid}, '{t}')")
+    return ", ".join(vals)
+
+
+SQL_SEARCH_BM25_CLEAN = f"""
+WITH kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
+docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
+stats AS (SELECT count(*) AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       GROUP BY term HAVING count(DISTINCT doc_id) >= 2),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         log10(stats.n_docs / df.df) * tf.tf * (1.2 + 1)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_BM25_CLEAN = SQL_SEARCH_BM25_CLEAN.replace(
+    "{QTERMS}", _clean_qterms_values())
+
+
+# -------------------------------------------------------------- lang-id SQL
+def q_langid_pred(sf_dir: str):
+    import ray.data
+
+    from search_engine_ray.ops.textstats import LangId
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+
+def _langid_profile_values() -> str:
+    from search_engine_ray.ops.textstats import _LANG_PROFILES
+
+    vals = []
+    for ord_, (lang, words) in enumerate(_LANG_PROFILES.items()):
+        for w in sorted(words):
+            vals.append(f"('{lang}', {ord_}, '{w}')")
+    return ", ".join(vals)
+
+
+SQL_LANGID_PRED = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents),
+prof(lang, ord, term) AS (VALUES {{PROFILES}}),
+scores AS (SELECT t.doc_id, p.lang, p.ord, count(*) AS n
+           FROM toks t JOIN prof p ON t.term = p.term
+           GROUP BY t.doc_id, p.lang, p.ord),
+best AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, ord) AS rn
+         FROM scores WHERE n > 0)
+SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+FROM documents d
+LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+"""
+SQL_LANGID_PRED = SQL_LANGID_PRED.replace(
+    "{PROFILES}", _langid_profile_values())
+
+
+# -------------------------------------------------------- md5 fingerprint
+def q_fingerprint_md5(sf_dir: str):
+    """64-bit md5-based content fingerprint (DuckDB md5_number_lower
+    parity: bytes 8..16 of the digest, little-endian, unsigned)."""
+    import hashlib as _h
+
+    import ray.data
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
+                              "little") for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp64": pa.array(fps, pa.uint64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_MD5 = """
+SELECT doc_id, md5_number_lower(text) AS fp64 FROM documents
+"""
