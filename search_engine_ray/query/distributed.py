@@ -22,6 +22,19 @@ import numpy as np
 import ray
 
 
+def meta_positions(meta_ids: np.ndarray, doc_ids: np.ndarray):
+    """Positions into a sorted docmeta id array + found mask; callers must
+    treat not-found rows as (ts=0, glove=0) rather than attributing a
+    neighbor's metadata (mirrors SearchEngine._meta_for, engine.py)."""
+    n = len(meta_ids)
+    if n == 0:
+        return (np.zeros(len(doc_ids), np.int64),
+                np.zeros(len(doc_ids), bool))
+    pos = np.clip(np.searchsorted(meta_ids, doc_ids), 0, n - 1)
+    found = meta_ids[pos] == doc_ids
+    return pos, found
+
+
 @ray.remote
 class QueryShardActor:
     """Serves a subset of shards of one index."""
@@ -174,8 +187,14 @@ class QueryShardActor:
             pos_count: dict[str, int] = {}
             for t in query:
                 pos_count[t] = pos_count.get(t, 0) + 1
+            # knownness is GLOBAL (term in the shipped dictionary slice),
+            # not local posting presence: a known term with no postings in
+            # this actor's shards must still contribute its true query tf,
+            # or the query-vector norm (and thus wcos) diverges from the
+            # in-process engine (engine.py: postings() is None iff the
+            # term is absent from the dictionary)
             qtf = np.array([
-                (pos_count[t] if plists.get(t) is not None else 1) / Q
+                (pos_count[t] if t in df_map else 1) / Q
                 for t in query])
             member = np.zeros((len(cand), Q))
             for i, t in enumerate(query):
@@ -193,9 +212,8 @@ class QueryShardActor:
                 1 - cfg.bm25_b + cfg.bm25_b * dl[:, None] / self.avg_dl)
             bm25 = ((qidf[None, :] * dtf * (cfg.bm25_k1 + 1))
                     / denom).sum(axis=1)
-            pos = np.searchsorted(self._meta_ids, cand)
-            pos = np.clip(pos, 0, max(len(self._meta_ids) - 1, 0))
-            gmat = self._meta_glove[pos]
+            pos, found = meta_positions(self._meta_ids, cand)
+            gmat = self._meta_glove[pos] * found[:, None]
             gnum = gmat @ qg
             gden = np.linalg.norm(gmat, axis=1) * np.linalg.norm(qg)
             gcos = np.where((gden == 0) | (gnum == 0), 0.0,
@@ -205,9 +223,8 @@ class QueryShardActor:
         else:
             raise ValueError(mode)
 
-        pos = np.searchsorted(self._meta_ids, cand)
-        pos = np.clip(pos, 0, max(len(self._meta_ids) - 1, 0))
-        ts = self._meta_ts[pos]
+        pos, found = meta_positions(self._meta_ids, cand)
+        ts = self._meta_ts[pos] * found
         order = np.lexsort((cand, ts, scores))
         order = order[-k:] if k <= len(order) else order
         return [(float(scores[i]), int(ts[i]), int(cand[i])) for i in order]

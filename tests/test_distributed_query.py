@@ -21,3 +21,80 @@ def test_distributed_matches_inprocess(dist_engine, engine, mode):
         assert [(d, ts) for _, d, ts in a] == [(d, ts) for _, d, ts in b], q
         for (sa, _, _), (sb, _, _) in zip(a, b):
             assert abs(sa - sb) < 1e-9, q
+
+
+def test_meta_positions_found_mask():
+    """A doc id absent from docmeta must come back found=False (callers
+    zero its ts/glove) instead of borrowing a neighbor's row."""
+    import numpy as np
+
+    from search_engine_ray.query.distributed import meta_positions
+
+    ids = np.array([10, 20, 30], dtype=np.int64)
+    pos, found = meta_positions(ids, np.array([5, 20, 25, 40]))
+    assert found.tolist() == [False, True, False, False]
+    assert ids[pos[1]] == 20
+    # empty docmeta: nothing found, no crash
+    pos, found = meta_positions(np.zeros(0, np.int64), np.array([1, 2]))
+    assert found.tolist() == [False, False]
+    assert pos.tolist() == [0, 0]
+
+
+def test_repeated_term_missing_from_shard_parity(ray_session,
+                                                 tmp_path_factory):
+    """Reference-mode qtf must use GLOBAL term knownness: a query repeating
+    a term whose postings live in only one shard must score identically on
+    actors that hold none of its postings (ADVICE r1: local-presence qtf
+    changed the query-vector norm on those actors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.ids import doc_id_for_url
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+    from search_engine_ray.query.engine import SearchEngine
+    from search_engine_ray.text.extract import wrap_html
+
+    S = 4
+    # find two urls whose hashed doc ids land in the SAME shard, and
+    # filler urls spread over the others
+    rare, fillers = [], []
+    i = 0
+    while len(rare) < 2 or len(fillers) < 12:
+        url = f"ex.com/p{i}"
+        if doc_id_for_url(url) % S == 0 and len(rare) < 2:
+            rare.append(url)
+        elif doc_id_for_url(url) % S != 0 and len(fillers) < 12:
+            fillers.append(url)
+        i += 1
+    urls = rare + fillers
+    # 'merge'/'data' must have df < N (nonzero idf) or every local dvec
+    # zeroes out and the qtf bug is invisible
+    texts = (["the qwxzebra molecule binds the merge protein data"] * 2
+             + ["common merge data protein words appear here often"] * 6
+             + ["common protein words appear here generally today"] * 6)
+    t = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([1595808000_000_000 + j * 1_000_000
+                             for j in range(len(urls))],
+                            pa.timestamp("us")),
+        "html": pa.array([wrap_html(x, f"t{j}")
+                          for j, x in enumerate(texts)], pa.binary()),
+    })
+    data_dir = tmp_path_factory.mktemp("skewpages")
+    out_dir = str(tmp_path_factory.mktemp("skewindex"))
+    pq.write_table(t, str(data_dir / "pages.parquet"))
+    build_index(str(data_dir), out_dir,
+                EngineConfig(num_shards=S, term_buckets=4,
+                             parser_concurrency=2))
+    eng = SearchEngine(out_dir)
+    dist = DistributedSearchEngine(out_dir, num_actors=S)
+    # 'qwxzebra' df=2 (survives the df==1 prune), all postings in shard 0;
+    # repeating it makes qtf degenerate on shards 1..3 under the old code
+    for q in ("qwxzebra qwxzebra merge", "qwxzebra qwxzebra qwxzebra data"):
+        a = eng.search(q, k=10, mode="reference")
+        b = dist.search(q, k=10, mode="reference")
+        assert [(d, ts) for _, d, ts in a] == [(d, ts) for _, d, ts in b], q
+        for (sa, _, _), (sb, _, _) in zip(a, b):
+            assert abs(sa - sb) < 1e-9, q
