@@ -93,7 +93,7 @@ RUN_SCHEMA = pa.schema(_RUN_FIELDS)
 
 # bump when the on-disk index layout changes — part of the checkpoint
 # fingerprint so stale checkpoints rebuild instead of misloading
-INDEX_FORMAT = 4
+INDEX_FORMAT = 5
 
 
 # --------------------------------------------------------------- stage 1
@@ -521,9 +521,9 @@ class FinalizeBucket:
         # metadata serves per-shard skip-decode serving at cluster scale
         blk_last_all = ids[block_ends - 1]
         blk_doc_all = (doc_off[block_starts]
-                       - doc_off[seg_starts[seg_of_block]]).astype(np.int32)
+                       - doc_off[seg_starts[seg_of_block]]).astype(np.int64)
         blk_tf_all = (tf_off[block_starts]
-                      - tf_off[seg_starts[seg_of_block]]).astype(np.int32)
+                      - tf_off[seg_starts[seg_of_block]]).astype(np.int64)
 
         tbucket = int(group["tbucket"].iloc[0])
         from search_engine_ray.ids import term_bucket as _tb

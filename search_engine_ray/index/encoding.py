@@ -134,8 +134,11 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     blk_max = blk_max64.astype(np.float32)
     low = blk_max.astype(np.float64) < blk_max64
     blk_max[low] = np.nextafter(blk_max[low], np.float32(np.inf))
-    blk_doc_off = doc_off[starts].astype(np.int32)
-    blk_tf_off = tf_off[starts].astype(np.int32)
+    # int64: a single (term, shard) segment's varbyte stream can exceed
+    # 2 GiB for a head term at cluster scale; int32 offsets would silently
+    # overflow and corrupt the block-skip metadata
+    blk_doc_off = doc_off[starts].astype(np.int64)
+    blk_tf_off = tf_off[starts].astype(np.int64)
     return EncodedPostings(
         n=n, docids_vb=docids_vb, tf_vb=tf_vb, dl_vb=dl_vb,
         mtf_vb=mtf_vb, uniq_vb=uniq_vb,
@@ -157,6 +160,6 @@ def decode_postings(row: dict) -> dict:
         "uniqs": varbyte_decode(row["uniq_vb"], count=n),
         "blk_last": np.frombuffer(row["blk_last"], dtype=np.int64),
         "blk_max": np.frombuffer(row["blk_max"], dtype=np.float32),
-        "blk_doc_off": np.frombuffer(row["blk_doc_off"], dtype=np.int32),
-        "blk_tf_off": np.frombuffer(row["blk_tf_off"], dtype=np.int32),
+        "blk_doc_off": np.frombuffer(row["blk_doc_off"], dtype=np.int64),
+        "blk_tf_off": np.frombuffer(row["blk_tf_off"], dtype=np.int64),
     }
