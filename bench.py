@@ -42,7 +42,7 @@ SCRATCH = os.environ.get("GRAFT_BENCH_SCRATCH", _DEFAULT_SCRATCH)
 
 def _bench_corpus_dir(n: int) -> str:
     """Generate (once) the deterministic synthetic bench corpus."""
-    path = os.path.join(SCRATCH, f"pages_{n}_{BENCH_DOC_LEN}")
+    path = os.path.join(SCRATCH, f"pages_{n}_{BENCH_DOC_LEN}_rg")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -60,7 +60,10 @@ def _bench_corpus_dir(n: int) -> str:
             t = gen_pages(cnt, seed=42 + i,
                           min_len=max(4, BENCH_DOC_LEN // 2),
                           max_len=BENCH_DOC_LEN * 3 // 2)
-            pq.write_table(t, os.path.join(path, f"part_{i}.parquet"))
+            # fine row groups: the parse stage's resume partitions are
+            # row-group chunks, so coarse groups would cap parallelism
+            pq.write_table(t, os.path.join(path, f"part_{i}.parquet"),
+                           row_group_size=4096)
         open(marker, "w").close()
     return path
 

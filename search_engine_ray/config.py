@@ -25,6 +25,9 @@ class EngineConfig:
     bm25_weight: float = 0.05
     glove_weight: float = 0.05
     glove_dim: int = 25
+    glove_path: "str | None" = None  # real GloVe snapshot (txt or parquet,
+                                     # glove.py); None -> deterministic
+                                     # synthetic stand-in
 
     # --- physical layout / scale knobs ---
     num_shards: int = 8             # doc_id % num_shards postings partitioning
@@ -32,6 +35,11 @@ class EngineConfig:
                                     # query-side directory pruning granularity
     block_size: int = 128           # postings per block-max block
     parse_batch_size: int = 1024    # docs per parser batch
+    parse_part_rows: int = 8192     # target rows per parse partition (the
+                                    # per-partition commit/resume unit;
+                                    # row-group chunks are never split, so
+                                    # coarse-row-group inputs degrade to
+                                    # per-file granularity)
     run_batch_size: int = 16384     # docs per SPIMI run-builder batch
                                     # (bigger batch => longer runs => fewer
                                     # rows through the posting shuffle)
@@ -45,8 +53,8 @@ class EngineConfig:
     _SEMANTIC_FIELDS = (
         "stemming", "tokenizer", "bm25_k1", "bm25_b", "min_match_ratio",
         "w_cos_weight", "bm25_weight", "glove_weight", "glove_dim",
-        "num_shards", "term_buckets", "block_size", "prune_df1",
-        "harvest_page_url",
+        "glove_path", "num_shards", "term_buckets", "block_size",
+        "prune_df1", "harvest_page_url",
     )
 
     def fingerprint(self) -> str:

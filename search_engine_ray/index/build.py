@@ -279,7 +279,16 @@ def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
 # actor pool without per-stage actor spawn cost (significant when many
 # short stages run back to back).
 _WORKER_BUCKET_CACHE: dict[tuple[int, str], int] = {}
-_WORKER_GLOVE = GloveCache()
+_WORKER_GLOVES: dict[str, GloveCache] = {}
+
+
+def _worker_glove(cfg: EngineConfig) -> GloveCache:
+    key = cfg.glove_path or ""
+    g = _WORKER_GLOVES.get(key)
+    if g is None:
+        g = GloveCache(cfg.glove_path, cfg.glove_dim)
+        _WORKER_GLOVES[key] = g
+    return g
 
 
 def build_runs_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
@@ -291,7 +300,7 @@ def finalize_group(group, avg_dl: float, cfg: EngineConfig) -> pa.Table:
 
 
 def doc_vec_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
-    return DocVec(cfg, _WORKER_GLOVE)(batch)
+    return DocVec(cfg, _worker_glove(cfg))(batch)
 
 
 # --------------------------------------------------------------- stage 3
@@ -623,6 +632,164 @@ def _spill_base(out_dir: str) -> str:
     return out_dir
 
 
+class InjectedCrash(RuntimeError):
+    """Raised by the test-only crash hooks (GRAFT_CRASH_*_AFTER env vars)
+    to simulate a driver death between partition commits."""
+
+
+def _maybe_crash(env_var: str, n_committed: int) -> None:
+    v = os.environ.get(env_var)
+    if v and n_committed >= int(v):
+        raise InjectedCrash(f"{env_var}={v} after {n_committed} commits")
+
+
+def _parse_partitions(in_files: list[str],
+                      target_rows: int) -> list[tuple[str, str, list[int]]]:
+    """Deterministic parse-partition plan: (part_key, file, row_groups).
+
+    A pure function of the input parquet footers and ``target_rows`` —
+    independent of cluster size and scheduling, so a resumed run
+    reproduces the identical partition set (and therefore identical
+    output files).  Row groups are never split; a file with one huge row
+    group degrades to a single partition."""
+    import pyarrow.parquet as pq
+
+    parts: list[tuple[str, str, list[int]]] = []
+    for fi, f in enumerate(in_files):
+        md = pq.ParquetFile(f).metadata
+        cur: list[int] = []
+        cur_rows = 0
+        for rg in range(md.num_row_groups):
+            cur.append(rg)
+            cur_rows += md.row_group(rg).num_rows
+            if cur_rows >= target_rows:
+                parts.append((f"f{fi:05d}-rg{cur[0]:05d}", f, cur))
+                cur, cur_rows = [], 0
+        if cur:
+            parts.append((f"f{fi:05d}-rg{cur[0]:05d}", f, cur))
+        if md.num_row_groups == 0:
+            parts.append((f"f{fi:05d}-rg00000", f, []))
+    return parts
+
+
+# per-worker-process parser cache for the task-based parse stage (workers
+# are reused across tasks; the parser compiles regex/stopword state once)
+_PARSE_UDF_CACHE: dict[tuple, object] = {}
+
+
+def _parse_part(path: str, row_groups: list[int], out_path: str,
+                cfg: EngineConfig, input_format: str) -> int:
+    """Parse one partition (a row-group chunk of one input file) and
+    atomically write its forward-index parquet; returns rows written.
+
+    Output bytes are deterministic in (file, row_groups, config): batches
+    iterate in row-group order with a fixed batch size, and the writer
+    lays one row group per batch."""
+    import pyarrow.parquet as pq
+
+    key = (cfg.stemming, cfg.tokenizer, cfg.harvest_page_url,
+           cfg.num_shards, input_format)
+    udf = _PARSE_UDF_CACHE.get(key)
+    if udf is None:
+        udf = (ParsePages if input_format == "pages" else ParseTweets)(cfg)
+        _PARSE_UDF_CACHE[key] = udf
+    cols = ["url", "warc_ts", "html"] if input_format == "pages" else None
+    import uuid
+
+    pf = pq.ParquetFile(path)
+    # unique tmp name: an orphaned task from a killed run may still be
+    # writing its own attempt of the same partition
+    tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    rows = 0
+    writer = pq.ParquetWriter(tmp, PARSED_SCHEMA)
+    try:
+        if row_groups:
+            for batch in pf.iter_batches(batch_size=cfg.parse_batch_size,
+                                         row_groups=row_groups,
+                                         columns=cols):
+                out = udf(pa.Table.from_batches([batch]))
+                if out.num_rows:
+                    writer.write_table(out)
+                    rows += out.num_rows
+    finally:
+        writer.close()
+        pf.close()
+    os.replace(tmp, out_path)
+    return {"rows": rows}
+
+
+def _run_part_tasks(work, task_fn, *, out_dir: str, stage: str,
+                    input_fp: str, config_fp: str, crash_env: str) -> None:
+    """Run per-partition tasks, appending a commit-log entry as each
+    partition's output lands.  ``work`` is [(part_key, args_tuple)];
+    already-committed partitions must be filtered out by the caller."""
+    import ray
+
+    remote = ray.remote(num_cpus=1)(task_fn)
+    refs = {remote.remote(*args): key for key, args in work}
+    n_committed = 0
+    try:
+        while refs:
+            ready, _ = ray.wait(list(refs), num_returns=1)
+            for r in ready:
+                key = refs.pop(r)
+                meta = ray.get(r)
+                mf.commit_part(out_dir, stage, key, input_fp=input_fp,
+                               config_fp=config_fp, meta=meta)
+                n_committed += 1
+                _maybe_crash(crash_env, n_committed)
+    except BaseException:
+        # cancel in-flight work so it can't race a subsequent resume's
+        # re-run of the same partitions (a real process kill takes the
+        # whole local cluster down with it)
+        for r in refs:
+            ray.cancel(r, force=True)
+        raise
+
+
+def _reduce_postings_part(part_dir: str, postings_root: str, avg_dl: float,
+                          cfg: EngineConfig) -> dict:
+    """Reduce ONE (tbucket, sshard) spill partition into its final posting
+    file(s), atomically renamed into place.  Output bytes are
+    deterministic: finalize_group fully re-sorts by (term, doc), so the
+    result is a pure function of the partition's row multiset, regardless
+    of run segmentation or spill file order.
+
+    Rows are written under their FINAL term's tbucket dir (the capitals
+    UPPER rewrite can move a term to another bucket), so query-side
+    directory pruning keeps working; file names encode the SOURCE
+    partition so a resumed re-run overwrites its own files only."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    parent, shpart = os.path.split(part_dir.rstrip("/"))
+    tb = int(os.path.basename(parent).rsplit("tbucket=", 1)[1])
+    sh = int(shpart.rsplit("sshard=", 1)[1])
+    df = pq.read_table(part_dir).to_pandas()
+    df["tbucket"] = tb
+    tbl = finalize_group(df, avg_dl, cfg)
+    rows = 0
+    if tbl.num_rows:
+        for out_tb in pc.unique(tbl.column("tbucket")).to_pylist():
+            sub = tbl.filter(pc.equal(tbl.column("tbucket"), out_tb))
+            sub = sub.drop_columns(["tbucket"])
+            ddir = os.path.join(postings_root, f"tbucket={int(out_tb)}")
+            os.makedirs(ddir, exist_ok=True)
+            import uuid
+
+            out_path = os.path.join(
+                ddir, f"part-tb{tb:05d}-s{sh:05d}.parquet")
+            tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            # small row groups + term-sorted rows let query-side filters
+            # skip groups; blobs are already varbyte-compressed, so a
+            # parquet codec on top only slows query reads
+            pq.write_table(sub, tmp, row_group_size=128,
+                           compression="none")
+            os.replace(tmp, out_path)
+            rows += sub.num_rows
+    return {"rows": rows}
+
+
 def _row_count_from_metadata(parquet_dir: str) -> int:
     """Total rows from parquet footers only — no data scan."""
     import glob as _glob
@@ -671,27 +838,35 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     docmeta_dir = mf.stage_dir(out_dir, "docmeta")
     counters: dict = {"input_files": len(in_files)}
 
-    # ---- stage 1: parse (checkpointed forward index)
+    # ---- stage 1: parse (checkpointed forward index).
+    # One raw Ray task per deterministic row-group-chunk partition, each
+    # atomically writing its own output file, with a per-partition commit
+    # log — a build killed at 95% resumes by re-running only uncommitted
+    # partitions (the Dataset API cannot commit mid-write, so this stage
+    # drops to tasks; the hot parse loop is the same ParsePages UDF with
+    # per-worker-process state).
     if not mf.stage_complete(out_dir, "parsed", input_fp, cfg_fp):
-        mf.clear_stage(out_dir, "parsed")
-        read_cols = (["url", "warc_ts", "html"]
-                     if input_format == "pages" else None)
-        ds = ray.data.read_parquet(
-            in_files, columns=read_cols,
-            override_num_blocks=max(len(in_files),
-                                    cfg.parser_concurrency * 2))
-        parse_cls = ParsePages if input_format == "pages" else ParseTweets
-        parsed = ds.map_batches(
-            parse_cls, fn_constructor_args=(cfg,),
-            batch_format="pyarrow", batch_size=cfg.parse_batch_size,
-            concurrency=(max(1, cfg.parser_concurrency // 2),
-                         cfg.parser_concurrency),
-        )
-        parsed.write_parquet(parsed_dir)
+        parts = _parse_partitions(in_files, cfg.parse_part_rows)
+        done = mf.committed_parts(out_dir, "parsed", input_fp, cfg_fp)
+        if not done:
+            mf.clear_stage(out_dir, "parsed")
+        os.makedirs(parsed_dir, exist_ok=True)
+        for stray in globmod.glob(os.path.join(parsed_dir, "*.tmp-*")):
+            os.remove(stray)  # partial writes from a killed run
+        work = [
+            (key, (path, rgs, os.path.join(parsed_dir,
+                                           f"part-{key}.parquet"),
+                   cfg, input_format))
+            for key, path, rgs in parts if key not in done]
+        _run_part_tasks(work, _parse_part, out_dir=out_dir, stage="parsed",
+                        input_fp=input_fp, config_fp=cfg_fp,
+                        crash_env="GRAFT_CRASH_PARSED_AFTER")
         mf.commit_stage(out_dir, "parsed", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(parsed_dir),
-                            "input_files": len(in_files)})
+                            "input_files": len(in_files),
+                            "partitions": len(parts),
+                            "resumed_partitions": len(done)})
 
     # Effective batch size for the batch-combine stages: big enough to
     # amortize per-batch work, small enough that task count keeps every
@@ -783,39 +958,72 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     counters.update(n_docs=n_docs, sum_doc_length=sum_dl,
                     avg_doc_length=avg_dl)
 
-    # ---- stage 3: postings (the one big shuffle)
+    # ---- stage 3: postings (the one big shuffle).
+    # Phase A (runs + dict rows -> (tbucket, sshard)-partitioned spill) is
+    # all-or-nothing behind a spill marker; phase B runs one reduce task
+    # per spill partition, each atomically writing its own deterministic
+    # output file with a per-partition commit-log entry — a build killed
+    # mid-reduce resumes from the surviving spill, re-running only
+    # uncommitted partitions to byte-identical output.
     if not mf.stage_complete(out_dir, "postings", input_fp, cfg_fp):
-        mf.clear_stage(out_dir, "postings")
-        src = ray.data.read_parquet(
-            parsed_dir,
-            columns=["shard", "doc_id", "doc_length", "max_tf",
-                     "unique_terms", "terms", "tfs"])
-        runs = src.map_batches(
-            build_runs_batch, fn_args=(cfg,),
-            batch_format="pyarrow", batch_size=eff_batch,
-        )
-        dict_src = ray.data.read_parquet(dict_dir)
-        dict_rep = dict_src.map_batches(
-            lambda b: replicate_dict_rows(b, cfg.num_shards, cfg.term_buckets),
-            batch_format="pyarrow").repartition(max(4, cfg.num_shards // 2))
-        unioned = runs.union(dict_rep)
-
-        # Explicit filesystem shuffle (Ray's sort-based groupby serializes
-        # on a driver-side Sort op at this scale): phase A writes runs
-        # hash-partitioned by term bucket — every map task
-        # appends its own files per partition dir — and phase B reduces
-        # each partition independently in parallel tasks.  This is the
-        # spill/merge the reference does on one disk (indexer.py:110-253),
-        # done as a parallel external shuffle.
-        spill_dir = os.path.join(_spill_base(out_dir), "_postings_spill")
+        import json as _json
         import shutil as _sh
 
-        _sh.rmtree(spill_dir, ignore_errors=True)
-        # two-level hive partitioning: a head term's rows split across
-        # num_shards sibling dirs, so no reduce task ever reads a full
-        # head-term posting list (the skew bound in the module docstring)
-        unioned.write_parquet(spill_dir, partition_cols=["tbucket", "sshard"],
-                              compression="none")  # tmpfs spill: skip codec
+        spill_dir = os.path.join(_spill_base(out_dir), "_postings_spill")
+        spill_marker = os.path.join(spill_dir, "_SPILL_OK.json")
+        done = mf.committed_parts(out_dir, "postings", input_fp, cfg_fp)
+        spill_ok = False
+        try:
+            with open(spill_marker) as f:
+                m = _json.load(f)
+            spill_ok = (m.get("input_fp") == input_fp
+                        and m.get("config_fp") == cfg_fp)
+        except (OSError, ValueError):
+            spill_ok = False
+        if not done or not spill_ok:
+            # no usable partial state (spills are tmpfs-transient: a lost
+            # spill with a partial commit log restarts the stage)
+            done = set()
+            mf.clear_stage(out_dir, "postings")
+        os.makedirs(postings_dir, exist_ok=True)
+        for stray in globmod.glob(
+                os.path.join(postings_dir, "**", "*.tmp-*"),
+                recursive=True):
+            os.remove(stray)
+        if not spill_ok:
+            src = ray.data.read_parquet(
+                parsed_dir,
+                columns=["shard", "doc_id", "doc_length", "max_tf",
+                         "unique_terms", "terms", "tfs"])
+            runs = src.map_batches(
+                build_runs_batch, fn_args=(cfg,),
+                batch_format="pyarrow", batch_size=eff_batch,
+            )
+            dict_src = ray.data.read_parquet(dict_dir)
+            dict_rep = dict_src.map_batches(
+                lambda b: replicate_dict_rows(b, cfg.num_shards,
+                                              cfg.term_buckets),
+                batch_format="pyarrow").repartition(
+                    max(4, cfg.num_shards // 2))
+            unioned = runs.union(dict_rep)
+
+            # Explicit filesystem shuffle (Ray's sort-based groupby
+            # serializes on a driver-side Sort op at this scale): phase A
+            # writes runs hash-partitioned by term bucket — every map task
+            # appends its own files per partition dir — and phase B
+            # reduces each partition independently in parallel tasks.
+            # This is the spill/merge the reference does on one disk
+            # (indexer.py:110-253), done as a parallel external shuffle.
+            _sh.rmtree(spill_dir, ignore_errors=True)
+            # two-level hive partitioning: a head term's rows split across
+            # num_shards sibling dirs, so no reduce task ever reads a full
+            # head-term posting list (skew bound in the module docstring)
+            unioned.write_parquet(spill_dir,
+                                  partition_cols=["tbucket", "sshard"],
+                                  compression="none")  # tmpfs: skip codec
+            with open(spill_marker + ".tmp", "w") as f:
+                _json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
+            os.replace(spill_marker + ".tmp", spill_marker)
 
         part_dirs = sorted(
             os.path.join(spill_dir, tb, sh)
@@ -830,32 +1038,16 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                 for f in os.listdir(d) if f.endswith(".parquet"))
             for d in part_dirs]
 
-        def reduce_partitions(batch, avg_dl=avg_dl, cfg=cfg):
-            import pandas as pd
-            import pyarrow.parquet as pq
+        def part_key(d):
+            parent, shpart = os.path.split(d.rstrip("/"))
+            return f"{os.path.basename(parent)}/{shpart}"
 
-            outs = []
-            for d in batch["dir"]:
-                # hive partitioning moved the keys into the dir names
-                parent, shpart = os.path.split(str(d).rstrip("/"))
-                tb = int(os.path.basename(parent).rsplit("tbucket=", 1)[1])
-                df = pq.read_table(d).to_pandas()
-                df["tbucket"] = tb
-                outs.append(finalize_group(df, avg_dl, cfg))
-            return pa.concat_tables(outs) if outs else finalize_group(
-                pd.DataFrame(), avg_dl, cfg)
-
-        red = ray.data.from_items([{"dir": d} for d in part_dirs],
-                                  override_num_blocks=len(part_dirs))
-        final = red.map_batches(reduce_partitions, batch_size=1,
-                                batch_format="numpy")
-        # partition by TERM bucket: a query for term t prunes to ONE
-        # directory (postings/tbucket=hash(t)%B) instead of scanning all;
-        # small row groups + term-sorted rows let the filter skip groups
-        final.write_parquet(postings_dir, partition_cols=["tbucket"],
-                            row_group_size=128, compression="none")
-        # (blobs are already varbyte-compressed; parquet codec on top only
-        # slows query-side reads)
+        work = [(part_key(d), (d, postings_dir, avg_dl, cfg))
+                for d in part_dirs if part_key(d) not in done]
+        _run_part_tasks(work, _reduce_postings_part, out_dir=out_dir,
+                        stage="postings", input_fp=input_fp,
+                        config_fp=cfg_fp,
+                        crash_env="GRAFT_CRASH_POSTINGS_AFTER")
         _sh.rmtree(spill_dir, ignore_errors=True)
         try:  # remove the (now empty) tmpfs spill base
             os.rmdir(os.path.dirname(spill_dir))
@@ -865,6 +1057,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(postings_dir),
                             "shuffle_partitions": len(part_dirs),
+                            "resumed_partitions": len(done),
                             "spill_total_bytes": int(sum(part_bytes)),
                             "spill_max_partition_bytes":
                                 int(max(part_bytes, default=0))})

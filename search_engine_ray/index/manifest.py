@@ -66,6 +66,61 @@ def commit_stage(out_dir: str, stage: str, *, input_fp: str, config_fp: str,
     return marker
 
 
+PART_LOG = "_PARTS.jsonl"
+
+
+def part_log_path(out_dir: str, stage: str) -> str:
+    return os.path.join(stage_dir(out_dir, stage), PART_LOG)
+
+
+def committed_parts(out_dir: str, stage: str, input_fp: str,
+                    config_fp: str) -> set[str]:
+    """Partition keys committed for this (stage, input, config) — the
+    per-partition commit log.  A killed run resumes by skipping these.
+
+    Entries for other fingerprints are ignored (a changed input/config
+    restarts the stage from scratch)."""
+    path = part_log_path(out_dir, stage)
+    done: set[str] = set()
+    if not os.path.exists(path):
+        return done
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    e = json.loads(line)
+                except Exception:
+                    continue  # torn tail line from a crash mid-append
+                if (e.get("input_fp") == input_fp
+                        and e.get("config_fp") == config_fp):
+                    done.add(e["part"])
+    except OSError:
+        return set()
+    return done
+
+
+def commit_part(out_dir: str, stage: str, part: str, *, input_fp: str,
+                config_fp: str, meta: dict | None = None) -> None:
+    """Append one partition-commit record (called AFTER the partition's
+    output file is atomically renamed into place).  Single-writer append;
+    a torn tail line is tolerated by committed_parts, which simply
+    re-runs that partition — partition outputs are deterministic, so the
+    rewrite is idempotent."""
+    sdir = stage_dir(out_dir, stage)
+    os.makedirs(sdir, exist_ok=True)
+    rec = {"part": part, "input_fp": input_fp, "config_fp": config_fp,
+           "committed_at": time.time()}
+    if meta:
+        rec["meta"] = meta
+    with open(part_log_path(out_dir, stage), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
 def clear_stage(out_dir: str, stage: str) -> None:
     import shutil
 

@@ -52,7 +52,8 @@ def built_index(ray_session, small_pages, tmp_path_factory):
 
     data_dir = tmp_path_factory.mktemp("pages")
     out_dir = str(tmp_path_factory.mktemp("index"))
-    pq.write_table(small_pages, str(data_dir / "pages.parquet"))
+    pq.write_table(small_pages, str(data_dir / "pages.parquet"),
+                   row_group_size=128)  # several parse partitions
     cfg = EngineConfig(num_shards=4, term_buckets=4, parser_concurrency=2)
     man = build_index(str(data_dir), out_dir, cfg)
     return out_dir, man, cfg, str(data_dir)
