@@ -32,14 +32,68 @@ def glove_vector(word: str) -> "np.ndarray | None":
     return (rng.random(GLOVE_DIM, dtype=np.float64) * 2.0 - 1.0)
 
 
+# per-process snapshot cache: a worker loads a given snapshot file ONCE
+# and every GloveCache in that process shares it (the reference loads the
+# txt once at module import, search_engine.py:13-23).  At cluster scale a
+# driver-side load + ray.put broadcast would avoid N-workers×file reads;
+# per-process lazy load keeps workers independent of driver lifetime,
+# which the resumable build needs.
+_SNAPSHOT_CACHE: dict[str, dict] = {}
+
+
+def load_glove_snapshot(path: str, dim: int | None = None) -> dict:
+    """word -> float64 vector from a real GloVe snapshot.
+
+    Accepts the published txt format (``word v1 v2 ... vD`` per line,
+    whitespace-separated — glove.twitter.27B.25d.txt) or a parquet file
+    with (word: string, vector: list<float>) columns.  Loaded once per
+    process; raises ValueError on a dim mismatch so a config/snapshot
+    disagreement fails loudly instead of mis-shaping centroids."""
+    cached = _SNAPSHOT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    vecs: dict[str, np.ndarray] = {}
+    if path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["word", "vector"])
+        for w, v in zip(t.column("word").to_pylist(),
+                        t.column("vector").to_pylist()):
+            vecs[w] = np.asarray(v, dtype=np.float64)
+    else:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split(" ")
+                if len(parts) < 2:
+                    continue
+                vecs[parts[0]] = np.asarray(parts[1:], dtype=np.float64)
+    if dim is not None:
+        for w, v in vecs.items():
+            if len(v) != dim:
+                raise ValueError(
+                    f"glove snapshot {path!r}: word {w!r} has dim "
+                    f"{len(v)}, config expects {dim}")
+    _SNAPSHOT_CACHE[path] = vecs
+    return vecs
+
+
 class GloveCache:
     """Per-actor memoizing cache — the stateful-stage pattern for ST3
-    (SURVEY.md §2.3): state built once per worker, reused per batch."""
+    (SURVEY.md §2.3): state built once per worker, reused per batch.
 
-    def __init__(self):
+    With ``snapshot_path`` set, lookups come from the real snapshot
+    (absent word -> None, the reference's ``term in glove_dict`` miss
+    path); otherwise the deterministic synthetic vectors stand in."""
+
+    def __init__(self, snapshot_path: "str | None" = None,
+                 dim: "int | None" = None):
         self._cache: dict[str, "np.ndarray | None"] = {}
+        self._snap = (load_glove_snapshot(snapshot_path, dim)
+                      if snapshot_path else None)
 
     def get(self, word: str) -> "np.ndarray | None":
+        if self._snap is not None:
+            return self._snap.get(word)
         v = self._cache.get(word, False)
         if v is False:
             v = glove_vector(word)

@@ -44,7 +44,8 @@ class OracleIndex:
             tokenizer=self.config.tokenizer,
             harvest_page_url=self.config.harvest_page_url,
         )
-        self.glove = GloveCache()
+        self.glove = GloveCache(self.config.glove_path,
+                                self.config.glove_dim)
         # term -> list[(doc_id, doc_length, max_tf, unique_terms, tf)]
         self.postings: dict[str, list[tuple]] = {}
         self.df: dict[str, int] = {}

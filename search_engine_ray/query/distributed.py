@@ -159,7 +159,7 @@ class QueryShardActor:
             from search_engine_ray.glove import GloveCache
 
             if not hasattr(self, "_glove"):
-                self._glove = GloveCache()
+                self._glove = GloveCache(cfg.glove_path, cfg.glove_dim)
             qg = np.zeros(cfg.glove_dim)
             for t in query:
                 g = self._glove.get(t)

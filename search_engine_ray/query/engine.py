@@ -52,7 +52,7 @@ class SearchEngine:
         self.parser = Parser(
             stemming=self.cfg.stemming, tokenizer=self.cfg.tokenizer,
             harvest_page_url=self.cfg.harvest_page_url)
-        self.glove = GloveCache()
+        self.glove = GloveCache(self.cfg.glove_path, self.cfg.glove_dim)
 
         import glob as _glob
         import os
