@@ -144,3 +144,35 @@ def test_sessionize_gap_semantics(ray_session, tmp_path_factory):
     assert len(out) == 3
     assert out["n_events"].tolist() == [3, 2, 1]
     assert out["duration_s"].tolist() == [200, 100, 0]
+
+
+def test_simhash_vectorized_matches_reference_loop():
+    """Golden check: the vectorized SimHasher equals a straightforward
+    per-token reference implementation bit for bit."""
+    import numpy as np
+
+    from search_engine_ray.ops.dedup import SimHasher, _hash64
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different content here entirely",
+        "",
+        "repeated repeated repeated words words",
+    ]
+
+    def simhash_loop(text):
+        toks = simple_tokenize(text)
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for t in toks:
+            h = np.uint64(_hash64(t.encode()))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        return int((np.left_shift((acc > 0).astype(np.uint64),
+                                  shifts)).sum(dtype=np.uint64))
+
+    got = SimHasher().simhash_batch(texts)
+    want = [simhash_loop(t) for t in texts]
+    assert [int(x) for x in got] == want
