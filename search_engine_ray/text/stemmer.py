@@ -75,7 +75,9 @@ def _contains_vowel(s: str) -> bool:
 
 
 def stem(word: str) -> str:
-    word = word.lower()
+    word = word.lower().replace("’", "'")  # NLTK maps the curly
+    # apostrophe to ASCII before Step 0 so possessives strip in stemming
+    # mode even though the parser preserves U+2019
     if len(word) <= 2:
         return word
     if word in _EXCEPTIONS:
@@ -83,13 +85,17 @@ def stem(word: str) -> str:
 
     if word.startswith("'"):
         word = word[1:]
-    # mark consonant-y
+    # mark consonant-y LEFT-TO-RIGHT against the progressively rewritten
+    # string (NLTK rewrites in place; Y is not a vowel, so the second of
+    # two consecutive y's after a vowel — 'sayyid' — stays unmarked)
     if word.startswith("y"):
         word = "Y" + word[1:]
-    word = "".join(
-        "Y" if ch == "y" and word[i - 1] in _VOWELS else ch
-        for i, ch in enumerate(word)
-    ) if "y" in word[1:] else word
+    if "y" in word[1:]:
+        chars = list(word)
+        for i in range(1, len(chars)):
+            if chars[i] == "y" and chars[i - 1] in _VOWELS:
+                chars[i] = "Y"
+        word = "".join(chars)
 
     r1, r2 = _regions(word)
 

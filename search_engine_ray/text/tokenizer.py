@@ -59,11 +59,31 @@ _ENDING_QUOTES = [
 _CONTRACTIONS2 = re.compile(r"(?i)([^' ])('[smd]|') ")
 _CONTRACTIONS3 = re.compile(r"(?i)([^' ])('ll|'re|'ve|n't) ")
 
-# Light punkt stand-in: split after .!? followed by whitespace.  The
-# fixtures control text shapes (FIXTURES.md §F1) so abbreviation handling
-# is unnecessary; what matters is that mid-text sentence-final periods
-# detach the same way punkt+treebank detaches them.
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+# MacIntyre word-level contraction splits from the published tokenizer.sed
+# rules (NLTK's CONTRACTIONS2/CONTRACTIONS3 lists): cannot -> can not,
+# gonna -> gon na, 'tis -> 't is, ... — the reference's word_tokenize
+# applies these, and 'can'/'not' etc. are stopwords downstream
+_CONTRACTIONS_WORD = [
+    re.compile(r"(?i)\b(can)(not)\b"),
+    re.compile(r"(?i)\b(d)('ye)\b"),
+    re.compile(r"(?i)\b(gim)(me)\b"),
+    re.compile(r"(?i)\b(gon)(na)\b"),
+    re.compile(r"(?i)\b(got)(ta)\b"),
+    re.compile(r"(?i)\b(lem)(me)\b"),
+    re.compile(r"(?i)\b(more)('n)\b"),
+    re.compile(r"(?i)\b(wan)(na)\s"),
+]
+_CONTRACTIONS_TIS = [
+    re.compile(r"(?i) ('t)(is)\b"),
+    re.compile(r"(?i) ('t)(was)\b"),
+]
+
+# Light punkt stand-in: split after .!? (optionally followed by a closing
+# quote/bracket) then whitespace.  The fixtures control text shapes
+# (FIXTURES.md §F1) so abbreviation handling is unnecessary; what matters
+# is that mid-text sentence-final periods detach the same way
+# punkt+treebank detaches them — including 'things."' forms.
+_SENT_SPLIT = re.compile(r"(?:(?<=[.!?])|(?<=[.!?][\"')\]]))\s+")
 
 
 def _treebank_sentence(sent: str) -> list[str]:
@@ -79,6 +99,10 @@ def _treebank_sentence(sent: str) -> list[str]:
         text = pat.sub(sub, text)
     text = _CONTRACTIONS2.sub(r"\1 \2 ", text)
     text = _CONTRACTIONS3.sub(r"\1 \2 ", text)
+    for pat in _CONTRACTIONS_WORD:
+        text = pat.sub(r" \1 \2 ", text)
+    for pat in _CONTRACTIONS_TIS:
+        text = pat.sub(r" \1 \2 ", text)
     return text.split()
 
 

@@ -32,3 +32,23 @@ def test_lowercases_like_nltk():
 def test_idempotent_on_short():
     assert stem("x") == "x"
     assert stem("xy") == "xy"
+
+
+def test_consecutive_y_marking_matches_nltk():
+    """'sayyid': the second y's predecessor is the REWRITTEN 'Y' (not a
+    vowel), so it must stay unmarked — NLTK rewrites in place."""
+    from search_engine_ray.text.stemmer import stem
+
+    # NLTK SnowballStemmer('english').stem('sayyid') == 'sayyid'
+    assert stem("sayyid") == "sayyid"
+    # regression guards around the y-marking path
+    assert stem("saying") == "say"
+    assert stem("playing") == "play"
+
+
+def test_curly_apostrophe_possessive_strips():
+    """U+2019 normalizes to ASCII before Step 0, so curly possessives
+    strip like NLTK's."""
+    from search_engine_ray.text.stemmer import stem
+
+    assert stem("world’s") == stem("world's") == "world"

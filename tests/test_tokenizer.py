@@ -49,3 +49,27 @@ def test_simple_tokenizer_matches_sql_semantics():
         ["hello", "world", "tag", "42"]
     assert simple_tokenize("") == []
     assert simple_tokenize("---") == []
+
+
+def test_macintyre_contraction_splits():
+    """NLTK word_tokenize applies the tokenizer.sed MacIntyre lists; the
+    reference's token streams split these (ADVICE r1)."""
+    from search_engine_ray.text.tokenizer import treebank_tokenize as T
+
+    assert T("I cannot go") == ["I", "can", "not", "go"]
+    assert T("Gonna rain, wanna stay") == [
+        "Gon", "na", "rain", ",", "wan", "na", "stay"]
+    assert T("'Tis true 'twas so") == [
+        "'T", "is", "true", "'t", "was", "so"]
+    assert T("gimme that, lemme see, gotta run, d'ye know") == [
+        "gim", "me", "that", ",", "lem", "me", "see", ",",
+        "got", "ta", "run", ",", "d", "'ye", "know"]
+
+
+def test_sentence_split_after_period_quote():
+    """'things."' followed by a new sentence must split so the dot
+    detaches (punkt splits after closing quotes)."""
+    from search_engine_ray.text.tokenizer import treebank_tokenize as T
+
+    toks = T('He said "great things." Next sentence here.')
+    assert "things" in toks and 'things."' not in toks
