@@ -132,6 +132,22 @@ def run_bench() -> dict:
     p95_ms = lat_sorted[int(0.95 * (len(lat_sorted) - 1))]
     p50_ms = statistics.median(lat_sorted)
 
+    # --- phase 4: distributed batch-query throughput (shard actors; the
+    # serving path that scales with nodes).  One warm pass populates the
+    # per-actor posting caches, then a large batch measures steady-state
+    # queries/s with all per-query fan-outs in flight.
+    from search_engine_ray.query.batch import search_many
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    dist = DistributedSearchEngine(
+        bench_index, num_actors=min(cfg.num_shards, NUM_CPUS))
+    search_many(dist, queries, k=10, mode="bm25")  # warm caches
+    qset = [q for _ in range(40) for q in queries]
+    t0 = time.perf_counter()
+    search_many(dist, qset, k=10, mode="bm25")
+    timings["batch_queries_total"] = time.perf_counter() - t0
+    batch_qps = len(qset) / timings["batch_queries_total"]
+
     ray.shutdown()
     headline = timings["sf_index_build"] + timings["bench_index_build"]
     return {
@@ -146,6 +162,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p50_ms": round(p50_ms, 2),
         "query_p95_ms": round(p95_ms, 2),
+        "batch_qps": round(batch_qps, 1),
     }
 
 
@@ -173,6 +190,9 @@ def run_scaling() -> dict:
     thr_lo = out[lo]["docs_per_sec"]
     thr_hi = out[hi]["docs_per_sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
+    qps_lo = out[lo].get("batch_qps", 0.0)
+    qps_hi = out[hi].get("batch_qps", 0.0)
+    qps_eff = qps_hi / ((hi / lo) * qps_lo) if qps_lo else 0.0
     return {
         "metric": f"scaling_efficiency(docs_per_sec, {lo}->{hi} cpus)",
         "value": round(eff, 3),
@@ -183,6 +203,9 @@ def run_scaling() -> dict:
         f"build_sec_{hi}": out[hi]["queries"]["bench_index_build"],
         f"query_p95_ms_{lo}": out[lo]["query_p95_ms"],
         f"query_p95_ms_{hi}": out[hi]["query_p95_ms"],
+        f"batch_qps_{lo}": qps_lo,
+        f"batch_qps_{hi}": qps_hi,
+        "batch_qps_scaling": round(qps_eff, 3),
         "bench_docs": out[hi]["bench_docs"],
         "sf": SF_DIR,
     }
