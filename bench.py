@@ -132,20 +132,21 @@ def run_bench() -> dict:
     p95_ms = lat_sorted[int(0.95 * (len(lat_sorted) - 1))]
     p50_ms = statistics.median(lat_sorted)
 
-    # --- phase 4: distributed batch-query throughput (shard actors; the
-    # serving path that scales with nodes).  One warm pass populates the
-    # per-actor posting caches, then a large batch measures steady-state
-    # queries/s with all per-query fan-outs in flight.
-    from search_engine_ray.query.batch import search_many
-    from search_engine_ray.query.distributed import DistributedSearchEngine
+    # --- phase 4: offline batch-query throughput, partitioned by QUERY
+    # (each worker holds a full engine and serves a disjoint slice — the
+    # embarrassingly-parallel batch path; the doc-sharded fan-out engine
+    # serves the online low-latency path and is parity-tested instead)
+    from search_engine_ray.query.batch import BatchQueryPool
 
-    dist = DistributedSearchEngine(
-        bench_index, num_actors=min(cfg.num_shards, NUM_CPUS))
-    search_many(dist, queries, k=10, mode="bm25")  # warm caches
-    qset = [q for _ in range(40) for q in queries]
+    conc = max(2, NUM_CPUS // 2)
+    pool = BatchQueryPool(bench_index, num_workers=conc, k=10,
+                          mode="bm25")
+    qset = [q for _ in range(240) for q in queries]
+    pool.run(qset[:conc * len(queries)])  # warm engines + posting caches
     t0 = time.perf_counter()
-    search_many(dist, qset, k=10, mode="bm25")
+    res = pool.run(qset)
     timings["batch_queries_total"] = time.perf_counter() - t0
+    assert res.num_rows > 0
     batch_qps = len(qset) / timings["batch_queries_total"]
 
     ray.shutdown()

@@ -35,7 +35,7 @@ class EngineConfig:
                                     # query-side directory pruning granularity
     block_size: int = 128           # postings per block-max block
     parse_batch_size: int = 1024    # docs per parser batch
-    parse_part_rows: int = 8192     # target rows per parse partition (the
+    parse_part_rows: int = 4096     # target rows per parse partition (the
                                     # per-partition commit/resume unit;
                                     # row-group chunks are never split, so
                                     # coarse-row-group inputs degrade to

@@ -40,10 +40,74 @@ class MediaDecoder:
         self.dim = feature_dim
 
     def _decode_real(self, payload: bytes, kind: str) -> np.ndarray:
+        """Real decode for stdlib-decodable formats (WAV PCM via ``wave``,
+        PPM/PGM via header parse); compressed formats (JPEG/PNG/MP3/H.264)
+        still raise — their decoders are not in this environment; plug
+        PIL.Image.open / soundfile.read here."""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._wav_features(payload)
+        if payload[:2] in (b"P6", b"P5"):
+            return self._pnm_features(payload)
         raise NotImplementedError(
-            "image/audio decode libs are not available in this environment; "
-            "plug a real decoder here (PIL.Image.open / soundfile.read) — "
-            "the surrounding Ray plumbing is complete")
+            f"no stdlib decoder for this payload (kind={kind!r}); "
+            "JPEG/PNG/MP3 need external libs absent from this environment")
+
+    def _fit(self, vals: list) -> np.ndarray:
+        out = np.zeros(self.dim)
+        v = np.asarray(vals, dtype=np.float64)[:self.dim]
+        out[:len(v)] = v
+        return out
+
+    def _wav_features(self, payload: bytes) -> np.ndarray:
+        """(duration_s, sample_rate, channels, rms, peak, zero-cross rate)
+        from PCM WAV — pure stdlib."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            nf, sr, ch, sw = (w.getnframes(), w.getframerate(),
+                              w.getnchannels(), w.getsampwidth())
+            raw = w.readframes(nf)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+        if dtype is None:
+            raise NotImplementedError(f"WAV sample width {sw}")
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sw == 1:
+            x -= 128.0
+        scale = float(2 ** (8 * sw - 1))
+        x /= scale
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        peak = float(np.max(np.abs(x))) if len(x) else 0.0
+        zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+               if len(x) > 1 else 0.0)
+        return self._fit([nf / sr if sr else 0.0, sr, ch, rms, peak, zcr])
+
+    def _pnm_features(self, payload: bytes) -> np.ndarray:
+        """(width, height, channels, mean, std, min, max) from binary
+        PPM(P6)/PGM(P5) — manual header parse, no image libs."""
+        tokens: list[bytes] = []
+        i = 2  # past magic
+        while len(tokens) < 3:
+            while i < len(payload) and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":  # comment to end of line
+                while i < len(payload) and payload[i:i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = (int(t) for t in tokens)
+        ch = 3 if payload[:2] == b"P6" else 1
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                           offset=i).astype(np.float64)
+        return self._fit([w, h, ch, float(px.mean()), float(px.std()),
+                          float(px.min()), float(px.max())])
 
     def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
         h = hashlib.blake2b(payload, digest_size=8).digest()
@@ -75,6 +139,29 @@ def decode_media(ds, *, impl: str = "fake", batch_size: int = 64,
         MediaDecoder, fn_constructor_kwargs={"impl": impl},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """float[-1,1] mono -> 16-bit PCM WAV bytes (stdlib; test fixture +
+    example of the payload contract)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes((np.clip(samples, -1, 1)
+                       * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) array -> binary PPM bytes."""
+    h, w, _ = pixels.shape
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + pixels.astype(np.uint8).tobytes())
 
 
 def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:

@@ -68,6 +68,78 @@ def search_many(dist_engine, queries: list[str], k: int = 10,
     })
 
 
+class _EngineWorker:
+    """Actor-pool UDF: one full in-process SearchEngine per worker, each
+    serving a disjoint query partition (state built once, ST5)."""
+
+    def __init__(self, index_dir: str, k: int, mode: str):
+        from search_engine_ray.query.engine import SearchEngine
+
+        self.eng = SearchEngine(index_dir)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"query_id": [], "rank": [], "doc_id": [], "score": [],
+                "warc_ts": []}
+        for qid, text in zip(batch.column("query_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            res = self.eng.search(text, k=self.k, mode=self.mode)
+            for rank, (score, doc_id, ts) in enumerate(reversed(res),
+                                                       start=1):
+                rows["query_id"].append(qid)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(doc_id)
+                rows["score"].append(score)
+                rows["warc_ts"].append(ts)
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+            "warc_ts": pa.array(rows["warc_ts"], pa.int64()),
+        })
+
+
+class BatchQueryPool:
+    """Persistent query-partitioned serving pool: N actors, each holding
+    a full in-process engine, serving disjoint query slices across calls
+    (warm dictionaries/posting caches survive between batches — a Dataset
+    actor pool dies with each execution, so this drops to raw actors).
+
+    Scale shape: right when a worker can hold the dictionary + docmeta
+    (posting reads stay lazy and bucket-pruned); when the index outgrows
+    one worker, use the doc-sharded ``search_many`` fan-out path instead.
+    Results are identical to the in-process engine per query."""
+
+    def __init__(self, index_dir: str, num_workers: int = 4,
+                 k: int = 10, mode: str = "bm25"):
+        worker = ray.remote(num_cpus=1)(_EngineWorker)
+        self.actors = [worker.remote(index_dir, k, mode)
+                       for _ in range(num_workers)]
+
+    def run(self, queries: list[str]) -> pa.Table:
+        n = len(self.actors)
+        futures = []
+        for w in range(n):
+            qids = list(range(w, len(queries), n))
+            if not qids:
+                continue
+            batch = pa.table({
+                "query_id": pa.array(qids, pa.int64()),
+                "text": pa.array([queries[i] for i in qids], pa.string()),
+            })
+            futures.append(self.actors[w].__call__.remote(batch))
+        return pa.concat_tables(ray.get(futures))
+
+
+def search_many_partitioned(index_dir: str, queries: list[str],
+                            k: int = 10, mode: str = "bm25",
+                            concurrency: int = 4) -> pa.Table:
+    """One-shot wrapper around BatchQueryPool."""
+    return BatchQueryPool(index_dir, concurrency, k, mode).run(queries)
+
+
 def write_results_csv(results: pa.Table, path: str) -> str:
     """Results -> CSV (reference write_to_csv, search_engine.py:115-118)."""
     import pyarrow.csv as pacsv

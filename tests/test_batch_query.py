@@ -43,3 +43,20 @@ def test_csv_sink(dist_engine, tmp_path):
     text = open(out).read()
     assert text.splitlines()[0].startswith('"query_id","rank","doc_id"')
     assert len(text.splitlines()) == table.num_rows + 1
+
+
+def test_search_many_partitioned_matches_inprocess(built_index, engine):
+    """Query-partitioned batch mode returns exactly the in-process
+    engine's results for every query."""
+    from search_engine_ray.fixtures import gen_queries
+    from search_engine_ray.query.batch import search_many_partitioned
+
+    queries = [q for q in gen_queries()][:8]
+    t = search_many_partitioned(built_index[0], queries, k=10,
+                                mode="bm25", concurrency=2)
+    df = t.to_pandas()
+    for qi, q in enumerate(queries):
+        want = engine.search(q, k=10, mode="bm25")
+        got = df[df["query_id"] == qi].sort_values("rank")
+        assert [(d, ts) for _, d, ts in reversed(want)] == list(
+            zip(got["doc_id"], got["warc_ts"])), q

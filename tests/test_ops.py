@@ -176,3 +176,36 @@ def test_simhash_vectorized_matches_reference_loop():
     got = SimHasher().simhash_batch(texts)
     want = [simhash_loop(t) for t in texts]
     assert [int(x) for x in got] == want
+
+
+def test_multimodal_real_decode_wav_ppm(ray_session):
+    """impl='real' decodes stdlib-decodable formats (PCM WAV, binary PPM)
+    through the actual Ray stage; compressed formats still raise."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.ops.multimodal import (
+        decode_media,
+        encode_ppm,
+        encode_wav,
+    )
+
+    t = np.arange(8000) / 8000
+    wav = encode_wav(0.5 * np.sin(2 * np.pi * 440 * t))
+    ppm = encode_ppm(np.full((4, 6, 3), 200, np.uint8))
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "kind": pa.array(["audio", "image"], pa.string()),
+        "payload": pa.array([wav, ppm], pa.binary()),
+        "meta": pa.array([json.dumps({}), json.dumps({})], pa.string()),
+    })
+    out = decode_media(ray.data.from_arrow(tbl), impl="real",
+                       batch_size=1).to_pandas().sort_values("media_id")
+    fa = np.asarray(out.iloc[0]["features"])
+    fi = np.asarray(out.iloc[1]["features"])
+    assert abs(fa[0] - 1.0) < 1e-6 and fa[1] == 8000  # duration, rate
+    assert abs(fa[3] - 0.3536) < 0.01                 # sine rms ~ a/sqrt(2)
+    assert (fi[0], fi[1], fi[2], fi[3]) == (6, 4, 3, 200)
