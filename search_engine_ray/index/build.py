@@ -999,12 +999,17 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                 build_runs_batch, fn_args=(cfg,),
                 batch_format="pyarrow", batch_size=eff_batch,
             )
-            dict_src = ray.data.read_parquet(dict_dir)
+            # NOTE: no repartition on the dict side — an all-to-all here
+            # serialized the streaming pipeline and cost ~27s of a 51s
+            # phase on the 400k/16-cpu measurement (probed r2); block
+            # sizing of the replicated dict rows doesn't matter to the
+            # partitioned write
+            dict_src = ray.data.read_parquet(
+                dict_dir, columns=["orig_term", "term", "df"])
             dict_rep = dict_src.map_batches(
                 lambda b: replicate_dict_rows(b, cfg.num_shards,
                                               cfg.term_buckets),
-                batch_format="pyarrow").repartition(
-                    max(4, cfg.num_shards // 2))
+                batch_format="pyarrow")
             unioned = runs.union(dict_rep)
 
             # Explicit filesystem shuffle (Ray's sort-based groupby
