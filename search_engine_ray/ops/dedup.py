@@ -294,6 +294,150 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6):
     return with_ab.map_batches(score, batch_format="pyarrow")
 
 
+# ---------------------------------------------------- exact n-gram Jaccard
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
+                        ngram: int = 3):
+    """EXACT n-gram-set Jaccard near-dup pairs: (a, b, jaccard) with
+    a < b, jaccard >= threshold — the verification-grade dedup the LSH
+    pipelines approximate, as its own operator.
+
+    Shape: (gram, doc) rows -> groupby(gram) emits per-gram pairs ->
+    groupby(a, b) sums intersection counts -> per-doc gram counts attach
+    via the same co-partitioned union-groupby as the minhash verifier ->
+    jaccard filter.  Exact all-pairs is inherently O(sum df_g^2) over
+    gram document frequencies — at 100-TB scale run minhash/simhash LSH
+    first and reserve this for candidate verification or partitioned
+    corpora.  Grams stay STRINGS through the shuffle so the result is
+    value-identical to a SQL oracle (a production run would 64-bit-hash
+    them; collisions merely merge grams)."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        counts_id, counts_n = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = simple_tokenize(text)
+            gs = {" ".join(toks[i:i + ngram])
+                  for i in range(len(toks) - ngram + 1)}
+            ids.extend([did] * len(gs))
+            grams.extend(gs)
+            counts_id.append(did)
+            counts_n.append(len(gs))
+        # per-doc gram-count rows ride along with gram = "" (no real
+        # n-gram is empty; simple tokens are non-empty)
+        ids.extend(counts_id)
+        grams.extend([""] * len(counts_id))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+            "n": pa.array([0] * (len(ids) - len(counts_id)) + counts_n,
+                          pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    rows = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
+        if g["gram"].iloc[0] == "":  # count rows pass through
+            return pd.DataFrame({
+                "a": g["doc_id"].astype("int64"),
+                "b": pd.Series([-1] * len(g), dtype="int64"),
+                "i": g["n"].astype("int64")})
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "i": pd.Series([], dtype="int64")})
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]],
+                             "i": np.ones(len(iu[0]), dtype=np.int64)})
+
+    # sum per-pair intersection counts; count rows (b=-1) sum to the
+    # per-doc gram count since each doc has exactly one.  Materialized:
+    # three downstream branches consume it, and it is the REDUCED
+    # pair/count set — orders of magnitude smaller than the gram rows —
+    # so pinning it beats re-running the gram shuffle three times
+    agg = (rows.groupby("gram").map_groups(pairs_in_gram,
+                                           batch_format="pandas")
+               .groupby(["a", "b"]).sum("i")).materialize()
+
+    # two attach shuffles pick up n_a (groupby a) then n_b (groupby b),
+    # the same co-partitioned union-groupby shape as the minhash verifier
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(batch.column("b"), pa.scalar(-1, pa.int64()))
+        return batch.filter(m)
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.not_equal(batch.column("b"), pa.scalar(-1, pa.int64()))
+        return batch.filter(m)
+
+    counts = agg.map_batches(tag_counts, batch_format="pyarrow")
+    pairs = agg.map_batches(tag_pairs, batch_format="pyarrow")
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        na_rows = g[g["b"] == -1]
+        if not len(na_rows):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "i": pd.Series([], dtype="int64"),
+                                 "na": pd.Series([], dtype="int64")})
+        na = int(na_rows["sum(i)"].iloc[0])
+        p = g[g["b"] != -1]
+        return pd.DataFrame({"a": p["a"].astype("int64"),
+                             "b": p["b"].astype("int64"),
+                             "i": p["sum(i)"].astype("int64"),
+                             "na": np.full(len(p), na, dtype=np.int64)})
+
+    with_na = counts.union(pairs).groupby("a").map_groups(
+        attach_a, batch_format="pandas")
+
+    # route count rows again, keyed by b: counts have b=-1, so re-key
+    def rekey_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # pandas output so the union below joins same-type blocks (the
+        # attach_a side produces pandas blocks via map_groups)
+        c = batch[batch["b"] == -1]
+        return pd.DataFrame({
+            "a": pd.Series(np.full(len(c), -1, dtype=np.int64)),
+            "b": c["a"].astype("int64").to_numpy(),
+            "i": c["sum(i)"].astype("int64").to_numpy(),
+            "na": pd.Series(np.zeros(len(c), dtype=np.int64)),
+        })
+
+    counts_b = agg.map_batches(rekey_counts, batch_format="pandas")
+
+    def attach_b(g: pd.DataFrame,
+                 thr: float = threshold) -> pd.DataFrame:
+        nb_rows = g[g["a"] == -1]
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        if not len(nb_rows):
+            return empty
+        nb = int(nb_rows["i"].iloc[0])
+        p = g[g["a"] != -1]
+        if not len(p):
+            return empty
+        inter = p["i"].to_numpy(dtype=np.int64)
+        na = p["na"].to_numpy(dtype=np.int64)
+        jac = inter / (na + nb - inter)
+        m = jac >= thr
+        return pd.DataFrame({"a": p["a"].to_numpy()[m],
+                             "b": p["b"].to_numpy()[m],
+                             "jaccard": jac[m]})
+
+    return with_na.union(counts_b).groupby("b").map_groups(
+        attach_b, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- simhash
 class SimHasher:
     """64-bit SimHash over simple tokens, fully vectorized per batch:

@@ -449,6 +449,45 @@ FROM pairs WHERE cos >= 0.95
 """
 
 
+# ------------------------------------------------------- n-gram Jaccard
+def q_ngram_jaccard(sf_dir: str):
+    """Exact 3-gram-set Jaccard near-dups (threshold 0.6), e6-scaled."""
+    from search_engine_ray.ops.dedup import ngram_jaccard_pairs
+
+    ds = ngram_jaccard_pairs(sf_dir, threshold=0.6, ngram=3)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        j = _round_half_away(
+            np.asarray(batch.column("jaccard").to_pylist(),
+                       dtype=np.float64) * 1_000_000)
+        batch = batch.drop_columns(["jaccard"])
+        return batch.append_column("jaccard_e6", pa.array(j, pa.int64()))
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS t,
+                generate_subscripts(toks, 1) AS pos FROM tl),
+grams AS (SELECT DISTINCT t1.doc_id,
+                 t1.t || ' ' || t2.t || ' ' || t3.t AS g
+          FROM toks t1
+          JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+          JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM grams x JOIN grams y
+               ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT a, b, i::DOUBLE / (ca.n + cb.n - i) AS j
+        FROM inter JOIN counts ca ON ca.doc_id = a
+        JOIN counts cb ON cb.doc_id = b)
+SELECT a, b, round(j * 1000000)::BIGINT AS jaccard_e6
+FROM jac WHERE j >= 0.6
+"""
+
+
 # ------------------------------------------------ clean-corpus engine checks
 # The REAL build+search path (adapter -> wrap_html -> extract -> Parser ->
 # SPIMI shuffle -> postings -> SearchEngine) is value-checked end-to-end by

@@ -209,3 +209,31 @@ def test_multimodal_real_decode_wav_ppm(ray_session):
     assert abs(fa[0] - 1.0) < 1e-6 and fa[1] == 8000  # duration, rate
     assert abs(fa[3] - 0.3536) < 0.01                 # sine rms ~ a/sqrt(2)
     assert (fi[0], fi[1], fi[2], fi[3]) == (6, 4, 3, 200)
+
+
+def test_ngram_jaccard_planted_pairs(ray_session, tmp_path):
+    """Exact 3-gram Jaccard finds a planted near-dup pair with the right
+    value, and nothing for unrelated docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.dedup import ngram_jaccard_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("upsilon", "phi")  # differs in the final token
+    texts = [base, near,
+             "one two three four five six seven eight nine ten",
+             "eleven twelve thirteen fourteen fifteen sixteen"]
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), p)
+    out = ngram_jaccard_pairs(str(tmp_path), threshold=0.5).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # 20 tokens -> 18 grams each; the changed token is LAST so it breaks
+    # exactly one gram: inter = 17, union = 18 + 18 - 17 = 19
+    assert (row["a"], row["b"]) == (0, 1)
+    assert abs(row["jaccard"] - 17 / 19) < 1e-12
