@@ -72,3 +72,32 @@ def test_stemming_build_matches_oracle(ray_session, tmp_path_factory):
         ro = oracle.search(q, k=10)
         re_ = eng.search(q, k=10)
         assert [(d, ts) for _, d, ts in ro] == [(d, ts) for _, d, ts in re_], q
+
+
+def test_reference_main_signature(ray_session, tmp_path_factory, capsys):
+    """search_engine_ray.compat.main mirrors the reference grader
+    contract: same signature, same print lines, queries=None no-op."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.compat import main
+    from search_engine_ray.fixtures import gen_tweets
+
+    data_dir = tmp_path_factory.mktemp("cmp_tweets")
+    out_dir = str(tmp_path_factory.mktemp("cmp_index"))
+    pq.write_table(gen_tweets(150), str(data_dir / "tweets.parquet"))
+
+    assert main(str(data_dir), out_dir, False, None, 5) == []
+
+    qfile = data_dir / "queries.txt"
+    qfile.write_text("covid vaccine\n\ndata\n", encoding="utf-8")
+    res = main(str(data_dir), out_dir, False, str(qfile), 5)
+    captured = capsys.readouterr().out
+    assert len(res) == 2
+    assert all(len(r) <= 5 for r in res)
+    total = sum(len(r) for r in res)
+    assert total > 0
+    assert captured.count("tweet id: ") == total
+    # best-first within each query
+    for r in res:
+        scores = [s for s, _ in r]
+        assert scores == sorted(scores, reverse=True)
