@@ -790,6 +790,58 @@ def _reduce_postings_part(part_dir: str, postings_root: str, avg_dl: float,
     return {"rows": rows}
 
 
+def _reduce_dict_part(kdir: str, dict_root: str, prune_df1: bool) -> dict:
+    """Reduce ONE dictionary key-bucket spill partition: aggregate the
+    partial rows and apply the reference merge rules, atomically writing
+    dict/part-kbucket=N.parquet.  Deterministic: apply_dict_rules sorts
+    by key, so bytes are a pure function of the partition's rows."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    kb = os.path.basename(kdir.rstrip("/"))
+    df = pq.read_table(kdir).to_pandas()
+    g = df.groupby("key", sort=False)
+    # min_count=1 keeps all-null groups null (a key with no entity rows
+    # must NOT look like entity-count 0)
+    import pandas as pd
+
+    agg = pd.DataFrame({
+        "df": g["df_part"].sum(min_count=1),
+        "caps": g["caps_part"].min(),
+        "ent": g["ent_part"].sum(min_count=1),
+    }).reset_index()
+    tbl = apply_dict_rules(
+        pa.Table.from_pandas(agg, preserve_index=False), prune_df1)
+    out_path = os.path.join(dict_root, f"part-{kb}.parquet")
+    tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out_path)
+    return {"rows": tbl.num_rows}
+
+
+def _docmeta_part(parsed_path: str, out_path: str,
+                  cfg: EngineConfig) -> dict:
+    """Docmeta for ONE parsed partition file: glove centroids + metadata,
+    rows sorted by shard with small row groups so query actors' shard
+    filters prune at the row-group level (no hive dirs — one file per
+    parse partition keeps the file count linear in partitions)."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parsed_path,
+                      columns=["doc_id", "url", "warc_ts", "shard",
+                               "doc_length", "max_tf", "unique_terms",
+                               "is_covid", "terms"])
+    out = doc_vec_batch(t, cfg).sort_by([("shard", "ascending"),
+                                         ("doc_id", "ascending")])
+    tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(out, tmp, row_group_size=256)
+    os.replace(tmp, out_path)
+    return {"rows": t.num_rows}
+
+
 def _row_count_from_metadata(parquet_dir: str) -> int:
     """Total rows from parquet footers only — no data scan."""
     import glob as _glob
@@ -909,53 +961,56 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     # hash-partitioned by key bucket, each bucket aggregates + applies the
     # merge rules independently — no driver-side Sort operator.
     if not mf.stage_complete(out_dir, "dict", input_fp, cfg_fp):
-        mf.clear_stage(out_dir, "dict")
-        src = ray.data.read_parquet(
-            parsed_dir,
-            columns=["terms", "caps_terms", "caps_flags", "entities",
-                     "doc_length"])
-        partials = src.map_batches(dict_partial_rows,
-                                   batch_format="pyarrow",
-                                   batch_size=eff_batch)
-        dict_spill = os.path.join(_spill_base(out_dir), "_dict_spill")
+        import json as _json
         import shutil as _sh
 
-        _sh.rmtree(dict_spill, ignore_errors=True)
-        partials.write_parquet(dict_spill, partition_cols=["kbucket"],
-                               compression="none")
+        dict_spill = os.path.join(_spill_base(out_dir), "_dict_spill")
+        dict_spill_marker = os.path.join(dict_spill, "_SPILL_OK.json")
+        done = mf.committed_parts(out_dir, "dict", input_fp, cfg_fp)
+        spill_ok = False
+        try:
+            with open(dict_spill_marker) as f:
+                m = _json.load(f)
+            spill_ok = (m.get("input_fp") == input_fp
+                        and m.get("config_fp") == cfg_fp)
+        except (OSError, ValueError):
+            spill_ok = False
+        if not done or not spill_ok:
+            done = set()
+            mf.clear_stage(out_dir, "dict")
+        os.makedirs(dict_dir, exist_ok=True)
+        for stray in globmod.glob(os.path.join(dict_dir, "*.tmp-*")):
+            os.remove(stray)
+        if not spill_ok:
+            src = ray.data.read_parquet(
+                parsed_dir,
+                columns=["terms", "caps_terms", "caps_flags", "entities",
+                         "doc_length"])
+            partials = src.map_batches(dict_partial_rows,
+                                       batch_format="pyarrow",
+                                       batch_size=eff_batch)
+            _sh.rmtree(dict_spill, ignore_errors=True)
+            partials.write_parquet(dict_spill, partition_cols=["kbucket"],
+                                   compression="none")
+            with open(dict_spill_marker + ".tmp", "w") as f:
+                _json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
+            os.replace(dict_spill_marker + ".tmp", dict_spill_marker)
         kdirs = sorted(os.path.join(dict_spill, d)
                        for d in os.listdir(dict_spill)
                        if d.startswith("kbucket="))
-
-        def reduce_dict(batch, prune_df1=cfg.prune_df1):
-            import pandas as pd
-            import pyarrow.parquet as pq
-
-            outs = []
-            for d in batch["dir"]:
-                df = pq.read_table(d).to_pandas()
-                g = df.groupby("key", sort=False)
-                # min_count=1 keeps all-null groups null (a key with no
-                # entity rows must NOT look like entity-count 0)
-                agg = pd.DataFrame({
-                    "df": g["df_part"].sum(min_count=1),
-                    "caps": g["caps_part"].min(),
-                    "ent": g["ent_part"].sum(min_count=1),
-                }).reset_index()
-                outs.append(apply_dict_rules(
-                    pa.Table.from_pandas(agg, preserve_index=False),
-                    prune_df1))
-            return pa.concat_tables(outs)
-
-        red = ray.data.from_items([{"dir": d} for d in kdirs],
-                                  override_num_blocks=len(kdirs))
-        red.map_batches(reduce_dict, batch_size=1,
-                        batch_format="numpy").write_parquet(dict_dir)
+        work = [(os.path.basename(d.rstrip("/")),
+                 (d, dict_dir, cfg.prune_df1))
+                for d in kdirs
+                if os.path.basename(d.rstrip("/")) not in done]
+        _run_part_tasks(work, _reduce_dict_part, out_dir=out_dir,
+                        stage="dict", input_fp=input_fp, config_fp=cfg_fp,
+                        crash_env="GRAFT_CRASH_DICT_AFTER")
         _sh.rmtree(dict_spill, ignore_errors=True)
         mf.commit_stage(out_dir, "dict", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(dict_dir),
-                            "shuffle_partitions": len(kdirs)})
+                            "shuffle_partitions": len(kdirs),
+                            "resumed_partitions": len(done)})
     _mark("dict")
 
     # corpus stats from the dict stage's reserved rows
@@ -1082,21 +1137,35 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                                 int(max(part_bytes, default=0))})
     _mark("postings")
 
-    # ---- stage 4: doc metadata
+    # ---- stage 4: doc metadata — map-only, so the partition unit is the
+    # parsed partition file itself: one task per file, atomic write,
+    # commit log; rows sorted by shard with small row groups so query
+    # actors' shard filters prune at the row-group level
     if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
-        mf.clear_stage(out_dir, "docmeta")
-        src = ray.data.read_parquet(
-            parsed_dir,
-            columns=["doc_id", "url", "warc_ts", "shard", "doc_length",
-                     "max_tf", "unique_terms", "is_covid", "terms"])
-        meta = src.map_batches(
-            doc_vec_batch, fn_args=(cfg,),
-            batch_format="pyarrow", batch_size=cfg.parse_batch_size,
-        )
-        meta.write_parquet(docmeta_dir, partition_cols=["shard"])
+        done = mf.committed_parts(out_dir, "docmeta", input_fp, cfg_fp)
+        if not done:
+            mf.clear_stage(out_dir, "docmeta")
+        os.makedirs(docmeta_dir, exist_ok=True)
+        for stray in globmod.glob(os.path.join(docmeta_dir, "*.tmp-*")):
+            os.remove(stray)
+        parsed_files = sorted(globmod.glob(
+            os.path.join(parsed_dir, "*.parquet")))
+        work = []
+        for pf in parsed_files:
+            key = os.path.basename(pf)[:-len(".parquet")]
+            if key in done:
+                continue
+            work.append((key, (pf, os.path.join(
+                docmeta_dir, f"{key}.docmeta.parquet"), cfg)))
+        _run_part_tasks(work, _docmeta_part, out_dir=out_dir,
+                        stage="docmeta", input_fp=input_fp,
+                        config_fp=cfg_fp,
+                        crash_env="GRAFT_CRASH_DOCMETA_AFTER")
         mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
-                            "rows": _row_count_from_metadata(docmeta_dir)})
+                            "rows": _row_count_from_metadata(docmeta_dir),
+                            "partitions": len(parsed_files),
+                            "resumed_partitions": len(done)})
     _mark("docmeta")
 
     from dataclasses import asdict

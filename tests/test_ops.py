@@ -237,3 +237,36 @@ def test_ngram_jaccard_planted_pairs(ray_session, tmp_path):
     # exactly one gram: inter = 17, union = 18 + 18 - 17 = 19
     assert (row["a"], row["b"]) == (0, 1)
     assert abs(row["jaccard"] - 17 / 19) < 1e-12
+
+
+def test_minhash_recall_vs_exact_ngram_ground_truth(ray_session):
+    """Cross-validation of the two near-dup pipelines on the driver
+    corpus: exact n-gram Jaccard is ground truth; MinHash+LSH (same
+    shingle width, same threshold) must find essentially all of it and
+    must not claim pairs the exact verifier would reject."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(sf):
+        pytest.skip("driver testdata absent")
+
+    from search_engine_ray.ops.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    truth = ngram_jaccard_pairs(sf, threshold=0.6, ngram=3).to_pandas()
+    got = minhash_near_dup_pairs(sf, threshold=0.6).to_pandas()
+    truth_pairs = set(zip(truth["a"], truth["b"]))
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert truth_pairs, "fixture should contain planted near-dups"
+    # recall: banding (16 bands x 8 rows) catches >=0.95-probability
+    # pairs at j=0.6; the fixture's dups are far above threshold
+    recall = len(truth_pairs & got_pairs) / len(truth_pairs)
+    assert recall >= 0.9, (recall, truth_pairs - got_pairs)
+    # precision: minhash verifies with exact (hashed-shingle) Jaccard,
+    # so false positives can only come from hash-set edge effects near
+    # the threshold — allow at most one borderline extra
+    assert len(got_pairs - truth_pairs) <= 1, got_pairs - truth_pairs

@@ -68,13 +68,29 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
         p = os.path.join(parsed_dir, f"part-{key}.parquet")
         committed_before[p] = os.stat(p).st_mtime_ns
 
-    # ---- kill 2: mid-postings-reduce, after 2 partition commits
+    # ---- kill 2: mid-dict-reduce
+    os.environ["GRAFT_CRASH_DICT_AFTER"] = "1"
+    try:
+        with pytest.raises(InjectedCrash):
+            build_index(data_dir, out_b, cfg)
+    finally:
+        del os.environ["GRAFT_CRASH_DICT_AFTER"]
+
+    # ---- kill 3: mid-postings-reduce, after 2 partition commits
     os.environ["GRAFT_CRASH_POSTINGS_AFTER"] = "2"
     try:
         with pytest.raises(InjectedCrash):
             build_index(data_dir, out_b, cfg)
     finally:
         del os.environ["GRAFT_CRASH_POSTINGS_AFTER"]
+
+    # ---- kill 4: mid-docmeta
+    os.environ["GRAFT_CRASH_DOCMETA_AFTER"] = "2"
+    try:
+        with pytest.raises(InjectedCrash):
+            build_index(data_dir, out_b, cfg)
+    finally:
+        del os.environ["GRAFT_CRASH_DOCMETA_AFTER"]
     postings_dir = mf.stage_dir(out_b, "postings")
     # snapshot only COMMITTED partitions' files: a task that finished
     # between the last commit and the crash legitimately re-runs (its
@@ -111,25 +127,15 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
         counters = json.load(f)["counters"]
     assert counters["resumed_partitions"] >= 2
 
-    # byte-identical index: every parsed + postings file matches the
-    # from-scratch build exactly
-    for stage in ("parsed", "postings"):
+    # byte-identical index: every file of every stage matches the
+    # from-scratch build exactly (all four stages write deterministic
+    # per-partition files)
+    for stage in ("parsed", "dict", "postings", "docmeta"):
         a = _file_map(mf.stage_dir(out_a, stage))
         b = _file_map(mf.stage_dir(out_b, stage))
         assert a.keys() == b.keys(), stage
         for rel in a:
             assert a[rel] == b[rel], f"{stage}/{rel} differs"
-
-    # dict + docmeta: logically identical (Ray-written file layout may
-    # differ; content must not)
-    import pyarrow.dataset as pads
-
-    for stage, keys in (("dict", ["term"]), ("docmeta", ["doc_id"])):
-        ta = pads.dataset(mf.stage_dir(out_a, stage)).to_table()
-        tb = pads.dataset(mf.stage_dir(out_b, stage)).to_table()
-        ta = ta.sort_by([(k, "ascending") for k in keys])
-        tb = tb.sort_by([(k, "ascending") for k in keys])
-        assert ta.equals(tb), stage
 
     assert man_a["n_docs"] == man_b["n_docs"]
     assert man_a["avg_doc_length"] == man_b["avg_doc_length"]
