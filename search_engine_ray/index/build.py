@@ -21,7 +21,14 @@ checkpointed Dataset stages over zero-copy Arrow batches:
    same shuffle as co-partitioned rows — no broadcast of vocab-sized
    state.
 4. ``docmeta`` — GloVe doc centroids (/root/reference/indexer.py:54-69)
-   + covid flag as an ordinary boolean column, hash-partitioned by shard.
+   + covid flag as an ordinary boolean column; one file per parse
+   partition, rows sorted by (shard, doc_id) with small row groups so
+   query actors' shard filters prune at the row-group level.
+
+All four stages commit per PARTITION (_PARTS.jsonl; parse partitions are
+deterministic row-group chunks, dict/postings partitions are spill
+buckets, docmeta partitions are the parse partition files) — a killed
+build resumes from the commit log to a byte-identical index.
 
 Shuffles are EXPLICIT filesystem exchanges (write hash-partitioned by
 bucket with every map task appending its own files, then one reduce task
@@ -93,7 +100,7 @@ RUN_SCHEMA = pa.schema(_RUN_FIELDS)
 
 # bump when the on-disk index layout changes — part of the checkpoint
 # fingerprint so stale checkpoints rebuild instead of misloading
-INDEX_FORMAT = 5
+INDEX_FORMAT = 6
 
 
 # --------------------------------------------------------------- stage 1
