@@ -117,8 +117,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": sq.q_exact_dedup,
         "lang_counts": sq.q_lang_counts,
         "events_tumbling_1h": sq.q_tumbling,
+        "events_hopping_1h_15m": sq.q_hopping,
         "events_sessionize": sq.q_sessionize,
         "event_type_stats": sq.q_event_type_stats,
+        "top_terms_per_lang": sq.q_top_terms_per_lang,
+        "sample_mod100": sq.q_sample_mod,
+        "quality_filter": sq.q_quality_filter,
         "knn_cosine_top10": sq.q_knn,
         "bm25_topk_simple": sq.q_bm25_topk,
         "embedding_near_dups": sq.q_embedding_near_dups,
@@ -156,8 +160,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": sq.SQL_EXACT_DEDUP,
         "lang_counts": sq.SQL_LANG_COUNTS,
         "events_tumbling_1h": sq.SQL_TUMBLING,
+        "events_hopping_1h_15m": sq.SQL_HOPPING,
         "events_sessionize": sq.SQL_SESSIONIZE,
         "event_type_stats": sq.SQL_EVENT_TYPE_STATS,
+        "top_terms_per_lang": sq.SQL_TOP_TERMS_PER_LANG,
+        "sample_mod100": sq.SQL_SAMPLE_MOD,
+        "quality_filter": sq.SQL_QUALITY_FILTER,
         "knn_cosine_top10": sq.SQL_KNN,
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,

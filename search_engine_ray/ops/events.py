@@ -44,6 +44,48 @@ def tumbling_window_agg(sf_dir: str, window_s: int = 3600):
                          Sum("sum_part", alias_name="sum_value")))
 
 
+def hopping_window_agg(sf_dir: str, window_s: int = 3600,
+                       hop_s: int = 900):
+    """Overlapping (hopping) windows: each event lands in
+    ``window_s / hop_s`` windows; per (event_type, window_start) count +
+    sum(value).  The fan-out happens INSIDE the partial-combine
+    map_batches (numpy repeat, pre-aggregated per batch), so the shuffle
+    moves only per-batch partials — the standard way to express sliding
+    aggregates on a batch engine.
+    SQL: join against generated hop offsets, then GROUP BY."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    k = window_s // hop_s  # windows containing each event
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy() // 1_000_000
+        # window starts: floor(ts/hop)*hop - i*hop for i in 0..k-1, kept
+        # when ts < start + window_s (always true for i < k)
+        base = (ts // hop_s) * hop_s
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * hop_s,
+                            len(ts)))
+        df = pd.DataFrame({
+            "event_type": np.repeat(
+                np.asarray(batch.column("event_type").to_pylist(),
+                           dtype=object), k),
+            "window_start_s": starts,
+            "value": np.repeat(batch.column("value").to_numpy(), k),
+        })
+        g = df.groupby(["event_type", "window_start_s"], sort=False).agg(
+            n_part=("value", "size"),
+            sum_part=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    return (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["event_type", "window_start_s"])
+              .aggregate(Sum("n_part", alias_name="n"),
+                         Sum("sum_part", alias_name="sum_value")))
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800):
     """Sessions per user: a new session starts when the gap from the
     previous event exceeds ``gap_s``.  Output: one row per session with

@@ -449,6 +449,81 @@ FROM pairs WHERE cos >= 0.95
 """
 
 
+# -------------------------------------------- grouped top-k / sample / gate
+def q_top_terms_per_lang(sf_dir: str):
+    from search_engine_ray.ops.textstats import top_terms_per_lang
+
+    return top_terms_per_lang(sf_dir, k=10)
+
+
+SQL_TOP_TERMS_PER_LANG = f"""
+WITH toks AS (SELECT lang, unnest({_TOKS_SQL}) AS term FROM documents),
+counts AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term),
+ranked AS (SELECT lang, term, n,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, term) AS rank
+           FROM counts)
+SELECT lang, term, n, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_sample_mod(sf_dir: str):
+    from search_engine_ray.ops.textstats import sample_mod
+
+    return sample_mod(sf_dir, pct=10)
+
+
+SQL_SAMPLE_MOD = """
+SELECT doc_id FROM documents WHERE md5_number_lower(text) % 100 < 10
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    from search_engine_ray.ops.textstats import quality_filter_ids
+
+    return quality_filter_ids(sf_dir)
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n_tokens,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                 AS sum_len
+      FROM t)
+SELECT doc_id, n_tokens FROM m
+WHERE n_tokens >= 30 AND sum_len >= 4 * n_tokens
+"""
+
+
+def q_hopping(sf_dir: str):
+    from search_engine_ray.ops.events import hopping_window_agg
+
+    ds = hopping_window_agg(sf_dir)
+
+    def scale_sum(batch: pa.Table) -> pa.Table:
+        sv = _round_half_away(
+            np.asarray(batch.column("sum_value").to_pylist()) * 10000)
+        batch = batch.drop_columns(["sum_value"])
+        return batch.append_column("sum_value_e4", pa.array(sv, pa.int64()))
+
+    return ds.map_batches(scale_sum, batch_format="pyarrow")
+
+
+SQL_HOPPING = """
+WITH hops AS (SELECT unnest([0, 1, 2, 3]) AS i),
+ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS ts_s, value
+       FROM events),
+fanout AS (
+  SELECT event_type,
+         (ts_s // 900) * 900 - i * 900 AS window_start_s,
+         value
+  FROM ev, hops)
+SELECT event_type, window_start_s, count(*) AS n,
+       round(sum(value) * 10000)::BIGINT AS sum_value_e4
+FROM fanout GROUP BY event_type, window_start_s
+"""
+
+
 # ------------------------------------------------------- n-gram Jaccard
 def q_ngram_jaccard(sf_dir: str):
     """Exact 3-gram-set Jaccard near-dups (threshold 0.6), e6-scaled."""

@@ -154,3 +154,90 @@ def lang_counts(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def top_terms_per_lang(sf_dir: str, k: int = 10):
+    """Per-language top-k terms by total occurrences — the grouped-top-k
+    operator (partial combine per (lang, term) inside map_batches, one
+    groupby sum, then a tiny per-lang top-k in map_groups).
+    Tie-break (n desc, term asc); rank 1 = most frequent."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lang, t in zip(batch.column("lang").to_pylist(),
+                           batch.column("text").to_pylist()):
+            for tok in simple_tokenize(t):
+                c[(lang, tok)] += 1
+        return pa.table({
+            "lang": pa.array([x for x, _ in c.keys()], pa.string()),
+            "term": pa.array([x for _, x in c.keys()], pa.string()),
+            "n_part": pa.array(list(c.values()), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "text"])
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["lang", "term"])
+             .aggregate(Sum("n_part", alias_name="n")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "term"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return agg.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def sample_mod(sf_dir: str, pct: int = 10):
+    """Deterministic corpus sample: keep docs whose 64-bit md5 content
+    hash falls in ``pct`` of 100 residue classes — the reproducible,
+    coordination-free sampling a training-data pipeline uses for held-out
+    splits (same rows on every run and every cluster size)."""
+    import hashlib as _h
+
+    import ray.data
+
+    def pick(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keep = np.array(
+            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
+                            "little") % 100 < pct for t in texts],
+            dtype=bool)
+        return batch.select(["doc_id"]).filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def quality_filter_ids(sf_dir: str, min_tokens: int = 30,
+                       min_mean_len_x: int = 4):
+    """Quality-gate filter: keep docs with >= min_tokens simple tokens
+    AND mean token length >= min_mean_len_x (integer predicate:
+    sum_token_len >= min_mean_len_x * n_tokens) — the shape of a
+    pre-training corpus filter.  Returns (doc_id, n_tokens)."""
+    import ray.data
+
+    def pick(batch: pa.Table) -> pa.Table:
+        n_tok, sum_len = [], []
+        for t in batch.column("text").to_pylist():
+            ts = simple_tokenize(t)
+            n_tok.append(len(ts))
+            sum_len.append(sum(len(x) for x in ts))
+        n = np.asarray(n_tok, dtype=np.int64)
+        s = np.asarray(sum_len, dtype=np.int64)
+        keep = (n >= min_tokens) & (s >= min_mean_len_x * n)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+        }).filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(pick, batch_format="pyarrow")
