@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_simple": sq.q_bm25_topk,
         "embedding_near_dups": sq.q_embedding_near_dups,
         "ngram_jaccard_dups": sq.q_ngram_jaccard,
+        "near_dup_keep_ids": sq.q_near_dup_keep,
         "langid_pred": sq.q_langid_pred,
         "fingerprint_md5": sq.q_fingerprint_md5,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
         "ngram_jaccard_dups": sq.SQL_NGRAM_JACCARD,
+        "near_dup_keep_ids": sq.SQL_NEAR_DUP_KEEP,
         "langid_pred": sq.SQL_LANGID_PRED,
         "fingerprint_md5": sq.SQL_FINGERPRINT_MD5,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,

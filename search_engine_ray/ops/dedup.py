@@ -438,6 +438,148 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
         attach_b, batch_format="pandas")
 
 
+# ------------------------------------------------- dedup apply (components)
+def connected_min_labels(pairs, max_iters: int = 20):
+    """Connected components over an undirected pair Dataset (a, b) by
+    iterative min-label propagation: every node converges to the MINIMUM
+    doc id in its component.  Returns a Dataset (node, label).
+
+    Each iteration is two co-partitioned shuffles over the EDGE+LABEL
+    rows only (near-dup nodes are a tiny fraction of a corpus);
+    iterations needed = component diameter, with convergence detected by
+    counting label changes (iterating an explicitly materialized small
+    state is the legitimate use of materialize()).  ``max_iters`` bounds
+    pathological chain components."""
+    import pandas as pd
+
+    import ray
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        # both orientations; label column -1 marks "edge row"
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "other": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(to_edges,
+                              batch_format="pyarrow").materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["node"].iloc[0])
+        return pd.DataFrame({"node": pd.Series([n], dtype="int64"),
+                             "label": pd.Series([n], dtype="int64")})
+
+    labels = edges.groupby("node").map_groups(
+        init_labels, batch_format="pandas").materialize()
+
+    for _ in range(max_iters):
+        # ship each node's label across its edges: group by node, emit
+        # (other, my_label) messages, keep (node, label) itself
+        def tag_edge(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": b["node"].astype("int64"),
+                "other": b["other"].astype("int64"),
+                "label": pd.Series(np.full(len(b), -1), dtype="int64"),
+            })
+
+        def tag_label_pd(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": b["node"].astype("int64"),
+                "other": pd.Series(np.full(len(b), -1), dtype="int64"),
+                "label": b["label"].astype("int64"),
+            })
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            lbl_rows = g[g["other"] == -1]
+            lbl = int(lbl_rows["label"].min())
+            e = g[g["other"] != -1]
+            return pd.DataFrame({
+                "node": np.concatenate([e["other"].to_numpy(np.int64),
+                                        [int(g["node"].iloc[0])]]),
+                "label": np.concatenate([
+                    np.full(len(e), lbl, dtype=np.int64), [lbl]]),
+            })
+
+        u = edges.map_batches(tag_edge, batch_format="pandas").union(
+            labels.map_batches(tag_label_pd, batch_format="pandas"))
+        msgs = u.groupby("node").map_groups(send, batch_format="pandas")
+
+        def take_min(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": pd.Series([int(g["node"].iloc[0])],
+                                  dtype="int64"),
+                "label": pd.Series([int(g["label"].min())],
+                                   dtype="int64"),
+            })
+
+        new_labels = msgs.groupby("node").map_groups(
+            take_min, batch_format="pandas").materialize()
+
+        # converged when no label changed: compare via a keyed union
+        def pair_rows(tag):
+            def f(b: pd.DataFrame) -> pd.DataFrame:
+                out = b.copy()
+                out["src"] = tag
+                return out
+            return f
+
+        def changed(g: pd.DataFrame) -> pd.DataFrame:
+            vals = g["label"].unique()
+            n = 1 if len(vals) > 1 else 0
+            return pd.DataFrame({"changed": pd.Series([n],
+                                                      dtype="int64")})
+
+        diff = (labels.map_batches(pair_rows(0), batch_format="pandas")
+                .union(new_labels.map_batches(pair_rows(1),
+                                              batch_format="pandas"))
+                .groupby("node").map_groups(changed,
+                                            batch_format="pandas"))
+        n_changed = diff.sum("changed")
+        labels = new_labels
+        if not n_changed:
+            break
+    return labels
+
+
+def near_dup_keep_ids(sf_dir: str, threshold: float = 0.6):
+    """Dedup APPLY: surviving doc ids after exact n-gram-Jaccard near-dup
+    removal — keep the MINIMUM doc id of every connected near-dup
+    component plus all non-duplicated docs.  Returns a Dataset (doc_id).
+
+    Composition: ngram_jaccard_pairs -> connected_min_labels -> one
+    broadcast of the (tiny) dropped-id set into a corpus filter."""
+    import ray
+    import ray.data
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    labels = connected_min_labels(pairs)
+
+    def dropped(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.not_equal(batch.column("node"), batch.column("label"))
+        return pa.table({"doc_id": batch.filter(m).column("node")})
+
+    # the dropped set is ~(dup docs) — tiny by construction; collect and
+    # broadcast it to the corpus filter
+    drop_df = labels.map_batches(dropped,
+                                 batch_format="pyarrow").to_pandas()
+    drop_ref = ray.put(frozenset(int(x) for x in drop_df["doc_id"]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ds_ = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.array([i not in ds_ for i in ids], dtype=bool)
+        return pa.table({"doc_id": pa.array(ids[mask], pa.int64())})
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir,
+                                              "documents.parquet"),
+                                 columns=["doc_id"])
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- simhash
 class SimHasher:
     """64-bit SimHash over simple tokens, fully vectorized per batch:

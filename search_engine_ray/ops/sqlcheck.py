@@ -563,6 +563,47 @@ FROM jac WHERE j >= 0.6
 """
 
 
+# ---------------------------------------------------- dedup apply (keep set)
+def q_near_dup_keep(sf_dir: str):
+    from search_engine_ray.ops.dedup import near_dup_keep_ids
+
+    return near_dup_keep_ids(sf_dir, threshold=0.6)
+
+
+# transitive closure by recursive CTE mirrors the distributed min-label
+# propagation's fixpoint exactly (both converge to per-component minima)
+SQL_NEAR_DUP_KEEP = f"""
+WITH RECURSIVE
+tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS t,
+                generate_subscripts(toks, 1) AS pos FROM tl),
+grams AS (SELECT DISTINCT t1.doc_id,
+                 t1.t || ' ' || t2.t || ' ' || t3.t AS g
+          FROM toks t1
+          JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+          JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM grams x JOIN grams y
+               ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM inter
+          JOIN counts ca ON ca.doc_id = a
+          JOIN counts cb ON cb.doc_id = b
+          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.6),
+und AS (SELECT a AS x, b AS y FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+walk(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+  UNION
+  SELECT u.x, w.r FROM und u JOIN walk w ON w.x = u.y),
+roots AS (SELECT x, min(r) AS root FROM walk GROUP BY x)
+SELECT d.doc_id FROM documents d
+LEFT JOIN roots ON d.doc_id = roots.x
+WHERE roots.x IS NULL OR roots.root = d.doc_id
+"""
+
+
 # ------------------------------------------------ clean-corpus engine checks
 # The REAL build+search path (adapter -> wrap_html -> extract -> Parser ->
 # SPIMI shuffle -> postings -> SearchEngine) is value-checked end-to-end by

@@ -270,3 +270,32 @@ def test_minhash_recall_vs_exact_ngram_ground_truth(ray_session):
     # so false positives can only come from hash-set edge effects near
     # the threshold — allow at most one borderline extra
     assert len(got_pairs - truth_pairs) <= 1, got_pairs - truth_pairs
+
+
+def test_near_dup_keep_chain_components(ray_session, tmp_path):
+    """Dedup apply keeps the component-minimum id even across CHAINS
+    (0~1~2 where 0 and 2 are not directly near-dups), plus all
+    non-duplicated docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.dedup import near_dup_keep_ids
+
+    texts = {
+        0: ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu"),
+        5: "one two three four five six seven eight nine ten eleven twelve",
+        7: "unrelated words entirely different from all other docs here",
+        8: "another totally distinct document with its own words here",
+    }
+    texts[1] = texts[0].replace("mu", "nu")
+    texts[2] = texts[1].replace("alpha", "omega")
+    texts[6] = texts[5].replace("twelve", "zzz")
+    ids = sorted(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    kept = sorted(near_dup_keep_ids(str(tmp_path),
+                                    threshold=0.5).to_pandas()["doc_id"])
+    assert kept == [0, 5, 7, 8]
