@@ -4,6 +4,7 @@ the resumed index is byte-identical to a from-scratch build."""
 
 import glob
 import os
+import time
 
 import pytest
 
@@ -55,6 +56,7 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
             build_index(data_dir, out_b, cfg)
     finally:
         del os.environ["GRAFT_CRASH_PARSED_AFTER"]
+    time.sleep(1.0)  # let force-cancelled in-flight tasks settle
     parsed_dir = mf.stage_dir(out_b, "parsed")
     from search_engine_ray.index.build import INDEX_FORMAT
 
@@ -75,6 +77,7 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
             build_index(data_dir, out_b, cfg)
     finally:
         del os.environ["GRAFT_CRASH_DICT_AFTER"]
+    time.sleep(1.0)
 
     # ---- kill 3: mid-postings-reduce, after 2 partition commits
     os.environ["GRAFT_CRASH_POSTINGS_AFTER"] = "2"
@@ -83,6 +86,7 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
             build_index(data_dir, out_b, cfg)
     finally:
         del os.environ["GRAFT_CRASH_POSTINGS_AFTER"]
+    time.sleep(1.0)
 
     # ---- kill 4: mid-docmeta
     os.environ["GRAFT_CRASH_DOCMETA_AFTER"] = "2"
@@ -91,6 +95,7 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
             build_index(data_dir, out_b, cfg)
     finally:
         del os.environ["GRAFT_CRASH_DOCMETA_AFTER"]
+    time.sleep(1.0)
     postings_dir = mf.stage_dir(out_b, "postings")
     # snapshot only COMMITTED partitions' files: a task that finished
     # between the last commit and the crash legitimately re-runs (its
