@@ -299,3 +299,29 @@ def test_near_dup_keep_chain_components(ray_session, tmp_path):
     kept = sorted(near_dup_keep_ids(str(tmp_path),
                                     threshold=0.5).to_pandas()["doc_id"])
     assert kept == [0, 5, 7, 8]
+
+
+def test_frame_sampler(ray_session):
+    """Frame sampling over the concatenated-PNM video container: every
+    stride-th frame decoded, offsets walked without decoding the rest."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.ops.multimodal import (
+        encode_pnm_video,
+        sample_frames,
+    )
+
+    # 12 frames, frame k is solid color k*20
+    frames = [np.full((4, 5, 3), k * 20, np.uint8) for k in range(12)]
+    vid = encode_pnm_video(frames)
+    tbl = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([vid], pa.binary()),
+    })
+    out = sample_frames(ray.data.from_arrow(tbl),
+                        stride=5).to_pandas().sort_values("frame_idx")
+    assert out["frame_idx"].tolist() == [0, 5, 10]
+    means = [np.asarray(f)[3] for f in out["features"]]
+    assert means == [0.0, 100.0, 200.0]  # mean pixel == k*20
