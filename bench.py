@@ -138,7 +138,10 @@ def run_bench() -> dict:
     # serves the online low-latency path and is parity-tested instead)
     from search_engine_ray.query.batch import BatchQueryPool
 
-    conc = max(2, NUM_CPUS // 2)
+    # one single-threaded engine per core: the batch path is
+    # embarrassingly parallel, so worker count must scale with the CPUs
+    # or the high scaling leg idles cores by construction
+    conc = max(2, NUM_CPUS)
     pool = BatchQueryPool(bench_index, num_workers=conc, k=10,
                           mode="bm25")
     qset = [q for _ in range(int(os.environ.get("GRAFT_BENCH_QREPS",
@@ -172,27 +175,46 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """N vs 4N CPU scaling on the same corpus in fresh processes.
 
-    Defaults to 2 -> 8 CPUs over a 400k-page corpus: this box's shared
-    memory bandwidth saturates around ~16 cores (measured r1+r2), which
-    penalizes high legs in a way real added NODES (each with their own
-    memory/disk) would not — 2 and 8 cores both sit inside the
-    bandwidth budget, so the pairing isolates the engine's actual
-    parallel efficiency.  Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI /
-    GRAFT_BENCH_DOCS / GRAFT_BENCH_QREPS; BASELINE.md reports the 2->8,
-    4->16 and 8->32 pairings with the per-stage analysis."""
+    Defaults to 2 -> 8 CPUs, 400k pages, best of GRAFT_SCALE_REPS=2
+    INTERLEAVED runs per leg (lo,hi,lo,hi).  Why this shape: (a) this
+    box's shared memory bandwidth saturates around ~16 cores (measured
+    r1+r2), which penalizes high legs in a way real added NODES (each
+    with their own memory/disk) would not — 2 and 8 cores both sit
+    inside the bandwidth budget, so the pairing isolates the engine's
+    actual parallel efficiency; (b) the VM's absolute throughput swings
+    up to ~2x between time windows, so lo/hi reps are interleaved
+    (adjacent pairs ride the same host weather) and best-of-reps is
+    taken per leg; (c) the corpus must be big enough that fixed
+    per-stage setup seconds don't bias against the fast leg (300k
+    measurably does; 400k is the floor).  Override with GRAFT_SCALE_LO /
+    GRAFT_SCALE_HI / GRAFT_SCALE_DOCS / GRAFT_SCALE_REPS /
+    GRAFT_BENCH_QREPS; BASELINE.md reports the 2->8, 4->16 and 8->32
+    pairings with the per-stage analysis."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
-    docs = os.environ.get("GRAFT_BENCH_DOCS", "400000")
+    docs = os.environ.get("GRAFT_SCALE_DOCS", "400000")
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
     qreps = os.environ.get("GRAFT_BENCH_QREPS", "40")
+    # the scaling metric only uses the bench-corpus build; run the sf
+    # phases at the smallest available sf so the non-measured part of
+    # each leg stays short
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    small_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(small_sf):
+        sf = small_sf
     out = {}
-    for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_DOCS=docs, GRAFT_BENCH_QREPS=qreps)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True,
-                           check=True)
-        payload = json.loads(r.stdout.strip().splitlines()[-1])
-        out[ncpu] = payload
+    for _ in range(reps):
+        for ncpu in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_DOCS=docs, GRAFT_BENCH_QREPS=qreps,
+                       GRAFT_SF_DIR=sf)
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               check=True)
+            payload = json.loads(r.stdout.strip().splitlines()[-1])
+            if ncpu not in out or (payload["docs_per_sec"]
+                                   > out[ncpu]["docs_per_sec"]):
+                out[ncpu] = payload
     thr_lo = out[lo]["docs_per_sec"]
     thr_hi = out[hi]["docs_per_sec"]
     eff = thr_hi / ((hi / lo) * thr_lo)
