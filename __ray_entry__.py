@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- SQL-checked (value-hash vs DuckDB) ---
         "doc_token_stats": sq.q_doc_token_stats,
+        "bpe_token_stats": sq.q_bpe_token_stats,
         "quality_counts": sq.q_quality_counts,
         "term_df": sq.q_term_df,
         "top_terms": sq.q_top_terms,
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_ids": sq.q_near_dup_keep,
         "langid_pred": sq.q_langid_pred,
         "fingerprint_md5": sq.q_fingerprint_md5,
+        "winnow_fingerprints": sq.q_winnow_fingerprints,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "doc_token_stats": sq.SQL_DOC_TOKEN_STATS,
+        "bpe_token_stats": sq.SQL_BPE_TOKEN_STATS,
         "quality_counts": sq.SQL_QUALITY_COUNTS,
         "term_df": sq.SQL_TERM_DF,
         "top_terms": sq.SQL_TOP_TERMS,
@@ -174,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_keep_ids": sq.SQL_NEAR_DUP_KEEP,
         "langid_pred": sq.SQL_LANGID_PRED,
         "fingerprint_md5": sq.SQL_FINGERPRINT_MD5,
+        "winnow_fingerprints": sq.SQL_WINNOW_FINGERPRINTS,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

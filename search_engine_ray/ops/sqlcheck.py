@@ -49,6 +49,34 @@ FROM documents
 """
 
 
+def q_bpe_token_stats(sf_dir: str):
+    import ray.data
+
+    from search_engine_ray.ops.textstats import bpe_token_stats
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_stats, batch_format="pyarrow")
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_sql() -> str:
+    from search_engine_ray.ops.textstats import _BPE_PAT_SRC
+
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), {_sql_quote(_BPE_PAT_SRC)}))
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
+SQL_BPE_TOKEN_STATS = _bpe_sql()
+
+
 def q_quality_counts(sf_dir: str):
     """Integer quality-feature counts (ratios derive from these; integers
     hash exactly)."""
@@ -855,3 +883,55 @@ def q_fingerprint_md5(sf_dir: str):
 SQL_FINGERPRINT_MD5 = """
 SELECT doc_id, md5_number_lower(text) AS fp64 FROM documents
 """
+
+
+# ------------------------------------------------- winnowing fingerprints
+def q_winnow_fingerprints(sf_dir: str):
+    import ray.data
+
+    from search_engine_ray.ops.textstats import winnow_fingerprints
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(winnow_fingerprints, batch_format="pyarrow")
+
+
+def _winnow_sql() -> str:
+    """Same k-gram polynomial hash + per-window min as the Ray op, same
+    B/M/k/w constants, HUGEINT intermediates (exact)."""
+    from search_engine_ray.ops.textstats import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_W,
+    )
+
+    k, w, m = WINNOW_K, WINNOW_W, WINNOW_M
+    terms = " + ".join(
+        f"unicode(substr(t, (i + {j})::BIGINT, 1))::HUGEINT"
+        f" * {pow(WINNOW_B, k - 1 - j, m)}"
+        for j in range(k))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE length(text) >= {k}),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, length(t) - {k} + 2)) AS i,
+         t,
+         length(t) - {k} + 1 AS n
+  FROM docs),
+hashes AS (
+  SELECT doc_id, i, n, ({terms}) % {m} AS h FROM grams),
+wins AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh
+  FROM hashes)
+SELECT DISTINCT doc_id, mh::BIGINT AS fp
+FROM wins
+WHERE i <= greatest(n - {w} + 1, 1)
+"""
+
+
+SQL_WINNOW_FINGERPRINTS = _winnow_sql()

@@ -21,6 +21,17 @@ from search_engine_ray.text.tokenizer import simple_tokenize
 _STOP100 = frozenset(NLTK_ENGLISH_STOPWORDS)
 _DIGITS = re.compile(r"[0-9]")
 
+# GPT-2-style pre-tokenizer, simplified to the RE2-compatible subset
+# (no lookahead; explicit whitespace class so Python `re` and DuckDB's
+# RE2 interpret the IDENTICAL pattern source identically — the SQL
+# oracle interpolates this same string).  Alternation is leftmost-first
+# in both engines, so contraction suffixes win over the punct run.
+_BPE_PAT_SRC = ("'(?:s|t|re|ve|m|ll|d)"
+                "| ?[a-z]+| ?[0-9]+"
+                "| ?[^a-z0-9 \\t\\n\\r\\f\\x0b]+"
+                "|[ \\t\\n\\r\\f\\x0b]+")
+_BPE_RE = re.compile(_BPE_PAT_SRC)
+
 # tiny per-language stopword profiles for heuristic language ID
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "was"},
@@ -40,6 +51,19 @@ def doc_token_stats(batch: pa.Table) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         "n_tokens": pa.array([len(ts) for ts in toks], pa.int64()),
+    })
+
+
+def bpe_token_stats(batch: pa.Table) -> pa.Table:
+    """Per-doc BPE-ish token count: matches of the GPT-2-style
+    pre-tokenizer regex over lower(text).  The LLM-training 'how many
+    tokens is this corpus' estimator (whitespace runs and punctuation
+    runs count as tokens, contraction suffixes split off)."""
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_bpe_tokens": pa.array(
+            [len(_BPE_RE.findall(t.lower())) for t in texts], pa.int64()),
     })
 
 
@@ -88,6 +112,50 @@ class LangId:
             "doc_id": batch.column("doc_id"),
             "lang_pred": pa.array(preds, pa.string()),
         })
+
+
+# winnowing fingerprint constants (shared verbatim with the SQL oracle):
+# Karp-Rabin polynomial base/modulus chosen so every intermediate fits
+# exact uint64 arithmetic (products < M * max_codepoint < 2^52)
+WINNOW_B = 263
+WINNOW_M = (1 << 31) - 1
+WINNOW_K = 8   # character k-gram length
+WINNOW_W = 4   # winnowing window (grams per window)
+
+
+def winnow_fingerprints(batch: pa.Table) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    polynomial rolling-hash every character k-gram of lower(text), then
+    keep the DISTINCT per-window minima over w consecutive gram hashes —
+    the near-dup fingerprint set whose overlap is position-robust.
+    Vectorized: one sliding-window matmul per doc, exact uint64.  Docs
+    shorter than k emit nothing; docs with fewer than w grams emit the
+    single min (the standard short-doc rule)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    k, w, m = WINNOW_K, WINNOW_W, WINNOW_M
+    pows = np.array([pow(WINNOW_B, k - 1 - j, m) for j in range(k)],
+                    dtype=np.uint64)
+    ids_out: list[int] = []
+    fps_out: list[int] = []
+    for did, t in zip(batch.column("doc_id").to_pylist(),
+                      batch.column("text").to_pylist()):
+        codes = np.frombuffer(t.lower().encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.uint64)
+        if codes.size < k:
+            continue
+        grams = (sliding_window_view(codes, k) * pows).sum(axis=1) % m
+        if grams.size >= w:
+            mins = sliding_window_view(grams, w).min(axis=1)
+        else:
+            mins = grams.min(keepdims=True)
+        for fp in np.unique(mins):
+            ids_out.append(did)
+            fps_out.append(int(fp))
+    return pa.table({
+        "doc_id": pa.array(ids_out, pa.int64()),
+        "fp": pa.array(fps_out, pa.int64()),
+    })
 
 
 def fingerprint64(batch: pa.Table) -> pa.Table:

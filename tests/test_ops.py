@@ -325,3 +325,35 @@ def test_frame_sampler(ray_session):
     assert out["frame_idx"].tolist() == [0, 5, 10]
     means = [np.asarray(f)[3] for f in out["features"]]
     assert means == [0.0, 100.0, 200.0]  # mean pixel == k*20
+
+
+def test_winnow_fingerprints_shift_robust():
+    """A doc and a copy with a shifted prefix share most fingerprints
+    (the winnowing guarantee); an unrelated doc shares almost none."""
+    import pyarrow as pa
+
+    from search_engine_ray.ops.textstats import winnow_fingerprints
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the forest until the river bends north")
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([base,
+                          "PREFIX INSERTED >>> " + base,
+                          "completely different content about database "
+                          "query planners and vectorized execution"],
+                         pa.string()),
+    })
+    out = winnow_fingerprints(tbl).to_pandas()
+    sets = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    j01 = len(sets[0] & sets[1]) / len(sets[0] | sets[1])
+    j02 = len(sets[0] & sets[2]) / len(sets[0] | sets[2])
+    assert j01 > 0.6, j01
+    assert j02 < 0.1, j02
+    # short-doc rules: < k chars -> absent; >= k but < k+w-1 grams -> one fp
+    short = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["tiny", "exactly8"], pa.string()),
+    })
+    s = winnow_fingerprints(short).to_pandas()
+    assert s["doc_id"].tolist() == [11] and len(s) == 1
