@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": sq.q_langid_pred,
         "fingerprint_md5": sq.q_fingerprint_md5,
         "winnow_fingerprints": sq.q_winnow_fingerprints,
+        "events_asof_join": sq.q_asof_join,
+        "events_range_join_24h": sq.q_range_join,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -178,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_pred": sq.SQL_LANGID_PRED,
         "fingerprint_md5": sq.SQL_FINGERPRINT_MD5,
         "winnow_fingerprints": sq.SQL_WINNOW_FINGERPRINTS,
+        "events_asof_join": sq.SQL_ASOF_JOIN,
+        "events_range_join_24h": sq.SQL_RANGE_JOIN,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

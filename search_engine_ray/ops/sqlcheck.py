@@ -935,3 +935,48 @@ WHERE i <= greatest(n - {w} + 1, 1)
 
 
 SQL_WINNOW_FINGERPRINTS = _winnow_sql()
+
+
+# --------------------------------------------------------- temporal joins
+def q_asof_join(sf_dir: str):
+    from search_engine_ray.ops.joins import asof_join_last_value
+
+    return asof_join_last_value(sf_dir)
+
+
+# The right side is deduped to max-event_id per (user, ts) first so the
+# ASOF tie-break is deterministic and identical to the Ray pipeline's
+# lexsort((event_id, ts)) + searchsorted-right resolution.
+SQL_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+r0 AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+       FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts_us, arg_max(value, event_id) AS value
+      FROM r0 GROUP BY user_id, ts_us)
+SELECT l.event_id, l.user_id, l.ts_us,
+       coalesce(round(r.value * 10000)::BIGINT, -1) AS last_value_e4,
+       coalesce(r.ts_us, -1) AS last_ts_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
+def q_range_join(sf_dir: str):
+    from search_engine_ray.ops.joins import range_join_counts
+
+    return range_join_counts(sf_dir)
+
+
+SQL_RANGE_JOIN = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts_us,
+       count(r.ts_us)::BIGINT AS n_right_in_window
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.ts_us BETWEEN l.ts_us - 86400000000 AND l.ts_us
+GROUP BY l.event_id, l.user_id, l.ts_us
+"""

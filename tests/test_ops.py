@@ -357,3 +357,65 @@ def test_winnow_fingerprints_shift_robust():
     })
     s = winnow_fingerprints(short).to_pandas()
     assert s["doc_id"].tolist() == [11] and len(s) == 1
+
+
+def _events_table(rows):
+    """rows: list of (event_id, ts_s, user_id, event_type, value)."""
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+
+
+def test_asof_join_ties_and_unmatched(ray_session, tmp_path):
+    from search_engine_ray.ops.joins import asof_join_last_value
+
+    rows = [
+        # user 1: purchase tie at ts=100 (event_id 3 wins), click after
+        (1, 100, 1, "purchase", 2.0),
+        (3, 100, 1, "purchase", 5.0),
+        (4, 150, 1, "click", 0.0),
+        # click exactly AT a purchase ts matches it (<=)
+        (5, 100, 1, "click", 0.0),
+        # user 2: click BEFORE any purchase -> sentinel
+        (6, 50, 2, "click", 0.0),
+        (7, 60, 2, "purchase", -3.25),
+        (8, 70, 2, "click", 0.0),
+        # user 3: clicks only (empty right side in the group)
+        (9, 10, 3, "click", 0.0),
+    ]
+    pq.write_table(_events_table(rows), str(tmp_path / "events.parquet"))
+    out = (asof_join_last_value(str(tmp_path)).to_pandas()
+           .set_index("event_id").sort_index())
+    assert out.loc[4, "last_value_e4"] == 50000          # tie -> id 3
+    assert out.loc[5, "last_value_e4"] == 50000          # ts == match
+    assert out.loc[6, "last_value_e4"] == -1             # before any
+    assert out.loc[6, "last_ts_us"] == -1
+    assert out.loc[8, "last_value_e4"] == -32500         # negative value
+    assert out.loc[9, "last_value_e4"] == -1             # no right side
+    assert len(out) == 5
+
+
+def test_range_join_window_edges(ray_session, tmp_path):
+    from search_engine_ray.ops.joins import range_join_counts
+
+    w = 100
+    rows = [
+        (1, 1000, 1, "purchase", 0.0),
+        (2, 900, 1, "click", 0.0),    # exactly at lower edge: counted
+        (3, 899, 1, "click", 0.0),    # just outside
+        (4, 1000, 1, "click", 0.0),   # exactly at upper edge: counted
+        (5, 1001, 1, "click", 0.0),   # after: not counted
+        (6, 500, 2, "purchase", 0.0), # no clicks for user 2
+    ]
+    pq.write_table(_events_table(rows), str(tmp_path / "events.parquet"))
+    out = (range_join_counts(str(tmp_path), window_s=w).to_pandas()
+           .set_index("event_id"))
+    assert out.loc[1, "n_right_in_window"] == 2
+    assert out.loc[6, "n_right_in_window"] == 0
+    assert len(out) == 2
