@@ -78,6 +78,12 @@ def _search_topk(sf_dir: str, mode: str):
     })
 
 
+def _hll_distinct_users(sf_dir: str):
+    from search_engine_ray.ops.sketches import hll_distinct
+
+    return hll_distinct(sf_dir, table="events", column="user_id")
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (adapter
     -> parse -> dict -> sharded postings -> docmeta) and run the BM25
@@ -134,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": sq.q_winnow_fingerprints,
         "events_asof_join": sq.q_asof_join,
         "events_range_join_24h": sq.q_range_join,
+        "heavy_hitters_50": sq.q_heavy_hitters,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -149,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": lambda sf: minhash_near_dup_pairs(sf),
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
+        "hll_distinct_users": _hll_distinct_users,
     }
 
 
@@ -182,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": sq.SQL_WINNOW_FINGERPRINTS,
         "events_asof_join": sq.SQL_ASOF_JOIN,
         "events_range_join_24h": sq.SQL_RANGE_JOIN,
+        "heavy_hitters_50": sq.SQL_HEAVY_HITTERS,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -1,0 +1,188 @@
+"""Mergeable-sketch operators: Misra-Gries two-pass heavy hitters and
+HyperLogLog distinct counting.
+
+Both follow the sketch shape a 100-TB corpus needs: per-batch summaries
+of FIXED size flow out of ``map_batches``, merge is associative and
+commutative (sum / elementwise max), and only the merged sketch — never
+the data — reaches the driver.
+
+Heavy hitters is *two-pass exact*: the sketch pass produces a provably
+lossless candidate set for the threshold (Misra-Gries guarantee: a term
+dropped everywhere has total count <= N/k), the second pass exact-counts
+only the (broadcast) candidates — so the output is exact and
+SQL-checkable, while the full-vocabulary groupby a naive TOP-N would
+shuffle never happens.
+
+Public refs: Misra & Gries 1982 (finding repeated elements);
+Flajolet et al. 2007 (HyperLogLog).  No reference-repo counterpart
+(added training-data surface, SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.text.tokenizer import simple_tokenize
+
+# reserved aggregation key for the token-total row; simple_tokenize never
+# emits an empty string
+_N_KEY = ""
+
+
+def _batch_term_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    toks: list[str] = []
+    for t in batch.column("text").to_pylist():
+        toks.extend(simple_tokenize(t))
+    if not toks:
+        return np.empty(0, dtype=object), np.empty(0, np.int64)
+    terms, counts = np.unique(np.asarray(toks, dtype=object),
+                              return_counts=True)
+    return terms, counts
+
+
+def heavy_hitters(sf_dir: str, min_count: int = 50,
+                  k_counters: int = 2048) -> pa.Table:
+    """Exact counts of every simple-token term with global count >=
+    ``min_count``, via a Misra-Gries candidate pass + an exact recount
+    pass restricted to the candidates.
+
+    Soundness: a term kept in NO batch summary has per-batch count
+    <= n_b/k in every batch, hence total <= N/k; the op raises if
+    ``min_count <= N/k_counters`` (the sketch cannot guarantee recall
+    there — raise k_counters).
+
+    Only fixed-size artifacts hit the driver: the candidate list
+    (<= k x batches pre-groupby, tiny post-groupby) and the final
+    filtered counts.  SQL: token explode GROUP BY HAVING count >= T.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def mg_partials(batch: pa.Table) -> pa.Table:
+        terms, counts = _batch_term_counts(batch)
+        n_b = int(counts.sum())
+        keep = counts * k_counters > n_b  # MG retention: count > n_b/k
+        return pa.table({
+            "term": pa.array(list(terms[keep]) + [_N_KEY], pa.string()),
+            "partial": pa.array(list(counts[keep]) + [n_b], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(path, columns=["text"])
+    agg = (ds.map_batches(mg_partials, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("partial", alias_name="lower")))
+    # merged sketch: one small row per retained term — driver-safe
+    rows = agg.to_pandas()
+    n_total = int(rows.loc[rows["term"] == _N_KEY, "lower"].sum())
+    if min_count * k_counters <= n_total:
+        raise ValueError(
+            f"min_count={min_count} <= N/k = {n_total}/{k_counters}; "
+            "raise k_counters for lossless candidates")
+    cand = rows[rows["term"] != _N_KEY]
+    # upper bound = lower + N/k; prune candidates that cannot reach T
+    cand = cand[cand["lower"] + n_total // k_counters >= min_count]
+    cand_ref = ray.put(frozenset(cand["term"]))
+
+    def exact_partials(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        terms, counts = _batch_term_counts(batch)
+        keep = np.array([t in cset for t in terms], dtype=bool)
+        return pa.table({
+            "term": pa.array(terms[keep], pa.string()),
+            "partial": pa.array(counts[keep], pa.int64()),
+        })
+
+    ds2 = ray.data.read_parquet(path, columns=["text"])
+    exact = (ds2.map_batches(exact_partials, batch_format="pyarrow")
+                .groupby("term").aggregate(Sum("partial", alias_name="n")))
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater_equal(batch.column("n"),
+                                             min_count))
+
+    return exact.map_batches(final_filter, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ HyperLogLog
+_HLL_P = 14  # 2^14 = 16384 registers, ~0.8% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (SplitMix64 finalizer), vectorized."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_registers(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """HLL register array (uint8, 2^p long) for a batch of uint64-castable
+    values.  Register j = max over hashes with index j of
+    (leading-zero count of the remaining 64-p bits) + 1."""
+    with np.errstate(all="ignore"):
+        h = _splitmix64(values.astype(np.uint64))
+    m = 1 << p
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rank = position of the first 1-bit in the low 64-p bits, from MSB
+    # of that field: count leading zeros within (64-p) bits, + 1
+    width = 64 - p
+    nz = rest != 0
+    # bit_length via log2 is unsafe for uint64; use np.frexp on float64
+    # only for values < 2^53 — instead compute with a loop-free method:
+    bl = np.zeros(len(rest), dtype=np.int64)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    bl[nz] += 1  # bit_length of nonzero values
+    rank = np.where(nz, width - bl + 1, width + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL cardinality estimate with linear-counting
+    fallback for the small range (Flajolet et al. 2007)."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = float(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(sf_dir: str, table: str = "events",
+                 column: str = "user_id", p: int = _HLL_P) -> pa.Table:
+    """Approximate distinct count of an int64 column: per-batch HLL
+    registers out of map_batches (one fixed-size row per batch), merged
+    with elementwise max on the driver.  Driver traffic is
+    batches x 2^p bytes regardless of data size."""
+    import ray.data
+
+    def regs_row(batch: pa.Table) -> pa.Table:
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        regs = hll_registers(vals.astype(np.uint64), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                               columns=[column])
+    rows = ds.map_batches(regs_row, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in rows:
+        merged = np.maximum(merged,
+                            np.frombuffer(r["regs"], dtype=np.uint8))
+    return pa.table({
+        "n_distinct_est": pa.array([int(round(hll_estimate(merged)))],
+                                   pa.int64()),
+        "n_registers": pa.array([1 << p], pa.int64()),
+    })

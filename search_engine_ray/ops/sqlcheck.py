@@ -980,3 +980,16 @@ FROM l LEFT JOIN r
  AND r.ts_us BETWEEN l.ts_us - 86400000000 AND l.ts_us
 GROUP BY l.event_id, l.user_id, l.ts_us
 """
+
+
+# ------------------------------------------------------- sketch operators
+def q_heavy_hitters(sf_dir: str):
+    from search_engine_ray.ops.sketches import heavy_hitters
+
+    return heavy_hitters(sf_dir, min_count=50)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+SELECT term, count(*) AS n FROM toks GROUP BY term HAVING count(*) >= 50
+"""

@@ -419,3 +419,41 @@ def test_range_join_window_edges(ray_session, tmp_path):
     assert out.loc[1, "n_right_in_window"] == 2
     assert out.loc[6, "n_right_in_window"] == 0
     assert len(out) == 2
+
+
+def test_heavy_hitters_boundary_and_soundness(ray_session, tmp_path):
+    from search_engine_ray.ops.sketches import heavy_hitters
+
+    # 'hot' appears exactly 40x, 'warm' 39x, scattered across many docs
+    # mixed with unique junk so no single batch holds the full count
+    docs = []
+    for i in range(40):
+        docs.append(f"hot junk{i}a junk{i}b")
+    for i in range(39):
+        docs.append(f"warm junk{i}c junk{i}d")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["t"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = heavy_hitters(str(tmp_path), min_count=40,
+                        k_counters=2048).to_pandas()
+    assert dict(zip(out["term"], out["n"])) == {"hot": 40}
+
+    with pytest.raises(ValueError):
+        # N ~ 237 tokens, N/k = 237/2 > min_count -> must refuse
+        heavy_hitters(str(tmp_path), min_count=40, k_counters=2)
+
+
+def test_hll_distinct_accuracy(ray_session, tmp_path):
+    from search_engine_ray.ops.sketches import hll_distinct
+
+    n = 30000
+    rows = [(i, 1000 + i, int(i * 37 % 20011), "x", 0.0)
+            for i in range(n)]  # 20011 distinct user ids (prime modulus)
+    pq.write_table(_events_table(rows), str(tmp_path / "events.parquet"))
+    out = hll_distinct(str(tmp_path)).to_pandas()
+    est = int(out["n_distinct_est"].iloc[0])
+    assert abs(est - 20011) / 20011 < 0.03
