@@ -1,10 +1,12 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the actual decoders are stubbed behind ``NotImplementedError`` — but
-the Ray-side plumbing (schema, actor-pool stage shape, batch sizing for
-large binary payloads, typed metadata output) is real and tested with a
-deterministic fake decoder.
+The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container.
+Formats the stdlib can decode are decoded for REAL — PCM WAV (``wave``),
+binary PPM/PGM (header parse), PNG (``zlib`` inflate + scanline
+unfilter) — while codec-dependent formats (JPEG/MP3/H.264) raise
+``NotImplementedError`` behind the same dispatch.  The Ray-side plumbing
+(schema, actor-pool stage shape, batch sizing for large binary payloads,
+typed metadata output) is real and tested with both paths.
 
 Scale notes baked into the design:
 - binary payloads make rows wide: the stage uses a SMALL batch_size so
@@ -41,16 +43,18 @@ class MediaDecoder:
 
     def _decode_real(self, payload: bytes, kind: str) -> np.ndarray:
         """Real decode for stdlib-decodable formats (WAV PCM via ``wave``,
-        PPM/PGM via header parse); compressed formats (JPEG/PNG/MP3/H.264)
-        still raise — their decoders are not in this environment; plug
-        PIL.Image.open / soundfile.read here."""
+        PPM/PGM via header parse, PNG via zlib + unfilter); formats whose
+        codecs are absent from this environment (JPEG/MP3/H.264) raise —
+        plug PIL.Image.open / soundfile.read here."""
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._wav_features(payload)
         if payload[:2] in (b"P6", b"P5"):
             return self._pnm_features(payload)
+        if payload[:8] == _PNG_SIG:
+            return self._png_features(payload)
         raise NotImplementedError(
             f"no stdlib decoder for this payload (kind={kind!r}); "
-            "JPEG/PNG/MP3 need external libs absent from this environment")
+            "JPEG/MP3/H.264 need external libs absent from this environment")
 
     def _fit(self, vals: list) -> np.ndarray:
         out = np.zeros(self.dim)
@@ -109,6 +113,14 @@ class MediaDecoder:
         return self._fit([w, h, ch, float(px.mean()), float(px.std()),
                           float(px.min()), float(px.max())])
 
+    def _png_features(self, payload: bytes) -> np.ndarray:
+        """(width, height, channels, mean, std, min, max) from a real
+        PNG decode — zlib inflate + scanline unfilter, pure stdlib."""
+        px = decode_png(payload).astype(np.float64)
+        h, w, ch = px.shape
+        return self._fit([w, h, ch, float(px.mean()), float(px.std()),
+                          float(px.min()), float(px.max())])
+
     def _decode_fake(self, payload: bytes, kind: str) -> np.ndarray:
         h = hashlib.blake2b(payload, digest_size=8).digest()
         rng = np.random.default_rng(int.from_bytes(h, "little"))
@@ -139,6 +151,133 @@ def decode_media(ds, *, impl: str = "fake", batch_size: int = 64,
         MediaDecoder, fn_constructor_kwargs={"impl": impl},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+# ------------------------------------------------------------- PNG codec
+# Pure-stdlib PNG (zlib inflate + per-scanline unfilter).  Supports the
+# non-interlaced 8-bit color types: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w, channels).  Real decode: walks
+    chunks, inflates concatenated IDAT with ``zlib``, reverses filters
+    0-4 (sub via per-lane cumsum, up fully vectorized, average/paeth by
+    the spec's sequential recurrence per scanline)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ctype} interlace={interlace}")
+    ch = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    raw = raw.reshape(h, stride + 1)
+    ftypes, lines = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        f, cur = int(ftypes[y]), lines[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # sub: per-lane prefix sum mod 256
+            rec = np.cumsum(cur.reshape(w, ch), axis=0).reshape(stride)
+        elif f == 2:  # up
+            rec = cur + prev
+        elif f in (3, 4):  # average / paeth: sequential left recurrence
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                # predictors read RECONSTRUCTED (mod-256) bytes, so the
+                # left value must be masked as the recurrence advances
+                if f == 3:
+                    rec[x] = (cur[x] + ((int(a) + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = int(a) + b - c
+                    pa_, pb, pc = abs(p - int(a)), abs(p - b), abs(p - c)
+                    pred = (a if pa_ <= pb and pa_ <= pc
+                            else (b if pb <= pc else c))
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = rec & 0xFF
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) or (h, w, ch) array -> PNG bytes (stdlib zlib; test
+    fixture + example of the payload contract).  ``filter_type`` is
+    applied to every scanline to exercise specific decode paths."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = pixels.astype(np.int64)
+    stride = w * ch
+    flat = px.reshape(h, stride)
+    rows = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.zeros(stride, dtype=np.int64)
+            left[ch:] = cur[:-ch]
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            left = np.zeros(stride, dtype=np.int64)
+            left[ch:] = cur[:-ch]
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            left = np.zeros(stride, dtype=np.int64)
+            left[ch:] = cur[:-ch]
+            ul = np.zeros(stride, dtype=np.int64)
+            ul[ch:] = prev[:-ch]
+            p = left + prev - ul
+            pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                           np.abs(p - ul))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        else:
+            raise ValueError(f"filter {filter_type}")
+        rows.append(bytes([filter_type])
+                    + (enc & 0xFF).astype(np.uint8).tobytes())
+    body = zlib.compress(b"".join(rows))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body)
+            + chunk(b"IEND", b""))
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:

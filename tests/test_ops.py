@@ -457,3 +457,34 @@ def test_hll_distinct_accuracy(ray_session, tmp_path):
     out = hll_distinct(str(tmp_path)).to_pandas()
     est = int(out["n_distinct_est"].iloc[0])
     assert abs(est - 20011) / 20011 < 0.03
+
+
+def test_png_codec_roundtrip_all_filters():
+    from search_engine_ray.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for f in range(5):
+            assert np.array_equal(decode_png(encode_png(img, f)), img), \
+                (ch, f)
+
+
+def test_png_real_decode_in_media_stage(ray_session):
+    import ray
+
+    from search_engine_ray.ops.multimodal import decode_media, encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 16, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([encode_png(img, filter_type=4)], pa.binary()),
+        "meta": pa.array(["{}"], pa.string()),
+    })
+    out = decode_media(ray.data.from_arrow(tbl), impl="real",
+                       batch_size=4).to_pandas()
+    f = np.asarray(out["features"].iloc[0])
+    assert f[:3].tolist() == [16.0, 32.0, 3.0]
+    assert abs(f[3] - img.mean()) < 1e-9
