@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": sq.q_asof_join,
         "events_range_join_24h": sq.q_range_join,
         "heavy_hitters_50": sq.q_heavy_hitters,
+        "tpch_pricing_summary": sq.q_pricing_summary,
+        "tpch_top_orders": sq.q_top_orders,
+        "tpch_nation_revenue": sq.q_nation_revenue,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -191,6 +194,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": sq.SQL_ASOF_JOIN,
         "events_range_join_24h": sq.SQL_RANGE_JOIN,
         "heavy_hitters_50": sq.SQL_HEAVY_HITTERS,
+        "tpch_pricing_summary": sq.SQL_PRICING_SUMMARY,
+        "tpch_top_orders": sq.SQL_TOP_ORDERS,
+        "tpch_nation_revenue": sq.SQL_NATION_REVENUE,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -1,0 +1,199 @@
+"""Relational pipelines over the TPC-H-ish tables — the engine's
+general data-processing surface beyond text/search (scan-filter-agg,
+broadcast dimension joins, big-big hash joins).
+
+Join strategy by side size, the way a 100-TB plan must pick it:
+- tiny dimensions (nation/region, a filtered customer segment) are
+  BROADCAST: ``ray.put`` once, dict/set lookup inside ``map_batches`` —
+  no shuffle;
+- fact-fact joins (lineitem x orders) use ``Dataset.join`` — Ray Data's
+  hash-shuffle join — with ``num_partitions`` sized to the cluster;
+- every aggregate pre-combines per batch before the small groupby.
+
+Money columns are per-ROW scaled to integers (cents / 1e-4) BEFORE any
+sum, so aggregation is exact integer math on both the Ray and the SQL
+side — no float-association drift in the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_US = 1_000_000
+
+
+def _ts_us(date: str) -> int:
+    """Epoch microseconds of a YYYY-MM-DD date (UTC)."""
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(date).replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp()) * _US
+
+
+def _e4_halfaway(x: np.ndarray) -> np.ndarray:
+    return (np.sign(x) * np.floor(np.abs(x) * 10000 + 0.5)).astype(np.int64)
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
+    """TPC-H Q1 shape: scan-filter lineitem, per-batch partial combine,
+    tiny groupby on (l_returnflag, l_linestatus).
+
+    Sums are exact: quantities are integral, prices scaled per row
+    (cents; disc_price rounded half-away at 1e-4) before integer sums.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cut = _ts_us(cutoff)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = ts <= cut
+        qty = batch.column("l_quantity").to_numpy()[keep]
+        px = batch.column("l_extendedprice").to_numpy()[keep]
+        disc = batch.column("l_discount").to_numpy()[keep]
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "l_returnflag":
+                np.asarray(batch.column("l_returnflag").to_pylist(),
+                           dtype=object)[keep],
+            "l_linestatus":
+                np.asarray(batch.column("l_linestatus").to_pylist(),
+                           dtype=object)[keep],
+            "qty": qty.astype(np.int64),
+            "base_e4": _e4_halfaway(px),
+            "disc_e4": _e4_halfaway(px * (1.0 - disc)),
+            "one": np.ones(int(keep.sum()), dtype=np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            qty=("qty", "sum"), base_e4=("base_e4", "sum"),
+            disc_e4=("disc_e4", "sum"), one=("one", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_returnflag", "l_linestatus",
+                 "l_quantity", "l_extendedprice", "l_discount"])
+    return (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("qty", alias_name="sum_qty"),
+                         Sum("base_e4", alias_name="sum_base_e4"),
+                         Sum("disc_e4", alias_name="sum_disc_e4"),
+                         Sum("one", alias_name="n")))
+
+
+def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
+                          date: str = "1997-01-01", k: int = 10):
+    """TPC-H Q3 shape: the segment's customers are BROADCAST into an
+    orders filter (small side, no shuffle); the surviving orders hash-
+    join lineitem with ``Dataset.join`` (big-big); revenue aggregates
+    per order and the driver takes the k-row top (ties broken by
+    orderkey so the limit is deterministic)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cut = _ts_us(date)
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def custkeys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("c_mktsegment"), segment)
+        return batch.filter(m).select(["c_custkey"])
+
+    keys = np.sort(cust.map_batches(custkeys, batch_format="pyarrow")
+                       .to_pandas()["c_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        ck = batch.column("o_custkey").to_numpy()
+        keep = (ts < cut) & np.isin(ck, ks)
+        return pa.table({"o_orderkey":
+                         pa.array(batch.column("o_orderkey")
+                                  .to_numpy()[keep], pa.int64())})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ofilter, batch_format="pyarrow"))
+
+    def lpart(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = ts > cut
+        px = batch.column("l_extendedprice").to_numpy()[keep]
+        disc = batch.column("l_discount").to_numpy()[keep]
+        return pa.table({
+            "l_orderkey": pa.array(batch.column("l_orderkey")
+                                   .to_numpy()[keep], pa.int64()),
+            "rev_e4": pa.array(_e4_halfaway(px * (1.0 - disc)),
+                               pa.int64())})
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(lpart, batch_format="pyarrow"))
+
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (joined.groupby("l_orderkey")
+                 .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
+    top = agg.sort(["revenue_e4", "l_orderkey"],
+                   descending=[True, False]).limit(k)
+    return top
+
+
+def nation_revenue(sf_dir: str):
+    """Revenue per nation: the nation dimension (tiny) is broadcast as a
+    custkey-side lookup via a customer hash join; orders x customer is
+    ``Dataset.join`` (fact x dimension at shuffle scale); total prices
+    are cents-scaled per row before the integer sum."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in ray.data.read_parquet(
+               os.path.join(sf_dir, "nation.parquet"),
+               columns=["n_nationkey", "n_name"]).take_all()}
+    nat_ref = ray.put(nat)
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        tp = batch.column("o_totalprice").to_numpy()
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "price_e4": pa.array(_e4_halfaway(tp), pa.int64())})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+        .map_batches(oprep, batch_format="pyarrow"))
+
+    joined = orders.join(cust, "inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(nat_ref)
+        nk = batch.column("c_nationkey").to_numpy()
+        return pa.table({
+            "n_name": pa.array([lookup[int(x)] for x in nk], pa.string()),
+            "price_e4": batch.column("price_e4"),
+            "one": pa.array(np.ones(len(nk), dtype=np.int64)),
+        })
+
+    return (joined.map_batches(to_nation, batch_format="pyarrow")
+                  .groupby("n_name")
+                  .aggregate(Sum("price_e4", alias_name="revenue_e4"),
+                             Sum("one", alias_name="n_orders")))

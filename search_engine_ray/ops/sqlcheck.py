@@ -993,3 +993,61 @@ SQL_HEAVY_HITTERS = f"""
 WITH toks AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents)
 SELECT term, count(*) AS n FROM toks GROUP BY term HAVING count(*) >= 50
 """
+
+
+# ------------------------------------------------------ relational (TPC-H)
+def q_pricing_summary(sf_dir: str):
+    from search_engine_ray.ops.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice * 10000)::BIGINT)::BIGINT AS sum_base_e4,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+           AS sum_disc_e4,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    from search_engine_ray.ops.relational import top_orders_by_revenue
+
+    return top_orders_by_revenue(sf_dir)
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+           AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    from search_engine_ray.ops.relational import nation_revenue
+
+    return nation_revenue(sf_dir)
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       sum(round(o_totalprice * 10000)::BIGINT)::BIGINT AS revenue_e4,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
