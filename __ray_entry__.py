@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": sq.q_pricing_summary,
         "tpch_top_orders": sq.q_top_orders,
         "tpch_nation_revenue": sq.q_nation_revenue,
+        "label_centroids": sq.q_label_centroids,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_pricing_summary": sq.SQL_PRICING_SUMMARY,
         "tpch_top_orders": sq.SQL_TOP_ORDERS,
         "tpch_nation_revenue": sq.SQL_NATION_REVENUE,
+        "label_centroids": sq.SQL_LABEL_CENTROIDS,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

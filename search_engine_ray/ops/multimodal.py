@@ -399,3 +399,82 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
         "payload": pa.array(payloads, pa.binary()),
         "meta": pa.array(metas, pa.string()),
     })
+
+
+class ImageResizer:
+    """Actor-pool UDF: encoded image payload -> box-average-downsampled
+    PNG.  Real resize for the stdlib-decodable formats (PNG, binary
+    PPM/PGM); the resample is exact area averaging when the source dims
+    are integer multiples of the target, else nearest-neighbor on a box
+    grid — all numpy, no image libs.
+
+    Output rows keep the binary-payload contract (re-encoded PNG), so
+    resize stages compose with decode/feature stages downstream."""
+
+    def __init__(self, target_h: int = 32, target_w: int = 32):
+        self.th, self.tw = target_h, target_w
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] in (b"P6", b"P5"):
+            # same header walk as _pnm_features, keeping (w, h, offset)
+            tokens, i = [], 2
+            while len(tokens) < 3:
+                while i < len(payload) and payload[i:i + 1].isspace():
+                    i += 1
+                if payload[i:i + 1] == b"#":
+                    while i < len(payload) and payload[i:i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(payload) and not payload[j:j + 1].isspace():
+                    j += 1
+                tokens.append(payload[i:j])
+                i = j
+            i += 1
+            w, h, _ = (int(t) for t in tokens)
+            ch = 3 if payload[:2] == b"P6" else 1
+            px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                               offset=i)
+            return px.reshape(h, w, ch)
+        raise NotImplementedError("unsupported image payload")
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w, ch = img.shape
+        th, tw = self.th, self.tw
+        if h % th == 0 and w % tw == 0:
+            # exact box average over (h/th x w/tw) blocks
+            bh, bw = h // th, w // tw
+            out = (img.reshape(th, bh, tw, bw, ch).astype(np.float64)
+                   .mean(axis=(1, 3)))
+            return np.floor(out + 0.5).astype(np.uint8)
+        # nearest-neighbor grid sample
+        ys = np.minimum((np.arange(th) * h) // th, h - 1)
+        xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            small = self._resize(self._decode(payload))
+            ids.append(mid)
+            payloads.append(encode_png(small))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array([self.th] * len(ids), pa.int64()),
+            "width": pa.array([self.tw] * len(ids), pa.int64()),
+        })
+
+
+def resize_images(ds, *, target_h: int = 32, target_w: int = 32,
+                  batch_size: int = 16, concurrency: int = 2):
+    """Image resize stage: small batches (binary rows), actor pool,
+    re-encoded PNG output."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_h": target_h, "target_w": target_w},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -190,3 +190,43 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
         "vec_id": pa.array(rows["vec_id"], pa.int64()),
         "cosine": pa.array(rows["cosine"], pa.float64()),
     })
+
+
+def label_centroid_sums(sf_dir: str):
+    """Per-label centroid aggregation: per-dimension e4-scaled integer
+    sums + counts (centroid = sum/n downstream).  Values are scaled
+    per ELEMENT before any sum, so the aggregate is exact integer math —
+    SQL-checkable and association-free.
+
+    Shape: the vector unrolls inside the partial combine (one map_batches
+    produces (label, dim) partial sums), so the shuffle moves
+    labels x dims rows per batch, never the vectors.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        emb = np.asarray(batch.column("embedding").to_pylist(),
+                         dtype=np.float64)
+        labels = batch.column("label").to_numpy()
+        n, d = emb.shape
+        e4 = (np.sign(emb) * np.floor(np.abs(emb) * 10000 + 0.5)
+              ).astype(np.int64)
+        df = pd.DataFrame({
+            "label": np.repeat(labels.astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "sum_e4": e4.reshape(-1),
+            "one": np.ones(n * d, dtype=np.int64),
+        })
+        g = df.groupby(["label", "dim"], sort=False).agg(
+            sum_e4=("sum_e4", "sum"), one=("one", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["label", "embedding"])
+    return (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["label", "dim"])
+              .aggregate(Sum("sum_e4", alias_name="sum_e4"),
+                         Sum("one", alias_name="n")))

@@ -1051,3 +1051,19 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+def q_label_centroids(sf_dir: str):
+    from search_engine_ray.ops.similarity import label_centroid_sums
+
+    return label_centroid_sums(sf_dir)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label::BIGINT AS label, d.dim::BIGINT AS dim,
+       sum(round(embedding[d.dim + 1] * 10000)::BIGINT)::BIGINT AS sum_e4,
+       count(*) AS n
+FROM embeddings
+CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+GROUP BY 1, 2
+"""

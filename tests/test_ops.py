@@ -488,3 +488,27 @@ def test_png_real_decode_in_media_stage(ray_session):
     f = np.asarray(out["features"].iloc[0])
     assert f[:3].tolist() == [16.0, 32.0, 3.0]
     assert abs(f[3] - img.mean()) < 1e-9
+
+
+def test_image_resize_stage(ray_session):
+    import ray
+
+    from search_engine_ray.ops.multimodal import (decode_png, encode_png,
+                                                  encode_ppm, resize_images)
+
+    # 64x64 built from 32x32 blocks of constant value -> box average
+    # reproduces the block values exactly at 32x32
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    big = np.repeat(np.repeat(blocks, 2, axis=0), 2, axis=1)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_png(big, 2), encode_ppm(big)],
+                            pa.binary()),
+    })
+    out = resize_images(ray.data.from_arrow(tbl), target_h=32,
+                        target_w=32).to_pandas().set_index("media_id")
+    for mid in (0, 1):
+        small = decode_png(out.loc[mid, "payload"])
+        assert small.shape == (32, 32, 3)
+        assert np.array_equal(small, blocks), mid
