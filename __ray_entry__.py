@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_orders": sq.q_top_orders,
         "tpch_nation_revenue": sq.q_nation_revenue,
         "label_centroids": sq.q_label_centroids,
+        "value_quantiles_per_type": sq.q_value_quantiles,
+        "inactive_customers": sq.q_inactive_customers,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -199,6 +201,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_orders": sq.SQL_TOP_ORDERS,
         "tpch_nation_revenue": sq.SQL_NATION_REVENUE,
         "label_centroids": sq.SQL_LABEL_CENTROIDS,
+        "value_quantiles_per_type": sq.SQL_VALUE_QUANTILES,
+        "inactive_customers": sq.SQL_INACTIVE_CUSTOMERS,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

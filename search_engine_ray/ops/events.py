@@ -129,3 +129,28 @@ def event_type_stats(sf_dir: str):
         Min("value", alias_name="min_value"),
         Max("value", alias_name="max_value"),
     )
+
+
+def value_quantiles_per_type(sf_dir: str,
+                             qs=(0.25, 0.5, 0.75, 0.95)):
+    """Exact discrete quantiles of `value` per event_type — the
+    co-partitioned shape (groupby(event_type).map_groups; each group is
+    one worker's sort).  Quantile rule matches SQL quantile_disc:
+    sorted[max(ceil(q*n)-1, 0)].  Raw doubles are exported (selection,
+    not arithmetic), so the value hash is exact."""
+    import ray.data
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        row = {"event_type": g["event_type"].iloc[0],
+               "n": np.int64(n)}
+        for q in qs:
+            idx = max(int(np.ceil(q * n)) - 1, 0)
+            row[f"p{int(q * 100)}"] = v[idx]
+        return pd.DataFrame([row])
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pandas")

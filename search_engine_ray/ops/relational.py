@@ -197,3 +197,55 @@ def nation_revenue(sf_dir: str):
                   .groupby("n_name")
                   .aggregate(Sum("price_e4", alias_name="revenue_e4"),
                              Sum("one", alias_name="n_orders")))
+
+
+def inactive_customers(sf_dir: str, since: str = "2001-01-01"):
+    """ANTI-JOIN (TPC-H Q22 shape): customers with NO order on/after
+    ``since``.  Expressed as the general big-big anti-join: both sides
+    tagged and unioned, one hash shuffle on the key, groups with no
+    probe row emit their build row.  (A filtered-side broadcast would
+    also work when the probe side is small — the temporal-join modules
+    show that variant.)"""
+    import ray.data
+
+    cut = _ts_us(since)
+
+    def cprep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("c_custkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = ts >= cut
+        ck = batch.column("o_custkey").to_numpy()[keep]
+        return pa.table({
+            "key": pa.array(ck, pa.int64()),
+            "c_mktsegment": pa.array([""] * len(ck), pa.string()),
+            "side": pa.array(np.ones(len(ck), dtype=np.int8)),
+        })
+
+    cust = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+        .map_batches(cprep, batch_format="pyarrow"))
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+        .map_batches(oprep, batch_format="pyarrow"))
+
+    def per_key(g):
+        import pandas as pd
+
+        if (g["side"] == 1).any():
+            return pd.DataFrame({"c_custkey": [], "c_mktsegment": []})
+        left = g[g["side"] == 0]
+        return pd.DataFrame({
+            "c_custkey": left["key"].astype("int64"),
+            "c_mktsegment": left["c_mktsegment"]})
+
+    return (cust.union(orders).groupby("key")
+                .map_groups(per_key, batch_format="pandas"))

@@ -1067,3 +1067,34 @@ FROM embeddings
 CROSS JOIN (SELECT unnest(range(64)) AS dim) d
 GROUP BY 1, 2
 """
+
+
+def q_value_quantiles(sf_dir: str):
+    from search_engine_ray.ops.events import value_quantiles_per_type
+
+    return value_quantiles_per_type(sf_dir)
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.75) AS p75,
+       quantile_disc(value, 0.95) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_inactive_customers(sf_dir: str):
+    from search_engine_ray.ops.relational import inactive_customers
+
+    return inactive_customers(sf_dir)
+
+
+SQL_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+"""
