@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": sq.q_label_centroids,
         "value_quantiles_per_type": sq.q_value_quantiles,
         "inactive_customers": sq.q_inactive_customers,
+        "json_field_stats": sq.q_json_field_stats,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": sq.SQL_LABEL_CENTROIDS,
         "value_quantiles_per_type": sq.SQL_VALUE_QUANTILES,
         "inactive_customers": sq.SQL_INACTIVE_CUSTOMERS,
+        "json_field_stats": sq.SQL_JSON_FIELD_STATS,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -154,3 +154,64 @@ def value_quantiles_per_type(sf_dir: str,
                                columns=["event_type", "value"])
     return ds.groupby("event_type").map_groups(per_type,
                                                batch_format="pandas")
+
+
+class JsonFieldStats:
+    """Actor-pool UDF for semi-structured props: extracts an integer
+    field from the JSON `props` column (compiled regex fast-path with a
+    json.loads fallback — both per actor, once) and pre-aggregates per
+    event_type inside the batch.  The shuffle moves only per-batch
+    partials."""
+
+    def __init__(self, field: str = "k"):
+        import json
+        import re
+
+        self.field = field
+        self.pat = re.compile(
+            r'"%s"\s*:\s*(-?\d+)(?=\s*[,}])' % re.escape(field))
+        self.loads = json.loads
+
+    def _extract(self, s: str) -> int | None:
+        m = self.pat.search(s)
+        if m:
+            return int(m.group(1))
+        try:
+            v = self.loads(s).get(self.field)
+            return int(v) if isinstance(v, (int, float)) else None
+        except (ValueError, AttributeError):
+            return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)
+        vals = np.array([self._extract(s) if s is not None else None
+                         for s in batch.column("props").to_pylist()],
+                        dtype=object)
+        ok = np.array([v is not None for v in vals], dtype=bool)
+        df = pd.DataFrame({
+            "event_type": et[ok],
+            "v": np.array([int(v) for v in vals[ok]], dtype=np.int64),
+        })
+        g = df.groupby("event_type", sort=False).agg(
+            sum_part=("v", "sum"), min_part=("v", "min"),
+            max_part=("v", "max"), n_part=("v", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def json_field_stats(sf_dir: str, field: str = "k"):
+    """Per event_type: sum/min/max/count of the integer JSON field —
+    exact integer aggregation, SQL-checkable via json_extract."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"])
+    return (ds.map_batches(JsonFieldStats,
+                           fn_constructor_kwargs={"field": field},
+                           batch_format="pyarrow", concurrency=2)
+              .groupby("event_type")
+              .aggregate(Sum("sum_part", alias_name="sum_k"),
+                         Min("min_part", alias_name="min_k"),
+                         Max("max_part", alias_name="max_k"),
+                         Sum("n_part", alias_name="n")))

@@ -1098,3 +1098,19 @@ WHERE NOT EXISTS (
   WHERE o.o_custkey = c.c_custkey
     AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 """
+
+
+def q_json_field_stats(sf_dir: str):
+    from search_engine_ray.ops.events import json_field_stats
+
+    return json_field_stats(sf_dir)
+
+
+SQL_JSON_FIELD_STATS = """
+SELECT event_type,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k,
+       count(json_extract(props, '$.k')) AS n
+FROM events GROUP BY event_type
+"""
