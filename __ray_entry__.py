@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_per_type": sq.q_value_quantiles,
         "inactive_customers": sq.q_inactive_customers,
         "json_field_stats": sq.q_json_field_stats,
+        "tpch_returned_customers": sq.q_returned_customers,
+        "events_value_histogram": sq.q_value_histogram,
+        "pii_scan": sq.q_pii_scan,
+        "repetition_stats": sq.q_repetition_stats,
+        "contamination_4gram": sq.q_contamination,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -205,6 +210,11 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_per_type": sq.SQL_VALUE_QUANTILES,
         "inactive_customers": sq.SQL_INACTIVE_CUSTOMERS,
         "json_field_stats": sq.SQL_JSON_FIELD_STATS,
+        "tpch_returned_customers": sq.SQL_RETURNED_CUSTOMERS,
+        "events_value_histogram": sq.SQL_VALUE_HISTOGRAM,
+        "pii_scan": sq.SQL_PII_SCAN,
+        "repetition_stats": sq.SQL_REPETITION_STATS,
+        "contamination_4gram": sq.SQL_CONTAMINATION,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -215,3 +215,30 @@ def json_field_stats(sf_dir: str, field: str = "k"):
                          Min("min_part", alias_name="min_k"),
                          Max("max_part", alias_name="max_k"),
                          Sum("n_part", alias_name="n")))
+
+
+def value_histogram(sf_dir: str, width: float = 5.0):
+    """Fixed-width histogram of `value`: bucket = floor(value/width).
+    Per-batch partial combine (bucket -> count, per-row 1e-4-scaled
+    integer sum) so the shuffle moves only bucket partials; exact
+    integer aggregation on both the Ray and SQL side."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        bucket = np.floor(v / width).astype(np.int64)
+        e4 = (np.sign(v) * np.floor(np.abs(v) * 10000 + 0.5)).astype(
+            np.int64)
+        df = pd.DataFrame({"bucket": bucket, "e4": e4})
+        g = df.groupby("bucket", sort=False).agg(
+            n_part=("e4", "size"),
+            sum_part=("e4", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("n_part", alias_name="n"),
+                         Sum("sum_part", alias_name="sum_value_e4")))

@@ -249,3 +249,77 @@ def inactive_customers(sf_dir: str, since: str = "2001-01-01"):
 
     return (cust.union(orders).groupby("key")
                 .map_groups(per_key, batch_format="pandas"))
+
+
+def returned_item_customers(sf_dir: str, qstart: str = "1997-01-01",
+                            qend: str = "1997-04-01", k: int = 20):
+    """TPC-H Q10 shape: revenue lost to returned items, per customer,
+    for one quarter.  The two FACT sides (quarter-filtered orders,
+    R-flag lineitem) meet in a ``Dataset.join`` hash shuffle; the
+    per-customer aggregate that follows is tiny, so the k winners'
+    attributes (name, nation) are attached by BROADCAST lookups against
+    column-pruned dimension reads — no second shuffle.  Ties broken by
+    c_custkey so the limit is deterministic."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(qstart), _ts_us(qend)
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (ts >= lo) & (ts < hi)
+        return pa.table({
+            "o_orderkey": pa.array(batch.column("o_orderkey")
+                                   .to_numpy()[keep], pa.int64()),
+            "o_custkey": pa.array(batch.column("o_custkey")
+                                  .to_numpy()[keep], pa.int64())})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ofilter, batch_format="pyarrow"))
+
+    def lpart(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False)
+        px = batch.column("l_extendedprice").to_numpy()[keep]
+        disc = batch.column("l_discount").to_numpy()[keep]
+        return pa.table({
+            "l_orderkey": pa.array(batch.column("l_orderkey")
+                                   .to_numpy()[keep], pa.int64()),
+            "rev_e4": pa.array(_e4_halfaway(px * (1.0 - disc)),
+                               pa.int64())})
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(lpart, batch_format="pyarrow"))
+
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (joined.groupby("o_custkey")
+                 .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
+    top = (agg.sort(["revenue_e4", "o_custkey"],
+                    descending=[True, False]).limit(k).to_pandas())
+
+    # winners are k rows: broadcast-style attribute attach on the driver
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    want = set(top["o_custkey"].tolist())
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pads.field("c_custkey").isin(list(want))).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.rename(columns={"o_custkey": "c_custkey"})
+              .merge(cust, on="c_custkey")
+              .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    out = out[["c_custkey", "c_name", "n_name", "revenue_e4"]]
+    return out.sort_values(["revenue_e4", "c_custkey"],
+                           ascending=[False, True]).reset_index(drop=True)

@@ -1114,3 +1114,145 @@ SELECT event_type,
        count(json_extract(props, '$.k')) AS n
 FROM events GROUP BY event_type
 """
+
+
+def q_returned_customers(sf_dir: str):
+    from search_engine_ray.ops.relational import returned_item_customers
+
+    return returned_item_customers(sf_dir)
+
+
+SQL_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+           AS revenue_e4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    from search_engine_ray.ops.events import value_histogram
+
+    return value_histogram(sf_dir)
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT floor(value / 5.0)::BIGINT AS bucket,
+       count(*) AS n,
+       sum(round(value * 10000)::BIGINT)::BIGINT AS sum_value_e4
+FROM events GROUP BY bucket
+"""
+
+
+def q_pii_scan(sf_dir: str):
+    from search_engine_ray.ops.textstats import pii_scan
+
+    return pii_scan(sf_dir)
+
+
+def _pii_sql() -> str:
+    from search_engine_ray.ops.textstats import PII_EMAIL_SRC, PII_IP_SRC
+
+    em, ip = _sql_quote(PII_EMAIL_SRC), _sql_quote(PII_IP_SRC)
+    return f"""
+WITH aug AS (
+  SELECT lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                 ELSE '' END AS t
+  FROM documents),
+m AS (
+  SELECT lang,
+         len(regexp_extract_all(t, {em})) AS ne,
+         len(regexp_extract_all(t, {ip})) AS ni
+  FROM aug)
+SELECT lang,
+       sum(ne)::BIGINT AS n_emails,
+       sum(ni)::BIGINT AS n_ips,
+       sum(CASE WHEN ne > 0 OR ni > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_docs_with_pii,
+       count(*) AS n_docs
+FROM m GROUP BY lang
+"""
+
+
+SQL_PII_SCAN = _pii_sql()
+
+
+def q_repetition_stats(sf_dir: str):
+    from search_engine_ray.ops.textstats import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
+SQL_REPETITION_STATS = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM base)
+  GROUP BY doc_id, tok),
+ut AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_unique,
+         max(c)::BIGINT AS top_tf
+  FROM tc GROUP BY doc_id),
+bc AS (
+  SELECT doc_id, max(c)::BIGINT AS top_bigram_tf
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)),
+                            i -> ts[i] || ' ' || ts[i + 1])) AS g
+              FROM base)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(ut.n_tokens, 0) AS n_tokens,
+       coalesce(ut.n_unique, 0) AS n_unique,
+       coalesce(ut.top_tf, 0) AS top_tf,
+       coalesce(bc.top_bigram_tf, 0) AS top_bigram_tf
+FROM base b
+LEFT JOIN ut ON b.doc_id = ut.doc_id
+LEFT JOIN bc ON b.doc_id = bc.doc_id
+"""
+
+
+def q_contamination(sf_dir: str):
+    from search_engine_ray.ops.textstats import contamination_check
+
+    return contamination_check(sf_dir)
+
+
+SQL_CONTAMINATION = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS ts FROM documents),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(ts) - 2),
+                         i -> array_to_string(ts[i:i + 3], ' '))) AS g
+  FROM base WHERE doc_id % 97 = 0),
+dg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 2),
+                        i -> array_to_string(ts[i:i + 3], ' '))) AS g
+  FROM base WHERE doc_id % 97 <> 0),
+flag AS (
+  SELECT doc_id, max(CASE WHEN g IN (SELECT g FROM bg)
+                          THEN 1 ELSE 0 END) AS c
+  FROM dg GROUP BY doc_id)
+SELECT b.lang,
+       sum(coalesce(f.c, 0))::BIGINT AS n_contaminated,
+       count(*) AS n_docs
+FROM base b LEFT JOIN flag f ON b.doc_id = f.doc_id
+WHERE b.doc_id % 97 <> 0
+GROUP BY b.lang
+"""

@@ -13,6 +13,7 @@ import os
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from search_engine_ray.text.stopwords import NLTK_ENGLISH_STOPWORDS
@@ -309,3 +310,160 @@ def quality_filter_ids(sf_dir: str, min_tokens: int = 30,
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# PII patterns: RE2-compatible sources shared verbatim with the SQL
+# oracle (character classes + bounded repeats only; \b is an ASCII word
+# boundary in both Python `re` and DuckDB's RE2).
+PII_EMAIL_SRC = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_SRC = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+class PiiScanner:
+    """Actor-pool PII scanner: compiled patterns once per actor,
+    per-batch partial combine per lang (email/IP match counts, docs
+    with any hit).  The synthetic corpus carries no PII, so a
+    DETERMINISTIC augmentation (doc_id-keyed email / IP suffixes) is
+    applied identically on the Ray and SQL sides — the op's regex path
+    is what's under test."""
+
+    def __init__(self, augment: bool = True):
+        self.email = re.compile(PII_EMAIL_SRC)
+        self.ip = re.compile(PII_IP_SRC)
+        self.augment = augment
+
+    @staticmethod
+    def _augmented(doc_id: int, text: str) -> str:
+        if doc_id % 7 == 0:
+            text += f" contact user{doc_id}@example.com now"
+        if doc_id % 11 == 0:
+            text += f" from 10.0.{doc_id % 256}.{doc_id % 100}"
+        return text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        if self.augment:
+            texts = [self._augmented(int(i), t)
+                     for i, t in zip(ids, texts)]
+        ne = np.array([len(self.email.findall(t)) for t in texts],
+                      dtype=np.int64)
+        ni = np.array([len(self.ip.findall(t)) for t in texts],
+                      dtype=np.int64)
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pylist(),
+            "ne": ne, "ni": ni,
+            "hit": ((ne > 0) | (ni > 0)).astype(np.int64),
+            "one": np.ones(len(ne), dtype=np.int64)})
+        g = df.groupby("lang", sort=False).agg(
+            ne=("ne", "sum"), ni=("ni", "sum"),
+            hit=("hit", "sum"), one=("one", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def pii_scan(sf_dir: str):
+    """Per-lang PII exposure: email/IP regex match counts and the number
+    of documents with any hit (deterministically augmented corpus)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang", "text"])
+    return (ds.map_batches(PiiScanner, batch_format="pyarrow",
+                           concurrency=2)
+              .groupby("lang")
+              .aggregate(Sum("ne", alias_name="n_emails"),
+                         Sum("ni", alias_name="n_ips"),
+                         Sum("hit", alias_name="n_docs_with_pii"),
+                         Sum("one", alias_name="n_docs")))
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per doc over simple tokens:
+    total tokens, unique tokens, the top token's frequency and the top
+    adjacent-bigram's frequency.  All integers — exact SQL check."""
+    import ray.data
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        n_tok, n_uniq, top_tf, top_bg = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            ts = simple_tokenize(t)
+            n_tok.append(len(ts))
+            if ts:
+                _, cnt = np.unique(ts, return_counts=True)
+                n_uniq.append(len(cnt))
+                top_tf.append(int(cnt.max()))
+            else:
+                n_uniq.append(0)
+                top_tf.append(0)
+            if len(ts) >= 2:
+                bg = [ts[i] + " " + ts[i + 1] for i in range(len(ts) - 1)]
+                _, bcnt = np.unique(bg, return_counts=True)
+                top_bg.append(int(bcnt.max()))
+            else:
+                top_bg.append(0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_unique": pa.array(n_uniq, pa.int64()),
+            "top_tf": pa.array(top_tf, pa.int64()),
+            "top_bigram_tf": pa.array(top_bg, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def contamination_check(sf_dir: str, n: int = 4, mod: int = 97):
+    """Benchmark-contamination scan: the 'benchmark' is every doc with
+    doc_id % mod == 0; its n-token shingles are collected (a benchmark
+    set is inherently SMALL — eval suites are KBs next to a 100-TB
+    corpus) and BROADCAST via ray.put; every other doc is flagged if it
+    shares any shingle.  Returns per-lang doc / contaminated counts."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        out = set()
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            if int(i) % mod != 0:
+                continue
+            ts = simple_tokenize(t)
+            for j in range(len(ts) - n + 1):
+                out.add(" ".join(ts[j:j + n]))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    grams_ds = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+                .map_batches(bench_grams, batch_format="pyarrow"))
+    grams = frozenset(grams_ds.to_pandas()["g"].tolist())
+    grams_ref = ray.put(grams)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        gs = ray.get(grams_ref)
+        ids = batch.column("doc_id").to_numpy()
+        langs = batch.column("lang").to_pylist()
+        rows = {"lang": [], "c": [], "one": []}
+        for i, lang, t in zip(ids, langs,
+                              batch.column("text").to_pylist()):
+            if int(i) % mod == 0:
+                continue
+            ts = simple_tokenize(t)
+            hit = any(" ".join(ts[j:j + n]) in gs
+                      for j in range(len(ts) - n + 1))
+            rows["lang"].append(lang)
+            rows["c"].append(int(hit))
+            rows["one"].append(1)
+        g = pd.DataFrame(rows).groupby("lang", sort=False).agg(
+            c=("c", "sum"), one=("one", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(path, columns=["doc_id", "lang", "text"])
+    return (ds.map_batches(flag, batch_format="pyarrow")
+              .groupby("lang")
+              .aggregate(Sum("c", alias_name="n_contaminated"),
+                         Sum("one", alias_name="n_docs")))
