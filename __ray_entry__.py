@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": sq.q_pii_scan,
         "repetition_stats": sq.q_repetition_stats,
         "contamination_4gram": sq.q_contamination,
+        "distinct_users_daily": sq.q_distinct_users_daily,
+        "user_rolling_sum3": sq.q_user_rolling_sum3,
+        "tpch_promo_revenue": sq.q_promo_revenue,
+        "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -215,6 +219,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": sq.SQL_PII_SCAN,
         "repetition_stats": sq.SQL_REPETITION_STATS,
         "contamination_4gram": sq.SQL_CONTAMINATION,
+        "distinct_users_daily": sq.SQL_DISTINCT_USERS_DAILY,
+        "user_rolling_sum3": sq.SQL_USER_ROLLING_SUM3,
+        "tpch_promo_revenue": sq.SQL_PROMO_REVENUE,
+        "tpch_local_supplier_volume": sq.SQL_LOCAL_SUPPLIER_VOLUME,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -242,3 +242,67 @@ def value_histogram(sf_dir: str, width: float = 5.0):
               .groupby("bucket")
               .aggregate(Sum("n_part", alias_name="n"),
                          Sum("sum_part", alias_name="sum_value_e4")))
+
+
+def distinct_users_daily(sf_dir: str):
+    """Exact daily active users: per-batch (day, user) dedup bounds the
+    shuffle to unique pairs, then one groupby counts uniques per day.
+    The partial dedup is the scale lever — a bot firing 1M events a day
+    ships ONE row per batch, and the reducer sees at most
+    (#batches x uniq-per-batch) rows per day."""
+    import ray.data
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // (86400 * 1_000_000)
+        uid = batch.column("user_id").to_numpy()
+        uniq = np.unique(np.stack([day, uid], axis=1), axis=0)
+        return pa.table({
+            "day": pa.array(uniq[:, 0], pa.int64()),
+            "user_id": pa.array(uniq[:, 1], pa.int64())})
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": [int(g["day"].iloc[0])],
+            "n_users": [int(g["user_id"].nunique())]})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby("day").map_groups(per_day, batch_format="pandas"))
+
+
+def user_rolling_sum3(sf_dir: str):
+    """Per-user rolling sum over the last 3 events (window-function
+    shape): groups are hash-partitioned by user, sorted by (ts,
+    event_id) inside ``map_groups``; values are 1e-4-scaled per row
+    BEFORE the window sum, so the rolling aggregate is exact integer
+    math on both the Ray and SQL side."""
+    import ray.data
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        e4 = g["e4"].to_numpy()
+        c = np.concatenate([[0], np.cumsum(e4)])
+        k = np.minimum(np.arange(1, len(e4) + 1), 3)
+        roll = c[1:] - c[np.arange(1, len(e4) + 1) - k]
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "roll3_e4": roll.astype("int64")})
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        e4 = (np.sign(v) * np.floor(np.abs(v) * 10000 + 0.5)).astype(
+            np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts_us": batch.column("ts").cast(pa.int64()),
+            "e4": pa.array(e4, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "value"])
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(per_user, batch_format="pandas"))

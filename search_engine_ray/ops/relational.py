@@ -323,3 +323,147 @@ def returned_item_customers(sf_dir: str, qstart: str = "1997-01-01",
     out = out[["c_custkey", "c_name", "n_name", "revenue_e4"]]
     return out.sort_values(["revenue_e4", "c_custkey"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def promo_revenue_share(sf_dir: str, month: str = "1996-03-01",
+                        month_end: str = "1996-04-01"):
+    """TPC-H Q14 shape: share of a month's revenue from PROMO parts.
+    The promo flag is a SEMI-JOIN against a filtered dimension: the
+    promo partkeys ship once as a sorted int64 array (``ray.put``) and
+    each lineitem batch flags membership with one vectorized
+    ``np.isin`` — no shuffle at all; the whole query is one streaming
+    pass.  Returned as exact e4 integers (numerator, denominator)
+    instead of the division, so the check is exact."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(month), _ts_us(month_end)
+
+    def promo_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("p_type"), "PROMO")
+        return batch.filter(m).select(["p_partkey"])
+
+    keys = np.sort(ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+        .map_batches(promo_keys, batch_format="pyarrow")
+        .to_pandas()["p_partkey"].to_numpy())
+    keys_ref = ray.put(keys)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ts >= lo) & (ts < hi)
+        pk = batch.column("l_partkey").to_numpy()[keep]
+        px = batch.column("l_extendedprice").to_numpy()[keep]
+        disc = batch.column("l_discount").to_numpy()[keep]
+        rev = _e4_halfaway(px * (1.0 - disc))
+        promo = np.isin(pk, ks)
+        return pa.table({
+            "k": pa.array(np.zeros(1, dtype=np.int64)),
+            "promo_e4": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total_e4": pa.array([int(rev.sum())], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("k")
+             .aggregate(Sum("promo_e4", alias_name="promo_revenue_e4"),
+                        Sum("total_e4", alias_name="total_revenue_e4")))
+    return agg.drop_columns(["k"])
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          ystart: str = "1996-01-01",
+                          yend: str = "1997-01-01"):
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    supplier share the nation, suppliers in one region, one order year.
+    Plan: the two FACT joins (orders x customer, then x lineitem) are
+    hash-shuffle ``Dataset.join``s on the reused order/customer keys;
+    supplier and nation/region are BROADCAST lookups (suppkey ->
+    nationkey dict, nationkey -> (name, regionkey)); the final groupby
+    is five rows."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(ystart), _ts_us(yend)
+
+    nat = {}
+    for r in ray.data.read_parquet(
+            os.path.join(sf_dir, "nation.parquet")).take_all():
+        nat[int(r["n_nationkey"])] = (r["n_name"], int(r["n_regionkey"]))
+    regions = {int(r["r_regionkey"]): r["r_name"]
+               for r in ray.data.read_parquet(
+                   os.path.join(sf_dir, "region.parquet")).take_all()}
+    rkeys = {k for k, v in regions.items() if v == region}
+    srows = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    order = np.argsort(srows["s_suppkey"].to_numpy())
+    sup_keys = srows["s_suppkey"].to_numpy()[order]
+    sup_nats = srows["s_nationkey"].to_numpy().astype(np.int64)[order]
+    # nation names indexed by nationkey; -1 marks out-of-region
+    max_nk = max(nat) if nat else 0
+    nat_names = np.array([nat.get(i, ("", -1))[0]
+                          for i in range(max_nk + 1)], dtype=object)
+    in_region = np.array([nat.get(i, ("", -1))[1] in rkeys
+                          for i in range(max_nk + 1)], dtype=bool)
+    bc = ray.put((sup_keys, sup_nats, nat_names, in_region))
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (ts >= lo) & (ts < hi)
+        return pa.table({
+            "o_orderkey": pa.array(batch.column("o_orderkey")
+                                   .to_numpy()[keep], pa.int64()),
+            "o_custkey": pa.array(batch.column("o_custkey")
+                                  .to_numpy()[keep], pa.int64())})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ofilter, batch_format="pyarrow"))
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    ord_nat = orders.join(cust, "inner", num_partitions=8,
+                          on=("o_custkey",), right_on=("c_custkey",))
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        px = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "rev_e4": pa.array(_e4_halfaway(px * (1.0 - disc)),
+                               pa.int64())})
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(lprep, batch_format="pyarrow"))
+    joined = li.join(ord_nat, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def localize(batch: pa.Table) -> pa.Table:
+        sup_keys, sup_nats, nat_names, in_region = ray.get(bc)
+        sk = batch.column("l_suppkey").to_numpy()
+        cn = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        rev = batch.column("rev_e4").to_numpy()
+        pos = np.searchsorted(sup_keys, sk).clip(0, len(sup_keys) - 1)
+        found = sup_keys[pos] == sk
+        snat = np.where(found, sup_nats[pos], -1)
+        keep = found & (snat == cn) & in_region[snat.clip(0)]
+        return pa.table({
+            "n_name": pa.array(nat_names[snat[keep]].tolist(),
+                               pa.string()),
+            "rev_e4": pa.array(rev[keep], pa.int64())})
+
+    return (joined.map_batches(localize, batch_format="pyarrow")
+                  .groupby("n_name")
+                  .aggregate(Sum("rev_e4", alias_name="revenue_e4")))

@@ -1256,3 +1256,70 @@ FROM base b LEFT JOIN flag f ON b.doc_id = f.doc_id
 WHERE b.doc_id % 97 <> 0
 GROUP BY b.lang
 """
+
+
+def q_distinct_users_daily(sf_dir: str):
+    from search_engine_ray.ops.events import distinct_users_daily
+
+    return distinct_users_daily(sf_dir)
+
+
+SQL_DISTINCT_USERS_DAILY = """
+SELECT (floor(epoch(ts) / 86400))::BIGINT AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY day
+"""
+
+
+def q_user_rolling_sum3(sf_dir: str):
+    from search_engine_ray.ops.events import user_rolling_sum3
+
+    return user_rolling_sum3(sf_dir)
+
+
+SQL_USER_ROLLING_SUM3 = """
+SELECT event_id,
+       sum(round(value * 10000)::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS 2 PRECEDING)::BIGINT AS roll3_e4
+FROM events
+"""
+
+
+def q_promo_revenue(sf_dir: str):
+    from search_engine_ray.ops.relational import promo_revenue_share
+
+    return promo_revenue_share(sf_dir)
+
+
+SQL_PROMO_REVENUE = """
+SELECT sum(CASE WHEN p_type = 'PROMO'
+                THEN round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+                ELSE 0 END)::BIGINT AS promo_revenue_e4,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+           AS total_revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_local_supplier_volume(sf_dir: str):
+    from search_engine_ray.ops.relational import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+           AS revenue_e4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
