@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_sum3": sq.q_user_rolling_sum3,
         "tpch_promo_revenue": sq.q_promo_revenue,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
+        "source_mix_sample": sq.q_source_mix,
+        "packing_plan_512": sq.q_packing_plan,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -223,6 +225,8 @@ def oracle_sql() -> dict[str, str]:
         "user_rolling_sum3": sq.SQL_USER_ROLLING_SUM3,
         "tpch_promo_revenue": sq.SQL_PROMO_REVENUE,
         "tpch_local_supplier_volume": sq.SQL_LOCAL_SUPPLIER_VOLUME,
+        "source_mix_sample": sq.SQL_SOURCE_MIX,
+        "packing_plan_512": sq.SQL_PACKING_PLAN,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

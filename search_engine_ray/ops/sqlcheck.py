@@ -1323,3 +1323,44 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """
+
+
+def q_source_mix(sf_dir: str):
+    from search_engine_ray.ops.textstats import source_mix_sample
+
+    return source_mix_sample(sf_dir)
+
+
+def _source_mix_sql() -> str:
+    from search_engine_ray.ops.textstats import MIX_DEFAULT, MIX_WEIGHTS
+
+    case = " ".join(f"WHEN '{s}' THEN {w}"
+                    for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower(text) % 100 <
+      CASE source {case} ELSE {MIX_DEFAULT} END
+"""
+
+
+SQL_SOURCE_MIX = _source_mix_sql()
+
+
+def q_packing_plan(sf_dir: str):
+    from search_engine_ray.ops.textstats import packing_plan
+
+    return packing_plan(sf_dir)
+
+
+SQL_PACKING_PLAN = f"""
+WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents),
+s AS (SELECT doc_id, n,
+        coalesce(sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)::BIGINT AS tok_start
+      FROM t)
+SELECT doc_id, tok_start,
+       (tok_start // 512)::BIGINT AS chunk_first,
+       ((tok_start + greatest(n, 1) - 1) // 512)::BIGINT AS chunk_last
+FROM s
+"""

@@ -467,3 +467,86 @@ def contamination_check(sf_dir: str, n: int = 4, mod: int = 97):
               .groupby("lang")
               .aggregate(Sum("c", alias_name="n_contaminated"),
                          Sum("one", alias_name="n_docs")))
+
+
+# per-source keep-percentages for the mixing op — the single source of
+# truth; the SQL oracle's CASE expression is generated from this dict.
+MIX_WEIGHTS = {f"src{i}": (7 * i + 13) % 101 for i in range(20)}
+MIX_DEFAULT = 100
+
+
+def source_mix_sample(sf_dir: str):
+    """Source-weighted corpus mixing (the data-mixture step of a
+    training pipeline): keep a doc iff its deterministic content-hash
+    residue falls under its source's keep-percentage.  Coordination-free
+    and reproducible at any cluster size — same rule as ``sample_mod``,
+    weighted per source."""
+    import hashlib as _h
+
+    import ray.data
+
+    def pick(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        keep = np.array(
+            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
+                            "little") % 100
+             < MIX_WEIGHTS.get(s, MIX_DEFAULT)
+             for t, s in zip(texts, srcs)], dtype=bool)
+        return batch.select(["doc_id", "source"]).filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "text"])
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def packing_plan(sf_dir: str, chunk_tokens: int = 512,
+                 group_size: int = 1000):
+    """GPT-style sequence-packing plan: concatenate all docs in doc_id
+    order and slice fixed ``chunk_tokens`` windows; each doc maps to
+    (tok_start, chunk_first, chunk_last).  Distributed as a two-phase
+    EXCLUSIVE PREFIX SCAN: phase 1 reduces per-group token totals
+    (group = doc_id // group_size) to a tiny table, the driver cumsums
+    it (one row per group — KBs at any corpus size) and broadcasts the
+    group offsets; phase 2 computes within-group prefixes under
+    ``groupby(g).map_groups``.  Deterministic regardless of block
+    order or cluster size because the scan order is doc_id, not
+    partition arrival."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        n = np.array([len(simple_tokenize(t))
+                      for t in batch.column("text").to_pylist()],
+                     dtype=np.int64)
+        return pa.table({
+            "g": pa.array(ids // group_size, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n": pa.array(n, pa.int64())})
+
+    base = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(counts, batch_format="pyarrow"))
+
+    totals = (base.groupby("g").aggregate(Sum("n", alias_name="tot"))
+              .to_pandas().sort_values("g"))
+    off = np.concatenate([[0], np.cumsum(totals["tot"].to_numpy())[:-1]])
+    offsets = dict(zip(totals["g"].astype(int), off.astype(int)))
+    off_ref = ray.put(offsets)
+
+    def per_group(grp: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)[int(grp["g"].iloc[0])]
+        grp = grp.sort_values("doc_id").reset_index(drop=True)
+        n = grp["n"].to_numpy()
+        start = o + np.concatenate([[0], np.cumsum(n)[:-1]])
+        last_tok = start + np.maximum(n, 1) - 1
+        return pd.DataFrame({
+            "doc_id": grp["doc_id"].astype("int64"),
+            "tok_start": start.astype("int64"),
+            "chunk_first": (start // chunk_tokens).astype("int64"),
+            "chunk_last": (last_tok // chunk_tokens).astype("int64")})
+
+    return base.groupby("g").map_groups(per_group, batch_format="pandas")
