@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         "source_mix_sample": sq.q_source_mix,
         "packing_plan_512": sq.q_packing_plan,
+        "approx_quantiles_hist": sq.q_approx_quantiles,
+        "norm_fingerprint": sq.q_norm_fingerprint,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -227,6 +229,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_local_supplier_volume": sq.SQL_LOCAL_SUPPLIER_VOLUME,
         "source_mix_sample": sq.SQL_SOURCE_MIX,
         "packing_plan_512": sq.SQL_PACKING_PLAN,
+        "approx_quantiles_hist": sq.SQL_APPROX_QUANTILES,
+        "norm_fingerprint": sq.SQL_NORM_FINGERPRINT,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -186,3 +186,41 @@ def hll_distinct(sf_dir: str, table: str = "events",
                                    pa.int64()),
         "n_registers": pa.array([1 << p], pa.int64()),
     })
+
+
+def approx_quantiles_hist(sf_dir: str, width: float = 0.5,
+                          pcts: tuple = (50, 90, 99)):
+    """Approximate quantiles from a MERGEABLE fixed-width histogram
+    sketch: per-batch bucket counts shuffle as partials; the merged
+    histogram is bounded by the value range / width (a sketch, not the
+    data — KBs regardless of corpus size).  The estimate is the upper
+    edge of the first bucket whose cumulative count reaches
+    ceil(pct/100 * N) — a deterministic rule, so even this approximate
+    operator is value-checked against SQL.  Error is bounded by
+    ``width`` by construction."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        b = np.floor(v / width).astype(np.int64)
+        ub, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ub, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = (ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                  columns=["value"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("b").aggregate(Sum("c", alias_name="n"))
+            .to_pandas().sort_values("b").reset_index(drop=True))
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    e4_per_bucket = int(round(width * 10000))
+    rows = []
+    for pct in pcts:
+        target = (pct * total + 99) // 100
+        i = int(np.searchsorted(cum, target))
+        est_e4 = (int(hist["b"].iloc[i]) + 1) * e4_per_bucket
+        rows.append({"pct": int(pct), "est_e4": est_e4})
+    return pd.DataFrame(rows)

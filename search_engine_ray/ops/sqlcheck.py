@@ -1364,3 +1364,44 @@ SELECT doc_id, tok_start,
        ((tok_start + greatest(n, 1) - 1) // 512)::BIGINT AS chunk_last
 FROM s
 """
+
+
+def q_approx_quantiles(sf_dir: str):
+    from search_engine_ray.ops.sketches import approx_quantiles_hist
+
+    return approx_quantiles_hist(sf_dir)
+
+
+SQL_APPROX_QUANTILES = """
+WITH h AS (
+  SELECT floor(value / 0.5)::BIGINT AS b, count(*) AS c
+  FROM events GROUP BY b),
+t AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM h),
+n AS (SELECT count(*) AS cnt FROM events),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) v(pct))
+SELECT q.pct,
+       ((min(t.b) + 1) * 5000)::BIGINT AS est_e4
+FROM q, n, t
+WHERE t.cum >= (q.pct * n.cnt + 99) // 100
+GROUP BY q.pct
+"""
+
+
+def q_norm_fingerprint(sf_dir: str):
+    from search_engine_ray.ops.textstats import norm_fingerprint
+
+    return norm_fingerprint(sf_dir)
+
+
+def _norm_fp_sql() -> str:
+    from search_engine_ray.ops.textstats import WS_CLASS_SRC
+
+    return f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), {_sql_quote(WS_CLASS_SRC)},
+                               ' ', 'g'), ' ')) AS norm_md5
+FROM documents
+"""
+
+
+SQL_NORM_FINGERPRINT = _norm_fp_sql()

@@ -550,3 +550,34 @@ def packing_plan(sf_dir: str, chunk_tokens: int = 512,
             "chunk_last": (last_tok // chunk_tokens).astype("int64")})
 
     return base.groupby("g").map_groups(per_group, batch_format="pandas")
+
+
+# whitespace class shared VERBATIM with the SQL oracle (RE2 and Python
+# `re` agree on this explicit ASCII class; bare \s would not — Python's
+# is unicode-wide on str).
+WS_CLASS_SRC = "[ \\t\\n\\r\\f\\v]+"
+
+
+def norm_fingerprint(sf_dir: str):
+    """Normalization fingerprint: md5 hex of lower(text) with ASCII
+    whitespace runs collapsed to single spaces and ends trimmed — the
+    canonical-form dedup key (catches case/whitespace-only near-dups
+    that byte-exact dedup misses)."""
+    import hashlib as _h
+
+    import ray.data
+
+    ws = re.compile(WS_CLASS_SRC)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        outs = []
+        for t in batch.column("text").to_pylist():
+            norm = ws.sub(" ", t.lower()).strip(" ")
+            outs.append(_h.md5(norm.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "norm_md5": pa.array(outs, pa.string())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fp, batch_format="pyarrow")
