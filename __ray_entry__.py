@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_plan_512": sq.q_packing_plan,
         "approx_quantiles_hist": sq.q_approx_quantiles,
         "norm_fingerprint": sq.q_norm_fingerprint,
+        "customer_order_counts": sq.q_customer_order_counts,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_plan_512": sq.SQL_PACKING_PLAN,
         "approx_quantiles_hist": sq.SQL_APPROX_QUANTILES,
         "norm_fingerprint": sq.SQL_NORM_FINGERPRINT,
+        "customer_order_counts": sq.SQL_CUSTOMER_ORDER_COUNTS,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

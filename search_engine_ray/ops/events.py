@@ -245,12 +245,13 @@ def value_histogram(sf_dir: str, width: float = 5.0):
 
 
 def distinct_users_daily(sf_dir: str):
-    """Exact daily active users: per-batch (day, user) dedup bounds the
-    shuffle to unique pairs, then one groupby counts uniques per day.
-    The partial dedup is the scale lever — a bot firing 1M events a day
-    ships ONE row per batch, and the reducer sees at most
-    (#batches x uniq-per-batch) rows per day."""
+    """Exact daily active users, skew-safe: per-batch (day, user) dedup
+    bounds the shuffle to unique pairs; the global dedup shuffles on the
+    PAIR key (so a billion-user day splits across reducers instead of
+    landing whole in one group); the final per-day count is a partial
+    combine over the deduped pairs plus a tiny groupby."""
     import ray.data
+    from ray.data.aggregate import Sum
 
     def pairs(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -261,15 +262,20 @@ def distinct_users_daily(sf_dir: str):
             "day": pa.array(uniq[:, 0], pa.int64()),
             "user_id": pa.array(uniq[:, 1], pa.int64())})
 
-    def per_day(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "day": [int(g["day"].iloc[0])],
-            "n_users": [int(g["user_id"].nunique())]})
+    def day_partials(batch: pa.Table) -> pa.Table:
+        d, c = np.unique(batch.column("day").to_numpy(),
+                         return_counts=True)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["ts", "user_id"])
-    return (ds.map_batches(pairs, batch_format="pyarrow")
-              .groupby("day").map_groups(per_day, batch_format="pandas"))
+    deduped = (ds.map_batches(pairs, batch_format="pyarrow")
+                 .groupby(["day", "user_id"])
+                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    return (deduped.map_batches(day_partials, batch_format="pyarrow")
+                   .groupby("day")
+                   .aggregate(Sum("c", alias_name="n_users")))
 
 
 def user_rolling_sum3(sf_dir: str):

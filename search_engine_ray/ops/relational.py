@@ -467,3 +467,48 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     return (joined.map_batches(localize, batch_format="pyarrow")
                   .groupby("n_name")
                   .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER aggregate join: every customer with their order count,
+    zero included.  The probe side is PRE-COMBINED per batch (custkey ->
+    partial count) before the tagged union, so the single hash shuffle
+    moves one row per (batch, customer) instead of one per order — the
+    skew-safe left-join-then-aggregate plan."""
+    import ray.data
+
+    def cprep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("c_custkey"),
+            "n": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(batch.column("o_custkey").to_numpy(),
+                         return_counts=True)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(k), dtype=np.int8))})
+
+    cust = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+        .map_batches(cprep, batch_format="pyarrow"))
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+        .map_batches(oprep, batch_format="pyarrow"))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd  # noqa: F811 (map_groups worker import)
+
+        if not (g["side"] == 0).any():
+            return pd.DataFrame({"c_custkey": [], "n_orders": []})
+        return pd.DataFrame({
+            "c_custkey": [int(g["key"].iloc[0])],
+            "n_orders": [int(g.loc[g["side"] == 1, "n"].sum())]})
+
+    import pandas as pd
+
+    return (cust.union(orders).groupby("key")
+                .map_groups(per_key, batch_format="pandas"))

@@ -1405,3 +1405,16 @@ FROM documents
 
 
 SQL_NORM_FINGERPRINT = _norm_fp_sql()
+
+
+def q_customer_order_counts(sf_dir: str):
+    from search_engine_ray.ops.relational import customer_order_counts
+
+    return customer_order_counts(sf_dir)
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""

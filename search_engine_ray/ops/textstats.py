@@ -511,7 +511,10 @@ def packing_plan(sf_dir: str, chunk_tokens: int = 512,
     group offsets; phase 2 computes within-group prefixes under
     ``groupby(g).map_groups``.  Deterministic regardless of block
     order or cluster size because the scan order is doc_id, not
-    partition arrival."""
+    partition arrival.  Size ``group_size`` so corpus/group_size rows
+    fit the driver (~1e6 at cluster scale keeps the offsets table at
+    one row per million docs); a third scan level would bound it
+    further if ever needed."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
