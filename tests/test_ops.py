@@ -512,3 +512,113 @@ def test_image_resize_stage(ray_session):
         small = decode_png(out.loc[mid, "payload"])
         assert small.shape == (32, 32, 3)
         assert np.array_equal(small, blocks), mid
+
+
+@pytest.fixture(scope="module")
+def edge_docs_dir(ray_session, tmp_path_factory):
+    """documents.parquet with degenerate texts (empty, punct-only,
+    single-token) for the round-2 op edge cases."""
+    texts = ["", "...", "solo", "a b a b a b", "x " * 600]
+    ids = list(range(len(texts)))
+    d = tmp_path_factory.mktemp("edgedocs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([t.strip() if t != "" else t for t in texts],
+                         pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["src0"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_stats_degenerate_docs(edge_docs_dir):
+    from search_engine_ray.ops.textstats import repetition_stats
+
+    out = (repetition_stats(edge_docs_dir).to_pandas()
+           .set_index("doc_id").sort_index())
+    # empty + punct-only docs: all zeros
+    for did in (0, 1):
+        assert out.loc[did].tolist() == [0, 0, 0, 0]
+    # single token: one unique, no bigrams
+    assert out.loc[2].tolist() == [1, 1, 1, 0]
+    # 'a b a b a b': 6 tokens, 2 unique, top tf 3, top bigram 'a b' x3
+    assert out.loc[3].tolist() == [6, 2, 3, 3]
+
+
+def test_packing_plan_chunks_and_prefix(edge_docs_dir):
+    from search_engine_ray.ops.textstats import packing_plan
+
+    out = (packing_plan(edge_docs_dir, chunk_tokens=512)
+           .to_pandas().set_index("doc_id").sort_index())
+    # prefix order follows doc_id: 0,0,1,2,8 tokens then the 600-token doc
+    assert out["tok_start"].tolist() == [0, 0, 0, 1, 7]
+    # zero-token docs occupy their start chunk (first == last)
+    assert (out.loc[0, "chunk_first"] == out.loc[0, "chunk_last"] == 0)
+    # the 600-token doc straddles chunk 0 -> 1 (starts at 7, ends at 606)
+    assert out.loc[4, "chunk_first"] == 0
+    assert out.loc[4, "chunk_last"] == 1
+
+
+def test_packing_plan_group_size_invariance(edge_docs_dir):
+    from search_engine_ray.ops.textstats import packing_plan
+
+    a = (packing_plan(edge_docs_dir, group_size=2).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (packing_plan(edge_docs_dir, group_size=1000).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_value_histogram_negative_values(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.ops.events import value_histogram
+
+    vals = [-7.25, -0.01, 0.0, 4.999, 5.0, 12.3]
+    pq.write_table(pa.table({"value": pa.array(vals, pa.float64())}),
+                   str(tmp_path / "events.parquet"))
+    out = (value_histogram(str(tmp_path)).to_pandas()
+           .set_index("bucket").sort_index())
+    # floor semantics: -7.25 -> -2, -0.01 -> -1, [0,5) -> 0, 5.0 -> 1, 12.3 -> 2
+    assert out.index.tolist() == [-2, -1, 0, 1, 2]
+    assert out["n"].tolist() == [1, 1, 2, 1, 1]
+    assert out.loc[-2, "sum_value_e4"] == -72500
+
+
+def test_user_rolling_sum3_short_series(ray_session, tmp_path):
+    import datetime as dt
+
+    from search_engine_ray.ops.events import user_rolling_sum3
+
+    base = dt.datetime(2001, 1, 1)
+    ts = [base + dt.timedelta(seconds=i) for i in range(4)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 9.0], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = (user_rolling_sum3(str(tmp_path)).to_pandas()
+           .set_index("event_id").sort_index())
+    # windows shorter than 3 sum what exists; user 2 is independent
+    assert out["roll3_e4"].tolist() == [10000, 30000, 70000, 90000]
+
+
+def test_contamination_planted(ray_session, tmp_path):
+    from search_engine_ray.ops.textstats import contamination_check
+
+    # doc 0 (id 0 % 97 == 0) is the benchmark; doc 5 shares its 4-gram
+    texts = {0: "one two three four tail",
+             5: "prefix one two three four",
+             6: "totally different words here now"}
+    ids = sorted(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = contamination_check(str(tmp_path)).to_pandas()
+    assert out["n_docs"].tolist() == [2]
+    assert out["n_contaminated"].tolist() == [1]
