@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_hist": sq.q_approx_quantiles,
         "norm_fingerprint": sq.q_norm_fingerprint,
         "customer_order_counts": sq.q_customer_order_counts,
+        "curate_summary": sq.q_curate_summary,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles_hist": sq.SQL_APPROX_QUANTILES,
         "norm_fingerprint": sq.SQL_NORM_FINGERPRINT,
         "customer_order_counts": sq.SQL_CUSTOMER_ORDER_COUNTS,
+        "curate_summary": sq.SQL_CURATE_SUMMARY,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -1418,3 +1418,72 @@ SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """
+
+
+def q_curate_summary(sf_dir: str):
+    from search_engine_ray.pipelines.curate import curate_summary
+
+    return curate_summary(sf_dir)
+
+
+def _curate_sql() -> str:
+    from search_engine_ray.ops.textstats import MIX_DEFAULT, MIX_WEIGHTS
+
+    case = " ".join(f"WHEN '{s}' THEN {w}"
+                    for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH RECURSIVE
+tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n_tokens,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                 AS sum_len
+      FROM tl),
+q AS (SELECT doc_id FROM m
+      WHERE n_tokens >= 30 AND sum_len >= 4 * n_tokens),
+e AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+toks AS (SELECT doc_id, unnest(toks) AS t,
+                generate_subscripts(toks, 1) AS pos FROM tl),
+grams AS (SELECT DISTINCT t1.doc_id,
+                 t1.t || ' ' || t2.t || ' ' || t3.t AS g
+          FROM toks t1
+          JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+          JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM grams x JOIN grams y
+               ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM inter
+          JOIN counts ca ON ca.doc_id = a
+          JOIN counts cb ON cb.doc_id = b
+          WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.6),
+und AS (SELECT a AS x, b AS y FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+walk(x, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM und)
+  UNION
+  SELECT u.x, w.r FROM und u JOIN walk w ON w.x = u.y),
+roots AS (SELECT x, min(r) AS root FROM walk GROUP BY x),
+nd AS (SELECT d.doc_id FROM documents d
+       LEFT JOIN roots ON d.doc_id = roots.x
+       WHERE roots.x IS NULL OR roots.root = d.doc_id),
+mx AS (SELECT doc_id FROM documents
+       WHERE md5_number_lower(text) % 100 <
+             CASE source {case} ELSE {MIX_DEFAULT} END),
+keep AS (SELECT q.doc_id FROM q
+         JOIN e ON e.doc_id = q.doc_id
+         JOIN nd ON nd.doc_id = q.doc_id
+         JOIN mx ON mx.doc_id = q.doc_id)
+SELECT d.lang,
+       count(*) AS docs_in,
+       count(k.doc_id)::BIGINT AS docs_kept,
+       coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+                         THEN m.n_tokens END), 0)::BIGINT AS tokens_kept
+FROM documents d
+JOIN m ON m.doc_id = d.doc_id
+LEFT JOIN keep k ON k.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
+SQL_CURATE_SUMMARY = _curate_sql()

@@ -1,0 +1,182 @@
+"""End-to-end training-corpus CURATION pipeline — the engine's flagship
+composition for the 100-TB use case: quality gate -> exact dedup ->
+near-dup removal -> source mixing -> (optional) packed partitioned
+write, in one run.
+
+Every stage reuses the individually-SQL-checked operator; the COMPOSED
+result is value-checked against a single DuckDB query that chains the
+same four rules, so the composition itself (not just the parts) is
+gated.
+
+Scale shape: the four keep-sets are Datasets of doc ids; their
+intersection is ONE tagged-union hash shuffle on doc_id (count==4),
+never a driver set.  The final per-lang rollup attaches (lang,
+n_tokens) through the same shuffle and partial-combines before the
+five-row groupby.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_KEEP_RULES = 4
+
+
+def _ids_only(ds, col: str = "doc_id"):
+    def pick(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column(col)})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def curate_summary(sf_dir: str):
+    """Per-lang curation summary: docs_in, docs_kept (surviving ALL four
+    rules), tokens_kept.  Rules (identical constants to the standalone
+    ops): quality gate (>=30 simple tokens, mean token length >= 4),
+    exact dedup (keep min doc_id per byte-identical text), near-dup
+    removal (3-gram Jaccard >= 0.6 connected components, keep min id),
+    source-weighted mixing (MIX_WEIGHTS hash-residue rule)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.ops.dedup import exact_dedup, near_dup_keep_ids
+    from search_engine_ray.ops.textstats import (
+        quality_filter_ids,
+        source_mix_sample,
+    )
+
+    sets = [
+        quality_filter_ids(sf_dir).select_columns(["doc_id"]),
+        _ids_only(exact_dedup(sf_dir)),
+        near_dup_keep_ids(sf_dir),
+        _ids_only(source_mix_sample(sf_dir)),
+    ]
+    tagged = sets[0].union(*sets[1:])
+
+    def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < N_KEEP_RULES:
+            return pd.DataFrame({"doc_id": []})
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+
+    kept = tagged.groupby("doc_id").map_groups(keep_if_all,
+                                               batch_format="pandas")
+
+    # attach (lang, n_tokens) through one more doc_id shuffle
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = [len(simple_tokenize(t))
+             for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))})
+
+    def ktag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang": pa.array([""] * n, pa.string()),
+            "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    docs = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"])
+        .map_batches(stats, batch_format="pyarrow"))
+    both = docs.union(kept.map_batches(ktag, batch_format="pyarrow"))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 0]
+        if d.empty:
+            return pd.DataFrame(
+                {"lang": [], "one": [], "kept": [], "tok_kept": []})
+        k = int((g["side"] == 1).any())
+        n = int(d["n_tokens"].iloc[0])
+        return pd.DataFrame({
+            "lang": [d["lang"].iloc[0]], "one": [1], "kept": [k],
+            "tok_kept": [k * n]})
+
+    per = both.groupby("doc_id").map_groups(per_doc,
+                                            batch_format="pandas")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = pa.Table.to_pandas(batch)
+        g = df.groupby("lang", sort=False).agg(
+            one=("one", "sum"), kept=("kept", "sum"),
+            tok_kept=("tok_kept", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (per.map_batches(combine, batch_format="pyarrow")
+               .groupby("lang")
+               .aggregate(Sum("one", alias_name="docs_in"),
+                          Sum("kept", alias_name="docs_kept"),
+                          Sum("tok_kept", alias_name="tokens_kept")))
+
+
+def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512):
+    """Materializing variant: writes the curated corpus as PARTITIONED
+    parquet (one file per output block — a failed run re-writes only
+    missing partitions) with the packing chunk map attached.  Returns
+    the number of rows written."""
+    import ray
+    import ray.data
+
+    # recompute the keep set (cheap at test scale; a production run
+    # would persist it from curate_summary's shuffle instead)
+    from search_engine_ray.ops.dedup import exact_dedup, near_dup_keep_ids
+    from search_engine_ray.ops.textstats import (
+        packing_plan,
+        quality_filter_ids,
+        source_mix_sample,
+    )
+
+    sets = [
+        quality_filter_ids(sf_dir).select_columns(["doc_id"]),
+        _ids_only(exact_dedup(sf_dir)),
+        near_dup_keep_ids(sf_dir),
+        _ids_only(source_mix_sample(sf_dir)),
+    ]
+    tagged = sets[0].union(*sets[1:])
+
+    def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < N_KEEP_RULES:
+            return pd.DataFrame({"doc_id": []})
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+
+    keep = set(tagged.groupby("doc_id")
+               .map_groups(keep_if_all, batch_format="pandas")
+               .to_pandas()["doc_id"].astype(int))
+    # test-scale broadcast; the summary path above shows the
+    # shuffle-based intersection used when the keep set is corpus-sized
+    keep_ref = ray.put(frozenset(keep))
+
+    plan = packing_plan(sf_dir, chunk_tokens=chunk_tokens).to_pandas()
+    plan_ref = ray.put(dict(zip(plan["doc_id"].astype(int),
+                                plan["chunk_first"].astype(int))))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        ch = ray.get(plan_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.array([int(i) in ks for i in ids], dtype=bool)
+        kept_tbl = batch.filter(pa.array(mask))
+        kept_ids = kept_tbl.column("doc_id").to_numpy(
+            zero_copy_only=False)
+        return kept_tbl.append_column(
+            "chunk", pa.array([ch[int(i)] for i in kept_ids],
+                              pa.int64()))
+
+    ds = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "text"])
+        .map_batches(attach, batch_format="pyarrow"))
+    ds.write_parquet(out_dir)
+    import pyarrow.dataset as pads
+
+    return pads.dataset(out_dir).count_rows()

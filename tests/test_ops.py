@@ -622,3 +622,27 @@ def test_contamination_planted(ray_session, tmp_path):
     out = contamination_check(str(tmp_path)).to_pandas()
     assert out["n_docs"].tolist() == [2]
     assert out["n_contaminated"].tolist() == [1]
+
+
+def test_curate_write_roundtrip(ray_session, tmp_path):
+    """curate_write keeps exactly the docs the summary counts, writes
+    partitioned parquet with a chunk column from the packing plan."""
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.pipelines.curate import (
+        curate_summary,
+        curate_write,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    n = curate_write(sf, out)
+    summ = curate_summary(sf).to_pandas()
+    assert n == int(summ["docs_kept"].sum())
+    tbl = pads.dataset(out).to_table()
+    assert set(tbl.column_names) >= {"doc_id", "lang", "source",
+                                     "text", "chunk"}
+    assert tbl.num_rows == n
+    import pyarrow.compute as _pc
+
+    assert _pc.min(tbl.column("chunk")).as_py() >= 0
