@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_fingerprint": sq.q_norm_fingerprint,
         "customer_order_counts": sq.q_customer_order_counts,
         "curate_summary": sq.q_curate_summary,
+        "latest_event_per_user": sq.q_latest_event,
         # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
         # -> postings -> SearchEngine), value-checked over a cleaned corpus
         # whose semantics are SQL-expressible
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "norm_fingerprint": sq.SQL_NORM_FINGERPRINT,
         "customer_order_counts": sq.SQL_CUSTOMER_ORDER_COUNTS,
         "curate_summary": sq.SQL_CURATE_SUMMARY,
+        "latest_event_per_user": sq.SQL_LATEST_EVENT,
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,

@@ -312,3 +312,35 @@ def user_rolling_sum3(sf_dir: str):
     return (ds.map_batches(prep, batch_format="pyarrow")
               .groupby("user_id")
               .map_groups(per_user, batch_format="pandas"))
+
+
+def latest_event_per_user(sf_dir: str):
+    """Latest-record compaction (the CDC/upsert shape): one surviving
+    row per user — the event with the max (ts, event_id).  Per-batch
+    partial reduction keeps ONE candidate per user per batch before the
+    shuffle, so the groupby moves at most (#batches x users-per-batch)
+    rows and a hot user compacts early instead of flooding one reducer.
+    Deterministic: ties broken by event_id."""
+    import ray.data
+
+    def partial_latest(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(),
+            "event_id": batch.column("event_id").to_numpy(),
+            "ts_us": batch.column("ts").cast(pa.int64()).to_numpy(),
+            "event_type": batch.column("event_type").to_pylist(),
+        })
+        df = df.sort_values(["user_id", "ts_us", "event_id"])
+        keep = df.groupby("user_id", sort=False).tail(1)
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    def final_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        return g.tail(1).reset_index(drop=True)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "event_type"])
+    return (ds.map_batches(partial_latest, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(final_latest, batch_format="pandas"))

@@ -1487,3 +1487,17 @@ GROUP BY d.lang
 
 
 SQL_CURATE_SUMMARY = _curate_sql()
+
+
+def q_latest_event(sf_dir: str):
+    from search_engine_ray.ops.events import latest_event_per_user
+
+    return latest_event_per_user(sf_dir)
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
