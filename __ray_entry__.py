@@ -114,12 +114,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # --- SQL-checked (value-hash vs DuckDB) ---
+        # The REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
+        # -> postings -> SearchEngine) value-checked over a cleaned corpus
+        # whose semantics are SQL-expressible.  Listed FIRST: the driver
+        # records at most ~50 rows in insertion order, and these three are
+        # the entries that value-check the actual engine.
+        "index_dict_clean": sq.q_index_dict_clean,
+        "search_bm25_clean_top10": lambda sf: sq.q_search_bm25_clean(
+            sf, "bm25"),
+        "search_wand_clean_top10": lambda sf: sq.q_search_bm25_clean(
+            sf, "bm25_wand"),
         "doc_token_stats": sq.q_doc_token_stats,
         "bpe_token_stats": sq.q_bpe_token_stats,
         "quality_counts": sq.q_quality_counts,
         "term_df": sq.q_term_df,
-        "top_terms": sq.q_top_terms,
-        "token_count_total": sq.q_token_count_total,
         "min_match_candidates": sq.q_min_match,
         "exact_dedup": sq.q_exact_dedup,
         "lang_counts": sq.q_lang_counts,
@@ -160,18 +168,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_sample": sq.q_source_mix,
         "packing_plan_512": sq.q_packing_plan,
         "approx_quantiles_hist": sq.q_approx_quantiles,
-        "norm_fingerprint": sq.q_norm_fingerprint,
         "customer_order_counts": sq.q_customer_order_counts,
         "curate_summary": sq.q_curate_summary,
         "latest_event_per_user": sq.q_latest_event,
-        # the REAL build+search pipeline (adapter -> parse -> SPIMI shuffle
-        # -> postings -> SearchEngine), value-checked over a cleaned corpus
-        # whose semantics are SQL-expressible
-        "index_dict_clean": sq.q_index_dict_clean,
-        "search_bm25_clean_top10": lambda sf: sq.q_search_bm25_clean(
-            sf, "bm25"),
-        "search_wand_clean_top10": lambda sf: sq.q_search_bm25_clean(
-            sf, "bm25_wand"),
+        # --- SQL-checked but past the driver's ~50-row record cap (still
+        # run by the local mirror tests/test_entry.py): redundant with
+        # term_df / fingerprint_md5 style rows above
+        "top_terms": sq.q_top_terms,
+        "token_count_total": sq.q_token_count_total,
+        "norm_fingerprint": sq.q_norm_fingerprint,
         # --- rows-only (non-SQL-expressible semantics: full tokenizer,
         # glove-blended reference scoring, LSH/IVF approximation) ---
         "index_dictionary_full": index_dictionary,

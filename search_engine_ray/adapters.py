@@ -39,10 +39,27 @@ def documents_to_pages_parquet(sf_dir: str, out_path: str) -> str:
     materialization); returns the output dir."""
     import os
 
-    import ray.data
+    import pyarrow.parquet as pq
 
     os.makedirs(out_path, exist_ok=True)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    md = pq.ParquetFile(doc_path).metadata
+    if md.num_rows <= 200_000:
+        # small-table fast path: the transform is milliseconds at this
+        # size, while spinning the distributed pipeline costs seconds of
+        # fixed overhead; identical rows + row-group layout either way
+        out = documents_batch_to_pages(pq.read_table(doc_path))
+        pq.write_table(out, os.path.join(out_path, "pages.parquet"),
+                       row_group_size=512)
+        return out_path
+
+    import ray.data
+
+    ds = ray.data.read_parquet(doc_path)
+    # fine row groups: the build's parse partitions are row-group chunks
+    # (build._parse_partitions never splits a group), so coarse groups
+    # would cap the downstream build's parallelism at the file count
     ds.map_batches(documents_batch_to_pages,
-                   batch_format="pyarrow").write_parquet(out_path)
+                   batch_format="pyarrow").write_parquet(
+        out_path, row_group_size=512)
     return out_path

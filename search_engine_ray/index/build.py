@@ -87,20 +87,30 @@ _RUN_FIELDS = [
     ("sshard", pa.int32()),   # second shuffle key: doc_id % num_shards —
                               # splits a head term across num_shards
                               # reducers (bounded per-reducer volume under
-                              # zipf skew; the reference's 'rt' has df=70%)
+                              # zipf skew; the reference's 'rt' has df=70%).
+                              # sshard == -1 marks a DICT PARTIAL row: the
+                              # dict and posting stages share ONE scan of
+                              # the forward index and ONE partitioned
+                              # spill; dict rows land in their term's
+                              # tbucket so the postings reducer for that
+                              # bucket finds its verdicts co-partitioned.
     ("term", pa.string()),
-    ("kind", pa.int8()),                # 0 = posting run, 1 = dict row
     ("n", pa.int64()),
     ("docids", pa.binary()),            # raw int64 doc ids, doc-sorted
     ("tfs", pa.binary()), ("dls", pa.binary()),   # varbyte streams
     ("mtfs", pa.binary()), ("uniqs", pa.binary()),
-    ("final_term", pa.string()), ("df_global", pa.int64()),
+    # dict-partial payload (null on posting runs): df / capitals-AND /
+    # entity doc-count partials per key (reference merge inputs,
+    # /root/reference/indexer.py:89-105)
+    ("df_part", pa.int64()),
+    ("caps_part", pa.int8()),
+    ("ent_part", pa.int64()),
 ]
 RUN_SCHEMA = pa.schema(_RUN_FIELDS)
 
 # bump when the on-disk index layout changes — part of the checkpoint
 # fingerprint so stale checkpoints rebuild instead of misloading
-INDEX_FORMAT = 6
+INDEX_FORMAT = 7
 
 
 # --------------------------------------------------------------- stage 1
@@ -201,22 +211,46 @@ class ParseTweets:
 
 
 # --------------------------------------------------------------- stage 2
-def dict_partial_rows(batch: pa.Table) -> pa.Table:
+def _bucket_array(keys_list: list, nbuckets: int) -> pa.Array:
+    """term_bucket per key, memoized in the per-worker-process cache (the
+    hash is the same one BuildRuns uses, so run rows and dict rows for a
+    term land in the same tbucket by construction)."""
+    cache = _WORKER_BUCKET_CACHE
+    out = np.empty(len(keys_list), np.int32)
+    for i, k in enumerate(keys_list):
+        ck = (nbuckets, k)
+        b = cache.get(ck)
+        if b is None:
+            if len(cache) >= 2_000_000:
+                cache.clear()  # bound per-worker memory
+            b = term_bucket(k, nbuckets)
+            cache[ck] = b
+        out[i] = b
+    return pa.array(out, pa.int32())
+
+
+def dict_partial_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
     """Per-batch pre-aggregation for the dictionary groupby: df partials
     (terms are unique per doc so a flat value_count is a doc count),
-    capitals-AND partials, entity doc-count partials."""
-    import pandas as pd
+    capitals-AND partials, entity doc-count partials.  Rows are shaped to
+    RUN_SCHEMA with sshard=-1 so they ride the SAME partitioned spill as
+    the posting runs (one scan, one shuffle)."""
     import pyarrow.compute as pc
 
     tables = []
 
     def sub(keys: pa.Array, df=None, caps=None, ent=None):
         n = len(keys)
-        kb = pa.array([term_bucket(k, 32) for k in keys.to_pylist()],
-                      pa.int32())
         tables.append(pa.table({
-            "kbucket": kb,
-            "key": keys.cast(pa.string()),
+            "tbucket": _bucket_array(keys.to_pylist(), term_buckets),
+            "sshard": pa.array(np.full(n, -1, np.int32)),
+            "term": keys.cast(pa.string()),
+            "n": pa.nulls(n, pa.int64()),
+            "docids": pa.nulls(n, pa.binary()),
+            "tfs": pa.nulls(n, pa.binary()),
+            "dls": pa.nulls(n, pa.binary()),
+            "mtfs": pa.nulls(n, pa.binary()),
+            "uniqs": pa.nulls(n, pa.binary()),
             "df_part": pa.nulls(n, pa.int64()) if df is None
             else df.cast(pa.int64()),
             "caps_part": pa.nulls(n, pa.int8()) if caps is None
@@ -302,8 +336,21 @@ def build_runs_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
     return BuildRuns(cfg, _WORKER_BUCKET_CACHE)(batch)
 
 
-def finalize_group(group, avg_dl: float, cfg: EngineConfig) -> pa.Table:
-    return FinalizeBucket(avg_dl, cfg)(group)
+def fused_spill_rows(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
+    """ONE pass over the forward index emits BOTH the SPIMI posting runs
+    and the dictionary partial rows (sshard=-1), so the dict and postings
+    stages share a single scan and a single (tbucket, sshard)-partitioned
+    spill (VERDICT r2 item 6: stages 2 and 3 used to re-scan ``parsed``
+    separately)."""
+    return pa.concat_tables([
+        BuildRuns(cfg, _WORKER_BUCKET_CACHE)(batch),
+        dict_partial_rows(batch, cfg.term_buckets),
+    ])
+
+
+def finalize_group(group, term_map: dict, tbucket: int, avg_dl: float,
+                   cfg: EngineConfig) -> pa.Table:
+    return FinalizeBucket(avg_dl, cfg)(group, term_map, tbucket)
 
 
 def doc_vec_batch(batch: pa.Table, cfg: EngineConfig) -> pa.Table:
@@ -386,59 +433,31 @@ class BuildRuns:
             rows["tbucket"].append(self._tbucket(term))
             rows["sshard"].append(int(shards_o[s]))
             rows["term"].append(term)
-            rows["kind"].append(0)
             rows["n"].append(int(e - s))
             rows["docids"].append(doc_ids[s:e].tobytes())
             rows["tfs"].append(tf_buf[tf_off[s]:tf_off[e]])
             rows["dls"].append(dl_buf[dl_off[s]:dl_off[e]])
             rows["mtfs"].append(mtf_buf[mtf_off[s]:mtf_off[e]])
             rows["uniqs"].append(uniq_buf[uniq_off[s]:uniq_off[e]])
-            rows["final_term"].append(None)
-            rows["df_global"].append(0)
-        return pa.table({n: pa.array(rows[n], type=t) for n, t in _RUN_FIELDS})
-
-
-def replicate_dict_rows(batch: pa.Table, num_shards: int,
-                        term_buckets: int) -> pa.Table:
-    """Route the (small) dictionary verdicts through the posting shuffle —
-    one row per (term, sshard) to its (tbucket, sshard) partition (a
-    co-partitioned join, not a driver broadcast, so the dict can be
-    vocabulary-scale without living in one process).  The num_shards×
-    replication is cheap: verdict rows are ~40 bytes and carry no posting
-    payload."""
-    import pyarrow.compute as pc
-
-    batch = batch.filter(pc.invert(pc.starts_with(
-        batch.column("orig_term"), "\x00")))  # drop reserved stats rows
-    orig = batch.column("orig_term").to_pylist()
-    final = batch.column("term").to_pylist()
-    dfg = batch.column("df").to_pylist()
-    n = len(orig)
-    tbs = [term_bucket(t, term_buckets) for t in orig]
-    S = num_shards
-    rows = {
-        "tbucket": pa.array(np.repeat(np.asarray(tbs, np.int32), S)),
-        "sshard": pa.array(np.tile(np.arange(S, dtype=np.int32), n)),
-        "term": pa.array(np.repeat(np.asarray(orig, object), S), pa.string()),
-        "kind": pa.array([1] * (n * S), pa.int8()),
-        "n": pa.array([0] * (n * S), pa.int64()),
-        "docids": pa.array([b""] * (n * S), pa.binary()),
-        "tfs": pa.array([b""] * (n * S), pa.binary()),
-        "dls": pa.array([b""] * (n * S), pa.binary()),
-        "mtfs": pa.array([b""] * (n * S), pa.binary()),
-        "uniqs": pa.array([b""] * (n * S), pa.binary()),
-        "final_term": pa.array(np.repeat(np.asarray(final, object), S),
-                               pa.string()),
-        "df_global": pa.array(np.repeat(np.asarray(dfg, np.int64), S)),
-    }
-    return pa.table({name: rows[name] for name, _ in _RUN_FIELDS})
+        nseg = len(starts)
+        for name in ("df_part", "caps_part", "ent_part"):
+            rows[name] = pa.nulls(
+                nseg, dict(_RUN_FIELDS)[name])
+        return pa.table({n: rows[n] if isinstance(rows[n], pa.Array)
+                         else pa.array(rows[n], type=t)
+                         for n, t in _RUN_FIELDS})
 
 
 class FinalizeBucket:
     """Merge runs per term within one (shard, tbucket) group, apply the
     dictionary verdicts, and encode final posting blobs (the reference's
     merge_chunks + save, /root/reference/indexer.py:118-220, without any
-    k-way disk merge — the groupby shuffle did the routing)."""
+    k-way disk merge — the groupby shuffle did the routing).
+
+    Verdicts arrive as ``term_map`` {orig_term: (final_term, df_global)},
+    read by the reduce task from the dict stage's co-partitioned bucket
+    file (same term hash, same bucket count — no broadcast, no
+    replication through the shuffle)."""
 
     def __init__(self, avg_dl: float, config: EngineConfig):
         self.avg_dl = avg_dl
@@ -455,7 +474,7 @@ class FinalizeBucket:
         return pa.table({k: pa.array([], type=types.get(k, pa.binary()))
                          for k in self._OUT_COLS})
 
-    def __call__(self, group) -> pa.Table:
+    def __call__(self, group, term_map: dict, tbucket: int) -> pa.Table:
         """Vectorized merge+encode: ONE lexsort and ONE varbyte pass per
         stream over the whole group, then cheap per-(term,shard) byte
         slicing — no per-term numpy call overhead."""
@@ -464,12 +483,7 @@ class FinalizeBucket:
         from search_engine_ray.index.encoding import tf_norm, varbyte_encode
 
         assert isinstance(group, pd.DataFrame)
-        if len(group) == 0 or "kind" not in group.columns:
-            return self._empty()
-        dict_rows = group[group["kind"] == 1]
-        term_map = dict(zip(dict_rows["term"], zip(dict_rows["final_term"],
-                                                   dict_rows["df_global"])))
-        runs = group[group["kind"] == 0]
+        runs = group
         if len(runs) == 0:
             return self._empty()
 
@@ -541,7 +555,6 @@ class FinalizeBucket:
         blk_tf_all = (tf_off[block_starts]
                       - tf_off[seg_starts[seg_of_block]]).astype(np.int64)
 
-        tbucket = int(group["tbucket"].iloc[0])
         from search_engine_ray.ids import term_bucket as _tb
 
         out = {k: [] for k in self._OUT_COLS}
@@ -616,7 +629,14 @@ class DocVec:
                 uniq_vecs[i] = g
                 uniq_hit[i] = True
         hit = uniq_hit[codes]
-        np.add.at(vecs, row_idx[hit], uniq_vecs[codes[hit]])
+        # segment-sum via reduceat: row_idx is sorted (repeat of arange),
+        # so hit rows group contiguously — orders of magnitude faster than
+        # np.add.at's unbuffered scatter on (rows x dim) gathers
+        idx = row_idx[hit]
+        if len(idx):
+            vals = uniq_vecs[codes[hit]]
+            starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+            vecs[idx[starts]] = np.add.reduceat(vals, starts, axis=0)
         vecs /= np.maximum(lens, 1)[:, None]
 
         keep = ["doc_id", "url", "warc_ts", "shard", "doc_length",
@@ -754,13 +774,18 @@ def _run_part_tasks(work, task_fn, *, out_dir: str, stage: str,
         raise
 
 
-def _reduce_postings_part(part_dir: str, postings_root: str, avg_dl: float,
+def _reduce_postings_part(part_dir: str, dict_part_path: str,
+                          postings_root: str, avg_dl: float,
                           cfg: EngineConfig) -> dict:
     """Reduce ONE (tbucket, sshard) spill partition into its final posting
     file(s), atomically renamed into place.  Output bytes are
     deterministic: finalize_group fully re-sorts by (term, doc), so the
     result is a pure function of the partition's row multiset, regardless
     of run segmentation or spill file order.
+
+    The dictionary verdicts come from the dict stage's bucket file for
+    the SAME tbucket (same term hash, same bucket count — a co-partitioned
+    join read by the reducer, not a broadcast and not a second shuffle).
 
     Rows are written under their FINAL term's tbucket dir (the capitals
     UPPER rewrite can move a term to another bucket), so query-side
@@ -772,9 +797,16 @@ def _reduce_postings_part(part_dir: str, postings_root: str, avg_dl: float,
     parent, shpart = os.path.split(part_dir.rstrip("/"))
     tb = int(os.path.basename(parent).rsplit("tbucket=", 1)[1])
     sh = int(shpart.rsplit("sshard=", 1)[1])
-    df = pq.read_table(part_dir).to_pandas()
-    df["tbucket"] = tb
-    tbl = finalize_group(df, avg_dl, cfg)
+    dt = pq.read_table(dict_part_path, columns=["orig_term", "term", "df"])
+    dt = dt.filter(pc.invert(pc.starts_with(dt.column("orig_term"),
+                                            "\x00")))  # reserved stats rows
+    term_map = dict(zip(dt.column("orig_term").to_pylist(),
+                        zip(dt.column("term").to_pylist(),
+                            dt.column("df").to_pylist())))
+    df = pq.read_table(
+        part_dir, columns=["term", "n", "docids", "tfs", "dls", "mtfs",
+                           "uniqs"]).to_pandas()
+    tbl = finalize_group(df, term_map, tb, avg_dl, cfg)
     rows = 0
     if tbl.num_rows:
         for out_tb in pc.unique(tbl.column("tbucket")).to_pylist():
@@ -797,17 +829,21 @@ def _reduce_postings_part(part_dir: str, postings_root: str, avg_dl: float,
     return {"rows": rows}
 
 
-def _reduce_dict_part(kdir: str, dict_root: str, prune_df1: bool) -> dict:
-    """Reduce ONE dictionary key-bucket spill partition: aggregate the
-    partial rows and apply the reference merge rules, atomically writing
-    dict/part-kbucket=N.parquet.  Deterministic: apply_dict_rules sorts
-    by key, so bytes are a pure function of the partition's rows."""
+def _reduce_dict_part(kdir: str, dict_root: str, prune_df1: bool,
+                      tbucket: int) -> dict:
+    """Reduce ONE dictionary bucket of the fused spill (the sshard=-1
+    partition under tbucket=N): aggregate the partial rows and apply the
+    reference merge rules, atomically writing dict/part-kbucket=N.parquet.
+    Deterministic: apply_dict_rules sorts by key, so bytes are a pure
+    function of the partition's rows."""
     import uuid
 
     import pyarrow.parquet as pq
 
-    kb = os.path.basename(kdir.rstrip("/"))
-    df = pq.read_table(kdir).to_pandas()
+    kb = f"kbucket={tbucket}"
+    df = pq.read_table(
+        kdir, columns=["term", "df_part", "caps_part", "ent_part"]
+    ).rename_columns(["key", "df_part", "caps_part", "ent_part"]).to_pandas()
     g = df.groupby("key", sort=False)
     # min_count=1 keeps all-null groups null (a key with no entity rows
     # must NOT look like entity-count 0)
@@ -963,56 +999,77 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                               parsed_rows // (2 * cfg.parser_concurrency)
                               or 1024))
 
-    # ---- stage 2: term dictionary (corpus stats ride the same shuffle).
-    # Same explicit filesystem shuffle as postings: partial rows spill
-    # hash-partitioned by key bucket, each bucket aggregates + applies the
-    # merge rules independently — no driver-side Sort operator.
-    if not mf.stage_complete(out_dir, "dict", input_fp, cfg_fp):
-        import json as _json
-        import shutil as _sh
+    # ---- stages 2+3 phase A: ONE scan of the forward index emits both
+    # the dict partial rows (sshard=-1) and the SPIMI posting runs into a
+    # single (tbucket, sshard)-partitioned filesystem spill — the dict
+    # reduce and the postings reduce then each consume their own
+    # partitions of it (VERDICT r2 item 6: one ``parsed`` scan per build).
+    import json as _json
+    import shutil as _sh
 
-        dict_spill = os.path.join(_spill_base(out_dir), "_dict_spill")
-        dict_spill_marker = os.path.join(dict_spill, "_SPILL_OK.json")
-        done = mf.committed_parts(out_dir, "dict", input_fp, cfg_fp)
-        spill_ok = False
+    spill_dir = os.path.join(_spill_base(out_dir), "_fused_spill")
+    spill_marker = os.path.join(spill_dir, "_SPILL_OK.json")
+
+    def _spill_ok() -> bool:
         try:
-            with open(dict_spill_marker) as f:
+            with open(spill_marker) as f:
                 m = _json.load(f)
-            spill_ok = (m.get("input_fp") == input_fp
-                        and m.get("config_fp") == cfg_fp)
+            return (m.get("input_fp") == input_fp
+                    and m.get("config_fp") == cfg_fp)
         except (OSError, ValueError):
-            spill_ok = False
-        if not done or not spill_ok:
-            done = set()
+            return False
+
+    def _ensure_spill() -> None:
+        """(Re)generate the fused spill — all-or-nothing behind a marker
+        (spills are tmpfs-transient; partition reduces resume, the spill
+        write itself reruns whole)."""
+        if _spill_ok():
+            return
+        src = ray.data.read_parquet(
+            parsed_dir,
+            columns=["doc_id", "doc_length", "max_tf", "unique_terms",
+                     "terms", "tfs", "caps_terms", "caps_flags",
+                     "entities"])
+        rows = src.map_batches(fused_spill_rows, fn_args=(cfg,),
+                               batch_format="pyarrow",
+                               batch_size=eff_batch)
+        _sh.rmtree(spill_dir, ignore_errors=True)
+        # two-level hive partitioning: a head term's rows split across
+        # num_shards sibling dirs, so no reduce task ever reads a full
+        # head-term posting list (skew bound in the module docstring)
+        rows.write_parquet(spill_dir, partition_cols=["tbucket", "sshard"],
+                           compression="none")  # tmpfs: skip codec
+        with open(spill_marker + ".tmp", "w") as f:
+            _json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
+        os.replace(spill_marker + ".tmp", spill_marker)
+
+    dict_complete = mf.stage_complete(out_dir, "dict", input_fp, cfg_fp)
+    postings_complete = mf.stage_complete(out_dir, "postings", input_fp,
+                                          cfg_fp)
+    if not (dict_complete and postings_complete):
+        _ensure_spill()
+    _mark("spill")
+
+    # ---- stage 2 phase B: term dictionary (corpus stats ride the same
+    # shuffle as reserved "\x00" keys).  Each tbucket's sshard=-1 spill
+    # partition aggregates + applies the merge rules independently.
+    if not dict_complete:
+        done = mf.committed_parts(out_dir, "dict", input_fp, cfg_fp)
+        if not done:
             mf.clear_stage(out_dir, "dict")
         os.makedirs(dict_dir, exist_ok=True)
         for stray in globmod.glob(os.path.join(dict_dir, "*.tmp-*")):
             os.remove(stray)
-        if not spill_ok:
-            src = ray.data.read_parquet(
-                parsed_dir,
-                columns=["terms", "caps_terms", "caps_flags", "entities",
-                         "doc_length"])
-            partials = src.map_batches(dict_partial_rows,
-                                       batch_format="pyarrow",
-                                       batch_size=eff_batch)
-            _sh.rmtree(dict_spill, ignore_errors=True)
-            partials.write_parquet(dict_spill, partition_cols=["kbucket"],
-                                   compression="none")
-            with open(dict_spill_marker + ".tmp", "w") as f:
-                _json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
-            os.replace(dict_spill_marker + ".tmp", dict_spill_marker)
-        kdirs = sorted(os.path.join(dict_spill, d)
-                       for d in os.listdir(dict_spill)
-                       if d.startswith("kbucket="))
-        work = [(os.path.basename(d.rstrip("/")),
-                 (d, dict_dir, cfg.prune_df1))
-                for d in kdirs
-                if os.path.basename(d.rstrip("/")) not in done]
+        kdirs = sorted(
+            (int(tb.split("=", 1)[1]), os.path.join(spill_dir, tb,
+                                                    "sshard=-1"))
+            for tb in os.listdir(spill_dir) if tb.startswith("tbucket=")
+            if os.path.isdir(os.path.join(spill_dir, tb, "sshard=-1")))
+        work = [(f"kbucket={tb}", (d, dict_dir, cfg.prune_df1, tb))
+                for tb, d in kdirs if f"kbucket={tb}" not in done]
         _run_part_tasks(work, _reduce_dict_part, out_dir=out_dir,
                         stage="dict", input_fp=input_fp, config_fp=cfg_fp,
                         crash_env="GRAFT_CRASH_DICT_AFTER")
-        _sh.rmtree(dict_spill, ignore_errors=True)
         mf.commit_stage(out_dir, "dict", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(dict_dir),
@@ -1034,83 +1091,27 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     counters.update(n_docs=n_docs, sum_doc_length=sum_dl,
                     avg_doc_length=avg_dl)
 
-    # ---- stage 3: postings (the one big shuffle).
-    # Phase A (runs + dict rows -> (tbucket, sshard)-partitioned spill) is
-    # all-or-nothing behind a spill marker; phase B runs one reduce task
-    # per spill partition, each atomically writing its own deterministic
-    # output file with a per-partition commit-log entry — a build killed
-    # mid-reduce resumes from the surviving spill, re-running only
-    # uncommitted partitions to byte-identical output.
-    if not mf.stage_complete(out_dir, "postings", input_fp, cfg_fp):
-        import json as _json
-        import shutil as _sh
-
-        spill_dir = os.path.join(_spill_base(out_dir), "_postings_spill")
-        spill_marker = os.path.join(spill_dir, "_SPILL_OK.json")
+    # ---- stage 3 phase B: postings reduce — one task per (tbucket,
+    # sshard>=0) spill partition, each reading its co-partitioned dict
+    # bucket file for the verdicts and atomically writing its own
+    # deterministic output file with a per-partition commit-log entry —
+    # a build killed mid-reduce resumes from the surviving spill (or
+    # regenerates it), re-running only uncommitted partitions to
+    # byte-identical output.
+    if not postings_complete:
         done = mf.committed_parts(out_dir, "postings", input_fp, cfg_fp)
-        spill_ok = False
-        try:
-            with open(spill_marker) as f:
-                m = _json.load(f)
-            spill_ok = (m.get("input_fp") == input_fp
-                        and m.get("config_fp") == cfg_fp)
-        except (OSError, ValueError):
-            spill_ok = False
-        if not done or not spill_ok:
-            # no usable partial state (spills are tmpfs-transient: a lost
-            # spill with a partial commit log restarts the stage)
-            done = set()
+        if not done:
             mf.clear_stage(out_dir, "postings")
         os.makedirs(postings_dir, exist_ok=True)
         for stray in globmod.glob(
                 os.path.join(postings_dir, "**", "*.tmp-*"),
                 recursive=True):
             os.remove(stray)
-        if not spill_ok:
-            src = ray.data.read_parquet(
-                parsed_dir,
-                columns=["shard", "doc_id", "doc_length", "max_tf",
-                         "unique_terms", "terms", "tfs"])
-            runs = src.map_batches(
-                build_runs_batch, fn_args=(cfg,),
-                batch_format="pyarrow", batch_size=eff_batch,
-            )
-            # NOTE: no repartition on the dict side — an all-to-all here
-            # serialized the streaming pipeline and cost ~27s of a 51s
-            # phase on the 400k/16-cpu measurement (probed r2); block
-            # sizing of the replicated dict rows doesn't matter to the
-            # partitioned write
-            dict_src = ray.data.read_parquet(
-                dict_dir, columns=["orig_term", "term", "df"])
-            dict_rep = dict_src.map_batches(
-                lambda b: replicate_dict_rows(b, cfg.num_shards,
-                                              cfg.term_buckets),
-                batch_format="pyarrow")
-            unioned = runs.union(dict_rep)
-
-            # Explicit filesystem shuffle (Ray's sort-based groupby
-            # serializes on a driver-side Sort op at this scale): phase A
-            # writes runs hash-partitioned by term bucket — every map task
-            # appends its own files per partition dir — and phase B
-            # reduces each partition independently in parallel tasks.
-            # This is the spill/merge the reference does on one disk
-            # (indexer.py:110-253), done as a parallel external shuffle.
-            _sh.rmtree(spill_dir, ignore_errors=True)
-            # two-level hive partitioning: a head term's rows split across
-            # num_shards sibling dirs, so no reduce task ever reads a full
-            # head-term posting list (skew bound in the module docstring)
-            unioned.write_parquet(spill_dir,
-                                  partition_cols=["tbucket", "sshard"],
-                                  compression="none")  # tmpfs: skip codec
-            with open(spill_marker + ".tmp", "w") as f:
-                _json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
-            os.replace(spill_marker + ".tmp", spill_marker)
-
         part_dirs = sorted(
             os.path.join(spill_dir, tb, sh)
             for tb in os.listdir(spill_dir) if tb.startswith("tbucket=")
             for sh in os.listdir(os.path.join(spill_dir, tb))
-            if sh.startswith("sshard="))
+            if sh.startswith("sshard=") and not sh.endswith("=-1"))
         # per-partition spill volume (file bytes, no scan): the skew
         # evidence — max partition bounds any reduce task's input even
         # when one term dominates the corpus
@@ -1123,17 +1124,17 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
             parent, shpart = os.path.split(d.rstrip("/"))
             return f"{os.path.basename(parent)}/{shpart}"
 
-        work = [(part_key(d), (d, postings_dir, avg_dl, cfg))
+        def dict_path(d):
+            parent, _ = os.path.split(d.rstrip("/"))
+            tb = int(os.path.basename(parent).rsplit("=", 1)[1])
+            return os.path.join(dict_dir, f"part-kbucket={tb}.parquet")
+
+        work = [(part_key(d), (d, dict_path(d), postings_dir, avg_dl, cfg))
                 for d in part_dirs if part_key(d) not in done]
         _run_part_tasks(work, _reduce_postings_part, out_dir=out_dir,
                         stage="postings", input_fp=input_fp,
                         config_fp=cfg_fp,
                         crash_env="GRAFT_CRASH_POSTINGS_AFTER")
-        _sh.rmtree(spill_dir, ignore_errors=True)
-        try:  # remove the (now empty) tmpfs spill base
-            os.rmdir(os.path.dirname(spill_dir))
-        except OSError:
-            pass
         mf.commit_stage(out_dir, "postings", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
                             "rows": _row_count_from_metadata(postings_dir),
@@ -1142,6 +1143,13 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                             "spill_total_bytes": int(sum(part_bytes)),
                             "spill_max_partition_bytes":
                                 int(max(part_bytes, default=0))})
+    # both consumers of the fused spill have committed — drop it (a crash
+    # in this window just leaves a spill that the next invocation removes)
+    _sh.rmtree(spill_dir, ignore_errors=True)
+    try:  # remove the (now empty) tmpfs spill base
+        os.rmdir(os.path.dirname(spill_dir))
+    except OSError:
+        pass
     _mark("postings")
 
     # ---- stage 4: doc metadata — map-only, so the partition unit is the

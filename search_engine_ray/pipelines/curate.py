@@ -119,16 +119,22 @@ def curate_summary(sf_dir: str):
                           Sum("tok_kept", alias_name="tokens_kept")))
 
 
-def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512):
+def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
+                 write_partitions: int = 32):
     """Materializing variant: writes the curated corpus as PARTITIONED
-    parquet (one file per output block — a failed run re-writes only
-    missing partitions) with the packing chunk map attached.  Returns
-    the number of rows written."""
-    import ray
+    parquet with the packing chunk map attached; returns rows written.
+
+    Scale shape (no corpus-sized driver state anywhere): the keep set,
+    the corpus rows and the packing-plan rows meet in ONE tagged-union
+    hash shuffle on doc_id — the same intersection shape as
+    ``curate_summary`` — and the kept rows stream straight from that
+    shuffle into a hive-partitioned write (``pk = doc_id %
+    write_partitions``: a failed run reruns only missing partition
+    dirs; size write_partitions with the cluster).  The only driver
+    state is ``packing_plan``'s per-group offsets table (one row per
+    ``group_size`` docs, documented bounded in textstats.py)."""
     import ray.data
 
-    # recompute the keep set (cheap at test scale; a production run
-    # would persist it from curate_summary's shuffle instead)
     from search_engine_ray.ops.dedup import exact_dedup, near_dup_keep_ids
     from search_engine_ray.ops.textstats import (
         packing_plan,
@@ -149,34 +155,62 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512):
             return pd.DataFrame({"doc_id": []})
         return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
 
-    keep = set(tagged.groupby("doc_id")
-               .map_groups(keep_if_all, batch_format="pandas")
-               .to_pandas()["doc_id"].astype(int))
-    # test-scale broadcast; the summary path above shows the
-    # shuffle-based intersection used when the keep set is corpus-sized
-    keep_ref = ray.put(frozenset(keep))
+    kept = tagged.groupby("doc_id").map_groups(keep_if_all,
+                                               batch_format="pandas")
 
-    plan = packing_plan(sf_dir, chunk_tokens=chunk_tokens).to_pandas()
-    plan_ref = ray.put(dict(zip(plan["doc_id"].astype(int),
-                                plan["chunk_first"].astype(int))))
+    # --- tagged union on doc_id: side 0 = corpus row (payload), side 1 =
+    # kept marker, side 2 = packing-plan row (chunk id); the groupby
+    # routes all three to one reducer per doc — a co-partitioned join,
+    # not a broadcast
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "text": batch.column("text"),
+            "chunk": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
 
-    def attach(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keep_ref)
-        ch = ray.get(plan_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = np.array([int(i) in ks for i in ids], dtype=bool)
-        kept_tbl = batch.filter(pa.array(mask))
-        kept_ids = kept_tbl.column("doc_id").to_numpy(
-            zero_copy_only=False)
-        return kept_tbl.append_column(
-            "chunk", pa.array([ch[int(i)] for i in kept_ids],
-                              pa.int64()))
+    def marker_rows(side: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            chunk = (batch.column("chunk_first").cast(pa.int64())
+                     if side == 2
+                     else pa.array(np.zeros(n, dtype=np.int64)))
+            return pa.table({
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": pa.array([""] * n, pa.string()),
+                "source": pa.array([""] * n, pa.string()),
+                "text": pa.array([""] * n, pa.string()),
+                "chunk": chunk,
+                "side": pa.array(np.full(n, side, dtype=np.int8))})
+        return tag
 
-    ds = (ray.data.read_parquet(
+    docs = (ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "source", "text"])
-        .map_batches(attach, batch_format="pyarrow"))
-    ds.write_parquet(out_dir)
+        .map_batches(doc_rows, batch_format="pyarrow"))
+    plan = packing_plan(sf_dir, chunk_tokens=chunk_tokens)
+    both = docs.union(
+        kept.map_batches(marker_rows(1), batch_format="pyarrow"),
+        plan.map_batches(marker_rows(2), batch_format="pyarrow"))
+
+    def emit_kept(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 0]
+        if d.empty or not (g["side"] == 1).any():
+            return pd.DataFrame({c: [] for c in
+                                 ("doc_id", "lang", "source", "text",
+                                  "chunk", "pk")})
+        p = g[g["side"] == 2]
+        out = d.iloc[[0]][["doc_id", "lang", "source", "text"]].copy()
+        out["chunk"] = int(p["chunk"].iloc[0]) if len(p) else 0
+        out["pk"] = int(d["doc_id"].iloc[0]) % write_partitions
+        return out
+
+    (both.groupby("doc_id")
+         .map_groups(emit_kept, batch_format="pandas")
+         .write_parquet(out_dir, partition_cols=["pk"]))
     import pyarrow.dataset as pads
 
     return pads.dataset(out_dir).count_rows()

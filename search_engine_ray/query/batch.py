@@ -132,6 +132,16 @@ class BatchQueryPool:
             futures.append(self.actors[w].__call__.remote(batch))
         return pa.concat_tables(ray.get(futures))
 
+    def shutdown(self) -> None:
+        """Release the worker actors (and their engine memory) now rather
+        than at interpreter exit — lets a caller measure two pool sizes
+        back to back without double-holding every engine."""
+        import ray as _ray
+
+        for a in self.actors:
+            _ray.kill(a)
+        self.actors = []
+
 
 def search_many_partitioned(index_dir: str, queries: list[str],
                             k: int = 10, mode: str = "bm25",
