@@ -50,12 +50,15 @@ def _zipf_probs(size: int, s: float = 1.07) -> np.ndarray:
 
 
 def gen_pages(n: int, seed: int = 42, min_len: int = 8,
-              max_len: int = 28) -> pa.Table:
-    """F1 pages table; deterministic in (n, seed, lengths).
+              max_len: int = 28, start: int = 0) -> pa.Table:
+    """F1 pages table; deterministic in (n, seed, lengths, start).
 
     Default lengths are tweet-like (reference avg 21.5 terms/doc,
     BASELINE.md); pass e.g. min_len=150/max_len=350 for Common-Crawl-like
-    page bodies (bench corpus)."""
+    page bodies (bench corpus).  ``start`` offsets every per-doc IDENTITY
+    (url, timestamp, title, once-only entities) so multi-file corpora
+    generated in slices hold DISTINCT documents — without it two slices
+    repeat the same urls and their doc_ids (url hashes) collide."""
     rng = np.random.default_rng(seed)
     vocab = _zipf_vocab()
     probs = _zipf_probs(len(vocab))
@@ -76,7 +79,7 @@ def gen_pages(n: int, seed: int = 42, min_len: int = 8,
             # stay reachable by lowercase queries (capitals-AND -> False)
             words.insert(L // 2, ent.lower() if r[i, 0] < 0.10 else ent)
         if r[i, 1] < 0.05:
-            words.insert(0, f"Unique{i} Entity{i} thing")  # once-only entity
+            words.insert(0, f"Unique{start + i} Entity{start + i} thing")  # once-only entity
         if r[i, 2] < 0.20:
             words.append(_ALWAYS_CAPS[i % len(_ALWAYS_CAPS)])
         if r[i, 3] < 0.20:
@@ -96,16 +99,17 @@ def gen_pages(n: int, seed: int = 42, min_len: int = 8,
         if r[i, 10] < 0.05:
             words.append(_NON_LATIN_BITS[i % len(_NON_LATIN_BITS)])
         if r[i, 11] < 0.03:
-            words.append(f"hapax{i}")  # df==1 prune candidates
+            words.append(f"hapax{start + i}")  # df==1 prune candidates
 
         text = " ".join(words)
-        category = ["news", "blog", "wiki", "forum"][i % 4]
-        url = f"https://site{i % 97}.example/{category}/{i:08d}"
+        g = start + i
+        category = ["news", "blog", "wiki", "forum"][g % 4]
+        url = f"https://site{g % 97}.example/{category}/{g:08d}"
         urls.append(url)
-        tss.append(_BASE_TS_US + i * 7_000_000)
+        tss.append(_BASE_TS_US + g * 7_000_000)
         texts.append(text)
-        htmls.append(wrap_html(text, f"t{i}"))
-        langs.append("en" if i % 20 != 7 else ["es", "de", "fr"][i % 3])
+        htmls.append(wrap_html(text, f"t{g}"))
+        langs.append("en" if g % 20 != 7 else ["es", "de", "fr"][g % 3])
 
     return pa.table({
         "url": pa.array(urls, pa.string()),

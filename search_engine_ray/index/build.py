@@ -1019,26 +1019,44 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         except (OSError, ValueError):
             return False
 
+    _SPILL_INPROC_ROWS = 10_000
+
     def _ensure_spill() -> None:
         """(Re)generate the fused spill — all-or-nothing behind a marker
         (spills are tmpfs-transient; partition reduces resume, the spill
         write itself reruns whole)."""
         if _spill_ok():
             return
-        src = ray.data.read_parquet(
-            parsed_dir,
-            columns=["doc_id", "doc_length", "max_tf", "unique_terms",
-                     "terms", "tfs", "caps_terms", "caps_flags",
-                     "entities"])
-        rows = src.map_batches(fused_spill_rows, fn_args=(cfg,),
-                               batch_format="pyarrow",
-                               batch_size=eff_batch)
+        cols = ["doc_id", "doc_length", "max_tf", "unique_terms",
+                "terms", "tfs", "caps_terms", "caps_flags", "entities"]
         _sh.rmtree(spill_dir, ignore_errors=True)
-        # two-level hive partitioning: a head term's rows split across
-        # num_shards sibling dirs, so no reduce task ever reads a full
-        # head-term posting list (skew bound in the module docstring)
-        rows.write_parquet(spill_dir, partition_cols=["tbucket", "sshard"],
-                           compression="none")  # tmpfs: skip codec
+        if parsed_rows <= _SPILL_INPROC_ROWS:
+            # small-corpus fast path: the fused transform is milliseconds
+            # at this size while the distributed pipeline costs seconds
+            # of fixed execution overhead; identical rows + layout
+            import pyarrow.dataset as _pads
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(parsed_dir, columns=cols)
+            rows_t = fused_spill_rows(t, cfg)
+            _pads.write_dataset(
+                rows_t, spill_dir, format="parquet",
+                partitioning=["tbucket", "sshard"],
+                partitioning_flavor="hive",
+                file_options=_pads.ParquetFileFormat().make_write_options(
+                    compression="none"))
+        else:
+            src = ray.data.read_parquet(parsed_dir, columns=cols)
+            rows = src.map_batches(fused_spill_rows, fn_args=(cfg,),
+                                   batch_format="pyarrow",
+                                   batch_size=eff_batch)
+            # two-level hive partitioning: a head term's rows split
+            # across num_shards sibling dirs, so no reduce task ever
+            # reads a full head-term posting list (skew bound in the
+            # module docstring)
+            rows.write_parquet(spill_dir,
+                               partition_cols=["tbucket", "sshard"],
+                               compression="none")  # tmpfs: skip codec
         with open(spill_marker + ".tmp", "w") as f:
             _json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
         os.replace(spill_marker + ".tmp", spill_marker)
