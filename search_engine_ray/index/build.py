@@ -30,6 +30,20 @@ deterministic row-group chunks, dict/postings partitions are spill
 buckets, docmeta partitions are the parse partition files) — a killed
 build resumes from the commit log to a byte-identical index.
 
+INCREMENTAL INGESTION: parse and docmeta partitions are keyed by their
+source FILE's fingerprint (path+size+mtime), not its position in the
+input list, and their commit-log entries carry the PER_FILE_LINEAGE
+constant instead of the global input fingerprint.  Adding new input
+files to an existing index therefore re-runs only the NEW files through
+the two per-doc stages (parse = the html/tokenize hot loop, docmeta =
+GloVe centroids) and then re-reduces the dict/postings shuffles over
+all forward-index rows — required, because the dictionary rules
+(df==1 prune, capitals-AND, entity threshold) are global corpus
+semantics, so Lucene-style pairwise segment merge cannot reproduce a
+full rebuild's output under this reference.  The result is byte
+identical to a from-scratch build on the union input
+(tests/test_incremental.py).
+
 Shuffles are EXPLICIT filesystem exchanges (write hash-partitioned by
 bucket with every map task appending its own files, then one reduce task
 per bucket): both phases are embarrassingly parallel, unlike Ray's
@@ -670,19 +684,42 @@ def _maybe_crash(env_var: str, n_committed: int) -> None:
         raise InjectedCrash(f"{env_var}={v} after {n_committed} commits")
 
 
+# Lineage fingerprint for the per-FILE incremental stages (parse,
+# docmeta): their partitions are keyed by the source file's own identity
+# (path+size+mtime digest), so commit-log entries stay valid when OTHER
+# input files are added or removed — an incremental ingest re-parses
+# only the new files.  The stage markers still carry the global
+# input_fp; only the per-partition log uses this constant.
+PER_FILE_LINEAGE = "perfile-v1"
+
+
+def _file_fingerprint(path: str) -> str:
+    import hashlib
+
+    st = os.stat(path)
+    h = hashlib.blake2b(
+        f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}".encode(),
+        digest_size=6)
+    return h.hexdigest()
+
+
 def _parse_partitions(in_files: list[str],
                       target_rows: int) -> list[tuple[str, str, list[int]]]:
     """Deterministic parse-partition plan: (part_key, file, row_groups).
 
-    A pure function of the input parquet footers and ``target_rows`` —
+    A pure function of the input parquet files and ``target_rows`` —
     independent of cluster size and scheduling, so a resumed run
     reproduces the identical partition set (and therefore identical
-    output files).  Row groups are never split; a file with one huge row
-    group degrades to a single partition."""
+    output files).  Partition keys embed the source FILE's fingerprint
+    (not its position in the input list), so adding or removing other
+    input files never invalidates a file's committed partitions —
+    the basis of incremental ingestion.  Row groups are never split; a
+    file with one huge row group degrades to a single partition."""
     import pyarrow.parquet as pq
 
     parts: list[tuple[str, str, list[int]]] = []
-    for fi, f in enumerate(in_files):
+    for f in in_files:
+        ffp = _file_fingerprint(f)
         md = pq.ParquetFile(f).metadata
         cur: list[int] = []
         cur_rows = 0
@@ -690,12 +727,12 @@ def _parse_partitions(in_files: list[str],
             cur.append(rg)
             cur_rows += md.row_group(rg).num_rows
             if cur_rows >= target_rows:
-                parts.append((f"f{fi:05d}-rg{cur[0]:05d}", f, cur))
+                parts.append((f"f{ffp}-rg{cur[0]:05d}", f, cur))
                 cur, cur_rows = [], 0
         if cur:
-            parts.append((f"f{fi:05d}-rg{cur[0]:05d}", f, cur))
+            parts.append((f"f{ffp}-rg{cur[0]:05d}", f, cur))
         if md.num_row_groups == 0:
-            parts.append((f"f{fi:05d}-rg00000", f, []))
+            parts.append((f"f{ffp}-rg00000", f, []))
     return parts
 
 
@@ -954,19 +991,31 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     # per-worker-process state).
     if not mf.stage_complete(out_dir, "parsed", input_fp, cfg_fp):
         parts = _parse_partitions(in_files, cfg.parse_part_rows)
-        done = mf.committed_parts(out_dir, "parsed", input_fp, cfg_fp)
-        if not done:
-            mf.clear_stage(out_dir, "parsed")
         os.makedirs(parsed_dir, exist_ok=True)
-        for stray in globmod.glob(os.path.join(parsed_dir, "*.tmp-*")):
-            os.remove(stray)  # partial writes from a killed run
+        # per-FILE lineage: partitions committed for still-present,
+        # unchanged input files survive input-set changes (incremental
+        # ingest re-parses only new/changed files); a committed entry
+        # only counts if its output file actually exists
+        done = mf.committed_parts(out_dir, "parsed", PER_FILE_LINEAGE,
+                                  cfg_fp)
+        done &= {key for key, _, _ in parts}
+        done = {key for key in done if os.path.exists(
+            os.path.join(parsed_dir, f"part-{key}.parquet"))}
+        # drop outputs whose source file was removed or changed, plus
+        # partial writes from a killed run
+        expected = {f"part-{key}.parquet" for key, _, _ in parts}
+        for name in os.listdir(parsed_dir):
+            p = os.path.join(parsed_dir, name)
+            if ".tmp-" in name or (name.endswith(".parquet")
+                                   and name not in expected):
+                os.remove(p)
         work = [
             (key, (path, rgs, os.path.join(parsed_dir,
                                            f"part-{key}.parquet"),
                    cfg, input_format))
             for key, path, rgs in parts if key not in done]
         _run_part_tasks(work, _parse_part, out_dir=out_dir, stage="parsed",
-                        input_fp=input_fp, config_fp=cfg_fp,
+                        input_fp=PER_FILE_LINEAGE, config_fp=cfg_fp,
                         crash_env="GRAFT_CRASH_PARSED_AFTER")
         mf.commit_stage(out_dir, "parsed", input_fp=input_fp,
                         config_fp=cfg_fp, counters={
@@ -1175,14 +1224,26 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
     # commit log; rows sorted by shard with small row groups so query
     # actors' shard filters prune at the row-group level
     if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
-        done = mf.committed_parts(out_dir, "docmeta", input_fp, cfg_fp)
-        if not done:
-            mf.clear_stage(out_dir, "docmeta")
         os.makedirs(docmeta_dir, exist_ok=True)
-        for stray in globmod.glob(os.path.join(docmeta_dir, "*.tmp-*")):
-            os.remove(stray)
         parsed_files = sorted(globmod.glob(
             os.path.join(parsed_dir, "*.parquet")))
+        # per-FILE lineage, same contract as the parse stage: a doc's
+        # centroid depends only on its own parsed partition + config, so
+        # committed partitions survive input-set changes (incremental
+        # ingest recomputes GloVe centroids only for new files)
+        done = mf.committed_parts(out_dir, "docmeta", PER_FILE_LINEAGE,
+                                  cfg_fp)
+        keys = {os.path.basename(pf)[:-len(".parquet")]
+                for pf in parsed_files}
+        done &= keys
+        done = {key for key in done if os.path.exists(
+            os.path.join(docmeta_dir, f"{key}.docmeta.parquet"))}
+        expected = {f"{key}.docmeta.parquet" for key in keys}
+        for name in os.listdir(docmeta_dir):
+            p = os.path.join(docmeta_dir, name)
+            if ".tmp-" in name or (name.endswith(".parquet")
+                                   and name not in expected):
+                os.remove(p)
         work = []
         for pf in parsed_files:
             key = os.path.basename(pf)[:-len(".parquet")]
@@ -1191,7 +1252,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
             work.append((key, (pf, os.path.join(
                 docmeta_dir, f"{key}.docmeta.parquet"), cfg)))
         _run_part_tasks(work, _docmeta_part, out_dir=out_dir,
-                        stage="docmeta", input_fp=input_fp,
+                        stage="docmeta", input_fp=PER_FILE_LINEAGE,
                         config_fp=cfg_fp,
                         crash_env="GRAFT_CRASH_DOCMETA_AFTER")
         mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,

@@ -63,7 +63,10 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
     in_files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
     input_fp = mf.input_fingerprint(in_files)
     cfg_fp = f"{cfg.fingerprint()}-pages-v{INDEX_FORMAT}"
-    parse_keys = mf.committed_parts(out_b, "parsed", input_fp, cfg_fp)
+    from search_engine_ray.index.build import PER_FILE_LINEAGE
+
+    parse_keys = mf.committed_parts(out_b, "parsed", PER_FILE_LINEAGE,
+                                    cfg_fp)
     assert len(parse_keys) >= 3
     committed_before = {}
     for key in parse_keys:
