@@ -84,6 +84,12 @@ def _hll_distinct_users(sf_dir: str):
     return hll_distinct(sf_dir, table="events", column="user_id")
 
 
+def _kmeans_assign(sf_dir: str):
+    from search_engine_ray.ops.similarity import kmeans_assign
+
+    return kmeans_assign(sf_dir, k=8, iters=4)
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (adapter
     -> parse -> dict -> sharded postings -> docmeta) and run the BM25
@@ -177,6 +183,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": sq.q_top_terms,
         "token_count_total": sq.q_token_count_total,
         "norm_fingerprint": sq.q_norm_fingerprint,
+        "stratified_sample_20": sq.q_stratified_sample,
+        "corpus_freq_score": sq.q_corpus_freq_score,
+        "decontaminate_ids": sq.q_decontaminate,
+        "tpch_late_priority": sq.q_late_priority,
+        "tpch_large_orders": sq.q_large_orders,
+        "tpch_priority_shipstatus": sq.q_priority_shipstatus,
+        "search_bool_and_clean": sq.q_search_bool_and_clean,
+        "winnow_shared_pairs": sq.q_winnow_shared_pairs,
         # --- rows-only (non-SQL-expressible semantics: full tokenizer,
         # glove-blended reference scoring, LSH/IVF approximation) ---
         "index_dictionary_full": index_dictionary,
@@ -185,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
         "hll_distinct_users": _hll_distinct_users,
+        "kmeans_assign_8": _kmeans_assign,
     }
 
 
@@ -245,4 +260,12 @@ def oracle_sql() -> dict[str, str]:
         "index_dict_clean": sq.SQL_INDEX_DICT_CLEAN,
         "search_bm25_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
         "search_wand_clean_top10": sq.SQL_SEARCH_BM25_CLEAN,
+        "stratified_sample_20": sq.SQL_STRATIFIED_SAMPLE,
+        "corpus_freq_score": sq.SQL_CORPUS_FREQ_SCORE,
+        "decontaminate_ids": sq.SQL_DECONTAMINATE,
+        "tpch_late_priority": sq.SQL_LATE_PRIORITY,
+        "tpch_large_orders": sq.SQL_LARGE_ORDERS,
+        "tpch_priority_shipstatus": sq.SQL_PRIORITY_SHIPSTATUS,
+        "search_bool_and_clean": sq.SQL_SEARCH_BOOL_AND_CLEAN,
+        "winnow_shared_pairs": sq.SQL_WINNOW_SHARED_PAIRS,
     }

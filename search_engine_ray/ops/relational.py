@@ -512,3 +512,203 @@ def customer_order_counts(sf_dir: str):
 
     return (cust.union(orders).groupby("key")
                 .map_groups(per_key, batch_format="pandas"))
+
+
+def late_order_priority_counts(sf_dir: str, grace_days: int = 60):
+    """TPC-H Q4 shape: per order priority, how many orders have at least
+    one lineitem shipped more than ``grace_days`` after the order date
+    (an EXISTS semi-join between two fact tables).
+
+    Plan: the lineitem side is PRE-COMBINED per batch to one row per
+    orderkey (its max ship date) before the tagged-union hash shuffle on
+    orderkey, so shuffle volume is bounded by distinct orders per batch,
+    not lineitems; the per-key group then applies the EXISTS predicate
+    and emits the (tiny) priority row that a final count aggregates."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    grace_us = grace_days * 86_400 * _US
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("o_orderkey"),
+            "ts_us": batch.column("o_orderdate").cast(pa.int64()),
+            "prio": batch.column("o_orderpriority"),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, ok))
+        ok, ts = ok[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        ends = np.append(starts[1:], len(ok))
+        return pa.table({
+            "key": pa.array(ok[starts], pa.int64()),
+            "ts_us": pa.array(ts[ends - 1], pa.int64()),  # max per order
+            "prio": pa.array([""] * len(starts), pa.string()),
+            "side": pa.array(np.ones(len(starts), dtype=np.int8))})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(oprep, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+        .map_batches(lprep, batch_format="pyarrow"))
+
+    def per_key(g):
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "one": pd.Series([], dtype="int64")})
+        left = g[g["side"] == 0]
+        if len(left) == 0:
+            return empty
+        odate = int(left["ts_us"].iloc[0])
+        ships = g.loc[g["side"] == 1, "ts_us"]
+        if len(ships) == 0 or int(ships.max()) <= odate + grace_us:
+            return empty
+        return pd.DataFrame({
+            "o_orderpriority": [left["prio"].iloc[0]],
+            "one": np.ones(1, dtype=np.int64)})
+
+    return (orders.union(li).groupby("key")
+            .map_groups(per_key, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("one", alias_name="n_late")))
+
+
+def large_orders(sf_dir: str, min_qty: int = 120, k: int = 100):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer name and order facts, top-``k`` by
+    (totalprice desc, orderkey).
+
+    Plan: lineitem pre-aggregates quantity per orderkey inside each
+    batch, then ONE groupby(orderkey) finishes the sums; the HAVING
+    filter leaves a tiny key set, so the order/customer attributes are
+    attached by BROADCAST lookups instead of two more shuffles —
+    fact-side heavy lifting first, dimension attach last."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy()
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
+        keys, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sums, inv, qty)
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64()),
+                         "q": pa.array(sums, pa.int64())})
+
+    qty = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"])
+        .map_batches(lprep, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Sum("q", alias_name="sum_qty")))
+    big = qty.filter(expr=f"sum_qty > {int(min_qty)}")
+    # the HAVING survivors — tiny by construction (the knob is chosen so
+    # this is O(k) rows; at 100 TB the same plan holds because the
+    # driver only ever sees keys past the threshold)
+    big_t = big.to_pandas()
+    want = dict(zip(big_t["l_orderkey"].astype("int64"),
+                    big_t["sum_qty"].astype("int64")))
+    want_ref = ray.put(want)
+
+    def oattach(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ok = batch.column("o_orderkey").to_numpy()
+        keep = np.array([int(x) in w for x in ok], dtype=bool)
+        if not keep.any():
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "totalprice_e4": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64())})
+        sub = batch.filter(pa.array(keep))
+        okk = sub.column("o_orderkey").to_numpy()
+        return pa.table({
+            "o_orderkey": sub.column("o_orderkey"),
+            "o_custkey": sub.column("o_custkey"),
+            "o_orderdate": sub.column("o_orderdate"),
+            "totalprice_e4": pa.array(
+                _e4_halfaway(sub.column("o_totalprice").to_numpy()),
+                pa.int64()),
+            "sum_qty": pa.array([w[int(x)] for x in okk], pa.int64())})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(oattach, batch_format="pyarrow"))
+    hits = orders.to_pandas()  # O(k) rows
+
+    want_ck = ray.put(frozenset(int(x) for x in hits["o_custkey"]))
+
+    def cfilter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(want_ck)
+        ck = batch.column("c_custkey").to_numpy()
+        keep = np.array([int(x) in ks for x in ck], dtype=bool)
+        return batch.filter(pa.array(keep))
+
+    names_df = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"])
+        .map_batches(cfilter, batch_format="pyarrow").to_pandas())
+    names = dict(zip(names_df["c_custkey"].astype("int64"),
+                     names_df["c_name"]))
+    hits["c_name"] = [names[int(x)] for x in hits["o_custkey"]]
+    hits = hits.sort_values(["totalprice_e4", "o_orderkey"],
+                            ascending=[False, True]).head(k)
+    cols = ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            "totalprice_e4", "sum_qty"]
+    return pa.Table.from_pandas(hits[cols], preserve_index=False)
+
+
+def priority_shipstatus_counts(sf_dir: str):
+    """TPC-H Q12 shape: per lineitem linestatus, how many lineitems
+    belong to high-priority (1-URGENT / 2-HIGH) vs lower-priority
+    orders.  The order side reduces to (orderkey, is_high int8) and
+    joins lineitem with ``Dataset.join`` (big-big hash shuffle); the
+    CASE aggregation pre-combines per batch after the join."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority").to_pylist()
+        hi = np.array([p in ("1-URGENT", "2-HIGH") for p in prio],
+                      dtype=np.int64)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "is_high": pa.array(hi, pa.int64())})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+        .map_batches(oprep, batch_format="pyarrow"))
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus"])
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "l_linestatus": batch.column("l_linestatus").to_pylist(),
+            "high_count": batch.column("is_high").to_numpy(),
+        })
+        df["low_count"] = 1 - df["high_count"]
+        g = (df.groupby("l_linestatus", sort=False)
+               .agg(high_count=("high_count", "sum"),
+                    low_count=("low_count", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(combine, batch_format="pyarrow")
+            .groupby("l_linestatus")
+            .aggregate(Sum("high_count", alias_name="high_count"),
+                       Sum("low_count", alias_name="low_count")))

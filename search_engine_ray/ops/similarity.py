@@ -230,3 +230,80 @@ def label_centroid_sums(sf_dir: str):
               .groupby(["label", "dim"])
               .aggregate(Sum("sum_e4", alias_name="sum_e4"),
                          Sum("one", alias_name="n")))
+
+
+def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 4):
+    """Distributed Lloyd's k-means over the embeddings table.
+
+    Each iteration is ONE streaming pass: centroids are BROADCAST
+    (``ray.put``, k x dim floats), every batch assigns its vectors to
+    the nearest centroid (squared euclidean, lowest index on ties) and
+    emits integer-exact partials — per-cluster e6-scaled component sums
+    + counts — which commute, so the driver-side reduce (k rows per
+    batch, tiny) is deterministic regardless of batch order.  Init is
+    the k vectors with the smallest vec_ids (deterministic, no RNG).
+    Returns the final (vec_id, cluster) assignment as a Dataset."""
+    import ray
+    import ray.data
+
+    ds = _read_embeddings(sf_dir)
+
+    # init = the k smallest vec_ids: per-batch partial top-k, driver
+    # merges k rows per batch (no full sort shuffle)
+    def _seed_partial(batch: pa.Table) -> pa.Table:
+        idx = np.argsort(batch.column("vec_id").to_numpy())[:k]
+        return batch.take(pa.array(idx))
+
+    seeds = (ds.map_batches(_seed_partial, batch_format="pyarrow")
+             .to_pandas().sort_values("vec_id").head(k))
+    cent = np.array([np.asarray(v, dtype=np.float64)
+                     for v in seeds["embedding"]])
+    dim = cent.shape[1]
+
+    def _emb_mat(batch: pa.Table) -> np.ndarray:
+        col = batch.column("embedding").combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(batch), dim).astype(np.float64)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            x = _emb_mat(batch)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+            a = d.argmin(axis=1)
+            xi = np.round(x * 1e6).astype(np.int64)  # exact partials
+            sums = np.zeros((len(c), dim), dtype=np.int64)
+            np.add.at(sums, a, xi)
+            ns = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                "n": pa.array(ns, pa.int64()),
+                "sum_e6": pa.array(list(sums), pa.list_(pa.int64())),
+            })
+
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                 .to_pandas())
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_s = np.zeros((k, dim), dtype=np.int64)
+        for _, row in parts.iterrows():
+            tot_n[int(row["cluster"])] += int(row["n"])
+            tot_s[int(row["cluster"])] += np.asarray(row["sum_e6"],
+                                                     dtype=np.int64)
+        nz = tot_n > 0  # empty clusters keep their previous centroid
+        cent[nz] = tot_s[nz] / (1e6 * tot_n[nz, None])
+
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _emb_mat(batch)
+        d = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(d.argmin(axis=1).astype(np.int64),
+                                pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

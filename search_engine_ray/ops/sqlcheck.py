@@ -1501,3 +1501,193 @@ FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
 """
+
+
+# ------------------------------------------------------- round-3 ops
+def q_stratified_sample(sf_dir: str):
+    from search_engine_ray.ops.textstats import stratified_sample_k
+
+    return stratified_sample_k(sf_dir, k=20)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5_number_lower(text), doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
+def q_corpus_freq_score(sf_dir: str):
+    from search_engine_ray.ops.textstats import corpus_freq_doc_score
+
+    return corpus_freq_doc_score(sf_dir, vocab_k=16)
+
+
+SQL_CORPUS_FREQ_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+voc AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 16),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens, count(v.term) AS n_invocab,
+         coalesce(sum(v.c), 0)::BIGINT AS sum_freq
+  FROM toks t LEFT JOIN voc v ON t.term = v.term GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(p.n_invocab, 0)::BIGINT AS n_invocab,
+       coalesce(p.sum_freq, 0)::BIGINT AS sum_freq
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    from search_engine_ray.ops.textstats import decontaminate_ids
+
+    return decontaminate_ids(sf_dir)
+
+
+SQL_DECONTAMINATE = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(ts) - 2),
+                         i -> array_to_string(ts[i:i + 3], ' '))) AS g
+  FROM base WHERE doc_id % 97 = 0),
+dg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 2),
+                        i -> array_to_string(ts[i:i + 3], ' '))) AS g
+  FROM base WHERE doc_id % 97 <> 0),
+bad AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM bg))
+SELECT doc_id FROM base
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def q_late_priority(sf_dir: str):
+    from search_engine_ray.ops.relational import late_order_priority_counts
+
+    return late_order_priority_counts(sf_dir)
+
+
+SQL_LATE_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_late
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_large_orders(sf_dir: str):
+    from search_engine_ray.ops.relational import large_orders
+
+    return large_orders(sf_dir)
+
+
+SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice * 10000)::BIGINT AS totalprice_e4, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_e4 DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_priority_shipstatus(sf_dir: str):
+    from search_engine_ray.ops.relational import priority_shipstatus_counts
+
+    return priority_shipstatus_counts(sf_dir)
+
+
+SQL_PRIORITY_SHIPSTATUS = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def q_search_bool_and_clean(sf_dir: str, k: int = 10):
+    """Strict boolean-AND retrieval through the REAL engine (posting
+    intersection over the clean index), SQL-checked: first k ascending
+    doc ids containing every query term; any unknown/pruned term
+    empties the query."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index, preload_docmeta=False)
+    rows = {"query_id": [], "rank": [], "doc_id": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        # the engine ranks by its (hashed) ids; rank by ORIGINAL id here
+        # so the SQL mirror's ordering is comparable — fetch the full
+        # intersection, map, then cut to k
+        res = eng.search(q, k=1_000_000_000, mode="bool_and")
+        for rank, did in enumerate(sorted(idmap[d] for d in res),
+                                   start=1):
+            if rank > k:
+                break
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(did)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+    })
+
+
+SQL_SEARCH_BOOL_AND_CLEAN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_CLEAN_TOKS_SQL})) AS term
+  FROM documents),
+dict AS (SELECT term FROM toks GROUP BY term HAVING count(*) >= 2),
+qterms AS (SELECT * FROM (VALUES __QTERMS__) AS v(query_id, term)),
+qn AS (SELECT query_id, count(*) AS n FROM qterms GROUP BY query_id),
+qok AS (
+  SELECT q.query_id FROM qterms q
+  GROUP BY q.query_id
+  HAVING count(*) = sum(CASE WHEN q.term IN (SELECT term FROM dict)
+                             THEN 1 ELSE 0 END)),
+hits AS (
+  SELECT q.query_id, t.doc_id
+  FROM qterms q
+  JOIN toks t ON t.term = q.term
+  JOIN qn ON qn.query_id = q.query_id
+  WHERE q.query_id IN (SELECT query_id FROM qok)
+  GROUP BY q.query_id, t.doc_id, qn.n
+  HAVING count(DISTINCT t.term) = qn.n),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_id) AS rank
+  FROM hits)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_BOOL_AND_CLEAN = SQL_SEARCH_BOOL_AND_CLEAN.replace(
+    "__QTERMS__", _clean_qterms_values())
+
+
+def q_winnow_shared_pairs(sf_dir: str):
+    from search_engine_ray.ops.textstats import winnow_shared_pairs
+
+    return winnow_shared_pairs(sf_dir, min_shared=20, max_fp_df=64)
+
+
+SQL_WINNOW_SHARED_PAIRS = f"""
+WITH fps AS ({SQL_WINNOW_FINGERPRINTS.strip()}),
+okfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 64),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM okfp))
+SELECT id_a, id_b, count(*) AS shared
+FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 20
+"""

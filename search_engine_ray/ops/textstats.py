@@ -584,3 +584,207 @@ def norm_fingerprint(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def stratified_sample_k(sf_dir: str, k: int = 20):
+    """Stratified sampling: EXACTLY ``k`` docs per source, chosen by
+    deterministic content-hash order (md5 low 64 bits, doc_id
+    tie-break) — the reproducible per-stratum subset a training mix
+    needs when residue sampling (``sample_mod``) can't hit an exact
+    count.  Each batch prunes to its local k per source before the
+    shuffle, so the groupby moves at most k rows per (batch, source)."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        ids = batch.column("doc_id").to_numpy()
+        hs = np.array(
+            [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:],
+                            "little")
+             for t in batch.column("text").to_pylist()], dtype=np.uint64)
+        df = pd.DataFrame({"source": srcs, "doc_id": ids, "h": hs})
+        df = (df.sort_values(["source", "h", "doc_id"])
+                .groupby("source", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(k)
+        return g[["source", "doc_id"]]
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "text"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("source").map_groups(final, batch_format="pandas"))
+
+
+def corpus_freq_doc_score(sf_dir: str, vocab_k: int = 512):
+    """Unigram corpus-frequency scoring (the integer-exact core of a
+    perplexity-style quality filter): pass 1 aggregates total token
+    counts and keeps the top ``vocab_k`` terms (count desc, term asc);
+    pass 2 scores every doc against the BROADCAST vocabulary —
+    (n_tokens, n_invocab, sum_freq), all int64, no float logs so the
+    value-hash is exact.  Low n_invocab/n_tokens ≈ high surprisal."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for x in simple_tokenize(t):
+                toks[x] = toks.get(x, 0) + 1
+        return pa.table({"term": pa.array(list(toks), pa.string()),
+                         "c": pa.array(list(toks.values()), pa.int64())})
+
+    vocab_t = (ray.data.read_parquet(path, columns=["text"])
+               .map_batches(counts, batch_format="pyarrow")
+               .groupby("term").aggregate(Sum("c", alias_name="c"))
+               .sort(["c", "term"], descending=[True, False])
+               .limit(vocab_k).to_pandas())
+    vocab = dict(zip(vocab_t["term"], vocab_t["c"].astype("int64")))
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        n_tok, n_in, s_freq = [], [], []
+        for t in batch.column("text").to_pylist():
+            ts = simple_tokenize(t)
+            freqs = [v[x] for x in ts if x in v]
+            n_tok.append(len(ts))
+            n_in.append(len(freqs))
+            s_freq.append(sum(freqs))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_invocab": pa.array(n_in, pa.int64()),
+            "sum_freq": pa.array(s_freq, pa.int64())})
+
+    return (ray.data.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow"))
+
+
+def decontaminate_ids(sf_dir: str, n: int = 4, mod: int = 97):
+    """Decontamination APPLY: the doc_ids a training run may keep —
+    non-benchmark docs sharing NO ``n``-gram with the benchmark set
+    (doc_id % mod == 0 marks the benchmark, as in contamination_check).
+    Same broadcast-shingle plan; the output is the keep-list a curation
+    write intersects with."""
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        out = set()
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            if int(i) % mod != 0:
+                continue
+            ts = simple_tokenize(t)
+            for j in range(len(ts) - n + 1):
+                out.add(" ".join(ts[j:j + n]))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    grams = frozenset(
+        (ray.data.read_parquet(path, columns=["doc_id", "text"])
+         .map_batches(bench_grams, batch_format="pyarrow")
+         .to_pandas())["g"].tolist())
+    grams_ref = ray.put(grams)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        gs = ray.get(grams_ref)
+        ids = batch.column("doc_id").to_numpy()
+        mask = np.zeros(len(ids), dtype=bool)
+        for r, (i, t) in enumerate(zip(ids,
+                                       batch.column("text").to_pylist())):
+            if int(i) % mod == 0:
+                continue
+            ts = simple_tokenize(t)
+            mask[r] = not any(" ".join(ts[j:j + n]) in gs
+                              for j in range(len(ts) - n + 1))
+        return batch.select(["doc_id"]).filter(pa.array(mask))
+
+    return (ray.data.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+def winnow_shared_pairs(sf_dir: str, min_shared: int = 20,
+                        max_fp_df: int = 64):
+    """Cross-document local-overlap detection (the MOSS use of winnowing):
+    doc pairs sharing >= ``min_shared`` winnow fingerprints — catches
+    copied PASSAGES that whole-document minhash misses.  Fingerprints
+    shared by more than ``max_fp_df`` docs are boilerplate (stop-grams)
+    and are skipped, exactly as df-capped terms in keyword search; the
+    cap also bounds per-group pair emission at max_fp_df^2 (the SQL
+    oracle applies the identical cap).  Two shuffles: fp -> in-group
+    pairs, then (id_a, id_b) -> shared-count."""
+    import ray.data
+
+    n_buckets = 256  # scale with cluster width at 100 TB
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        t = winnow_fingerprints(batch)
+        bk = (t.column("fp").to_numpy() % n_buckets).astype(np.int64)
+        return t.append_column("bucket", pa.array(bk, pa.int64()))
+
+    fps = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(with_bucket, batch_format="pyarrow"))
+
+    # ONE group per fp-hash bucket (not per fp): a per-fp map_groups at
+    # corpus scale means millions of sub-millisecond UDF calls — the
+    # group-dispatch overhead dominates (measured 232s -> ~10s at
+    # sf0.01).  Inside a bucket, pair generation is segment-vectorized.
+    def pairs_in_bucket(g):
+        fp = g["fp"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        ends = np.append(starts[1:], len(fp))
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > max_fp_df:
+                continue
+            iu, ju = np.triu_indices(int(n), k=1)
+            a_parts.append(ids[s:e][iu])
+            b_parts.append(ids[s:e][ju])
+        if not a_parts:
+            return pd.DataFrame({"pk": pd.Series([], dtype="object"),
+                                 "id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        # per-bucket pre-combine, then ONE single-key groupby: Ray's
+        # multi-column groupby aggregate sorts on a composite key and is
+        # ~80x slower than a single string key at this shape (measured
+        # 261s vs ~3s on 589k pair rows)
+        df = (pd.DataFrame({"id_a": a, "id_b": b})
+              .groupby(["id_a", "id_b"], sort=False).size()
+              .rename("c").reset_index())
+        # second-stage shuffle key: pair-hash bucket.  Ray's groupby
+        # aggregate walks distinct keys in Python, so a 100k+-key
+        # aggregate costs minutes (measured 261s on 589k pair rows);
+        # TWO bucketed map_groups with vectorized pandas inside cost
+        # seconds and shuffle the identical volume.
+        h = (df["id_a"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ df["id_b"].to_numpy().astype(np.uint64))
+        df["pb"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df[["pb", "id_a", "id_b", "c"]]
+
+    pairs = fps.groupby("bucket").map_groups(pairs_in_bucket,
+                                             batch_format="pandas")
+
+    def count_in_bucket(g):
+        out = (g.groupby(["id_a", "id_b"], sort=False)["c"].sum()
+                .rename("shared").reset_index())
+        return out[out["shared"] >= min_shared]
+
+    return pairs.groupby("pb").map_groups(count_in_bucket,
+                                          batch_format="pandas")

@@ -280,7 +280,31 @@ class SearchEngine:
             return self._search_bm25_taat(query, k)
         if mode == "bm25_wand":
             return self._search_bm25_wand(query, k)
+        if mode == "bool_and":
+            return self._search_bool_and(query, k)
         raise ValueError(f"unknown mode {mode!r}")
+
+    def _search_bool_and(self, query: list[str], k: int):
+        """Strict boolean AND: the first ``k`` doc ids (ascending)
+        containing EVERY query term.  Any term without postings (unknown
+        or df-pruned) empties the result.  Intersections run smallest
+        list first, so cost is bounded by the rarest term's df — the
+        filter-query shape (site/license/lang gating) a retrieval stack
+        serves alongside ranked search."""
+        terms = list(dict.fromkeys(query))
+        plists = []
+        for t in terms:
+            p = self.postings(t)
+            if p is None:
+                return []
+            plists.append(p["doc_ids"])  # sorted unique per term
+        plists.sort(key=len)
+        cur = plists[0]
+        for ids in plists[1:]:
+            cur = cur[np.isin(cur, ids, assume_unique=True)]
+            if len(cur) == 0:
+                return []
+        return [int(x) for x in cur[:k]]
 
     def _idf(self, term: str) -> float:
         df = self.df_map.get(term)

@@ -85,3 +85,24 @@ def test_resume_skips_completed_stages(built_index):
     # postings readable and consistent after resume
     p = eng2.postings("covid")
     assert p is not None and len(p["doc_ids"]) == eng2.df_map["covid"]
+
+
+def test_bool_and_matches_posting_intersection(engine, small_oracle):
+    """bool_and == set intersection of the oracle's posting lists for
+    the parsed query terms; unknown/pruned terms empty the result."""
+    for q in ("covid vaccine", "the data said", "covid", "zzznope covid"):
+        terms, _, _ = engine.parser.parse_sentence(q)
+        terms = list(dict.fromkeys(terms))
+        expect: list[int] = []
+        if terms and all(t in small_oracle.postings for t in terms):
+            sets = [set(p[0] for p in small_oracle.postings[t])
+                    for t in terms]
+            expect = sorted(set.intersection(*sets))[:10]
+        got = engine.search(q, k=10, mode="bool_and")
+        assert got == expect, q
+
+
+def test_bool_and_respects_k(engine):
+    allr = engine.search("covid", k=10_000, mode="bool_and")
+    assert engine.search("covid", k=3, mode="bool_and") == allr[:3]
+    assert allr == sorted(allr)

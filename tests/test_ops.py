@@ -710,3 +710,48 @@ def test_curate_write_roundtrip(ray_session, tmp_path):
     import pyarrow.compute as _pc
 
     assert _pc.min(tbl.column("chunk")).as_py() >= 0
+
+
+def test_kmeans_deterministic_and_nontrivial(ray_session):
+    """Lloyd's over sf0.001 embeddings: deterministic across reruns,
+    assignments cover >1 cluster, and every row is assigned."""
+    from search_engine_ray.ops.similarity import kmeans_assign
+
+    sf = "/root/testdata/sf0.001"
+    a = kmeans_assign(sf, k=4, iters=3).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    b = kmeans_assign(sf, k=4, iters=3).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert (a["cluster"] == b["cluster"]).all()
+    assert a["cluster"].between(0, 3).all()
+    assert a["cluster"].nunique() > 1
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+    assert len(a) == n
+
+
+def test_kmeans_improves_over_iterations(ray_session):
+    """More Lloyd iterations must not increase within-cluster SSE."""
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.ops.similarity import kmeans_assign
+
+    sf = "/root/testdata/sf0.001"
+    t = pads.dataset(f"{sf}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]).to_pandas()
+    x = np.array([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"]])
+    vid_pos = {int(v): i for i, v in enumerate(t["vec_id"])}
+
+    def sse(assign_df):
+        cost = 0.0
+        for c, grp in assign_df.groupby("cluster"):
+            xs = x[[vid_pos[int(v)] for v in grp["vec_id"]]]
+            mu = xs.mean(axis=0)
+            cost += ((xs - mu) ** 2).sum()
+        return cost
+
+    c1 = sse(kmeans_assign(sf, k=4, iters=1).to_pandas())
+    c4 = sse(kmeans_assign(sf, k=4, iters=4).to_pandas())
+    assert c4 <= c1 + 1e-6
