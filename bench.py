@@ -77,9 +77,18 @@ def _bench_cfg():
     from search_engine_ray.config import EngineConfig
 
     # parse partitions sized to the session's CPUs (bounded so the low
-    # scaling leg doesn't degrade to a handful of huge partitions)
+    # scaling leg doesn't degrade to a handful of huge partitions).
+    # Shuffle grid sized to the session too: term_buckets x num_shards
+    # reduce partitions should be ~2x the cores (the classic rule) — the
+    # default 32x16=512 grid is a multi-node width; at single-node bench
+    # scale it explodes the hive spill into 20k+ tiny files and made the
+    # spill stage 46% of build wall (measured r3: 12.6s -> 8.9s total at
+    # 50k/32cpu with a 4x16 grid).  num_shards stays 16: it is the
+    # head-term skew bound (a head term splits across num_shards
+    # reducers), term_buckets is pure partition-count width.
     return EngineConfig(
         num_shards=16,
+        term_buckets=max(4, NUM_CPUS // 8),
         parser_concurrency=max(2, NUM_CPUS * 3 // 4),
         parse_part_rows=max(1024, min(8192, BENCH_DOCS // (NUM_CPUS * 2))))
 
