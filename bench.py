@@ -158,11 +158,19 @@ def run_bench() -> dict:
     timings["bench_index_build"] = best
     docs_per_sec = man["n_docs"] / timings["bench_index_build"]
 
-    # --- phase 3: BM25 query latency over the bench index
+    # --- phase 3: BM25 query latency over the bench index.  One warm
+    # pass first (postings row-group reads + caches), matching the pool
+    # path's warm-then-measure protocol — serving p50/p95 is a warm-path
+    # number; COLD first-query cost is reported separately.
     eng = SearchEngine(bench_index)
     queries = [q for q in gen_queries()]
-    lat_ms = []
+    cold_ms = []
     t0 = time.perf_counter()
+    for q in queries:
+        tq = time.perf_counter()
+        eng.search(q, k=10, mode="bm25")
+        cold_ms.append((time.perf_counter() - tq) * 1000)
+    lat_ms = []
     for _ in range(3):
         for q in queries:
             tq = time.perf_counter()
@@ -234,6 +242,8 @@ def run_bench() -> dict:
         "docs_per_sec": round(docs_per_sec, 1),
         "query_p50_ms": round(p50_ms, 2),
         "query_p95_ms": round(p95_ms, 2),
+        "query_cold_p95_ms": round(
+            sorted(cold_ms)[int(0.95 * (len(cold_ms) - 1))], 2),
         "batch_qps": round(batch_qps, 1),
         "batch_qps_workers": conc,
         "batch_qps_scale_lo": round(qps_scale_lo, 1),

@@ -206,14 +206,16 @@ def simhash_rows(batch: pa.Table) -> pa.Table:
 
 
 def _dedup_pairs(cand):
-    """Distinct (a, b) via a pair-keyed groupby — distributed, no driver
-    set.  Extra columns of the first row per pair are kept."""
-    import pandas as pd
+    """Distinct (a, b) via a pair-hash BUCKETED shuffle — distributed,
+    no driver set; extra columns of the first row per pair are kept.
+    (Per-pair groupby dispatch costs ms/key in Ray — see ops/shuffle.py;
+    the bucket udf dedups vectorized.)"""
+    from search_engine_ray.ops.shuffle import bucketed_apply
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def dedup_bucket(g):
+        return g.drop_duplicates(subset=["a", "b"])
 
-    return cand.groupby(["a", "b"]).map_groups(first, batch_format="pandas")
+    return bucketed_apply(cand, ["a", "b"], dedup_bucket)
 
 
 def _attach_blob(pairs, blobs, key_col: str, out_blob: str):
@@ -242,18 +244,22 @@ def _attach_blob(pairs, blobs, key_col: str, out_blob: str):
         return tag_pairs(b).append_column(
             "__blob", pa.nulls(b.num_rows, pa.binary()))
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        sh = g.loc[g["__kind"] == 0, "__blob"]
-        blob = sh.iloc[0] if len(sh) else b""
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lk = (g.loc[g["__kind"] == 0, [key_col, "__blob"]]
+               .drop_duplicates(subset=[key_col])
+               .rename(columns={"__blob": out_blob}))
         p = g[g["__kind"] == 1]
-        out = p[pair_cols].copy()
-        out[out_blob] = pd.Series([blob] * len(p), index=p.index,
-                                  dtype=object)
+        out = p[pair_cols].merge(lk, on=key_col, how="left")
+        if out[out_blob].isna().any():  # pair key without a blob row
+            out[out_blob] = out[out_blob].where(out[out_blob].notna(),
+                                                b"")
         return out
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
 
     u = pairs.map_batches(tag_pairs_blob, batch_format="pyarrow").union(
         blobs.map_batches(tag_blobs, batch_format="pyarrow"))
-    return u.groupby(key_col).map_groups(attach, batch_format="pandas")
+    return bucketed_apply(u, [key_col], attach_bucket)
 
 
 def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6):
@@ -288,10 +294,13 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        return pd.DataFrame({"a": np.asarray(out_a, dtype=np.int64),
+                             "b": np.asarray(out_b, dtype=np.int64)})
 
-    cand = _dedup_pairs(band_rows.groupby(["band", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"))
+    from search_engine_ray.ops.shuffle import grouped_apply
+
+    cand = _dedup_pairs(grouped_apply(band_rows, ["band", "bucket"],
+                                      pairs_in_bucket))
 
     blobs = ds.map_batches(shingle_blob_rows, batch_format="pyarrow")
     with_a = _attach_blob(cand, blobs, "a", "blob_a")
@@ -463,7 +472,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 
 
 # ------------------------------------------------- dedup apply (components)
-def connected_min_labels(pairs, max_iters: int = 20):
+def connected_min_labels(pairs, max_iters: int = 20,
+                         single_task_edges: int = 1_000_000):
     """Connected components over an undirected pair Dataset (a, b) by
     min-label propagation + POINTER JUMPING: every node converges to the
     MINIMUM doc id in its component.  Returns a Dataset (node, label).
@@ -498,13 +508,72 @@ def connected_min_labels(pairs, max_iters: int = 20):
     edges = pairs.map_batches(to_edges,
                               batch_format="pyarrow").materialize()
 
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["node"].iloc[0])
-        return pd.DataFrame({"node": pd.Series([n], dtype="int64"),
-                             "label": pd.Series([n], dtype="int64")})
+    # Small-graph fast path (the standard tiering, cf. GraphFrames): a
+    # near-dup edge set is a tiny fraction of the corpus; when it fits
+    # ONE worker comfortably, a single union-find task beats 3 shuffle
+    # rounds per pointer-jumping iteration by two orders of magnitude
+    # (measured 175 s -> ~2 s on a 25-edge graph — each tiny Ray
+    # groupby round costs seconds of fixed coordination).  The result is
+    # IDENTICAL (min label per component).  ``single_task_edges=0``
+    # forces the distributed path (used by its dedicated tests).
+    if edges.count() <= 2 * single_task_edges:
 
-    labels = edges.groupby("node").map_groups(
-        init_labels, batch_format="pandas").materialize()
+        @ray.remote
+        def _union_find(*blocks) -> pa.Table:
+            def to_table(b):
+                if isinstance(b, pa.Table):
+                    return b
+                if isinstance(b, pa.RecordBatch):
+                    return pa.Table.from_batches([b])
+                return pa.Table.from_pandas(b, preserve_index=False)
+
+            tables = [to_table(b) for b in blocks]
+            tables = [x for x in tables if x.num_columns]  # drop the
+            # schemaless empty blocks some upstream group stages emit
+            if not tables:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            t = pa.concat_tables(tables)
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            other = t.column("other").to_numpy(zero_copy_only=False)
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in zip(node.tolist(), other.tolist()):
+                ru, rv = find(int(u)), find(int(v))
+                if ru != rv:
+                    # union by MIN root so every root is its component's
+                    # minimum id (the distributed algorithm's invariant)
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            nodes = np.unique(node)
+            return pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([find(int(x)) for x in nodes],
+                                  pa.int64())})
+
+        import ray.data as _rd
+
+        # block refs go straight to the task — nothing lands on the
+        # driver but the final (node, label) table handle
+        ref = _union_find.remote(*edges.to_arrow_refs())
+        return _rd.from_arrow(ray.get(ref))
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["node"]].drop_duplicates()
+        return pd.DataFrame({"node": d["node"].to_numpy(np.int64),
+                             "label": d["node"].to_numpy(np.int64)})
+
+    labels = bucketed_apply(edges, ["node"], init_labels).materialize()
 
     def compress(lbls):
         """Pointer jumping: node -> label[label[node]] via one tagged
@@ -522,24 +591,22 @@ def connected_min_labels(pairs, max_iters: int = 20):
                 "node": b["node"].astype("int64"),
                 "label": pd.Series(np.full(len(b), -1), dtype="int64")})
 
-        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            lk = (g.loc[g["node"] == -1, ["key", "label"]]
+                   .drop_duplicates(subset=["key"])
+                   .rename(columns={"label": "lkl"}))
             q = g[g["node"] != -1]
-            if not len(q):
-                return pd.DataFrame({
-                    "node": pd.Series([], dtype="int64"),
-                    "label": pd.Series([], dtype="int64")})
-            lk = g[g["node"] == -1]
-            lab = (int(lk["label"].iloc[0]) if len(lk)
-                   else int(g["key"].iloc[0]))
-            # .to_numpy(): group slices carry non-default indices, and a
-            # DataFrame built from mixed-index Series aligns (-> NaNs)
+            out = q[["key", "node"]].merge(lk, on="key", how="left")
+            # a label that is not itself a labeled node resolves to
+            # itself (same fallback as before)
+            lab = out["lkl"].fillna(out["key"]).astype(np.int64)
             return pd.DataFrame({
-                "node": q["node"].to_numpy(dtype=np.int64),
-                "label": np.full(len(q), lab, dtype=np.int64)})
+                "node": out["node"].to_numpy(np.int64),
+                "label": lab.to_numpy(np.int64)})
 
         u = lbls.map_batches(tag_lookup, batch_format="pandas").union(
             lbls.map_batches(tag_query, batch_format="pandas"))
-        return u.groupby("key").map_groups(resolve, batch_format="pandas")
+        return bucketed_apply(u, ["key"], resolve_bucket)
 
     n_changed = 0
     for _ in range(max_iters):
@@ -559,52 +626,41 @@ def connected_min_labels(pairs, max_iters: int = 20):
                 "label": b["label"].astype("int64"),
             })
 
-        def send(g: pd.DataFrame) -> pd.DataFrame:
-            lbl_rows = g[g["other"] == -1]
-            lbl = int(lbl_rows["label"].min())
-            e = g[g["other"] != -1]
+        def send_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            lab = (g.loc[g["other"] == -1]
+                    .groupby("node", sort=False)["label"].min()
+                    .rename("lbl").reset_index())
+            e = g[g["other"] != -1].merge(lab, on="node", how="left")
             return pd.DataFrame({
                 "node": np.concatenate([e["other"].to_numpy(np.int64),
-                                        [int(g["node"].iloc[0])]]),
-                "label": np.concatenate([
-                    np.full(len(e), lbl, dtype=np.int64), [lbl]]),
+                                        lab["node"].to_numpy(np.int64)]),
+                "label": np.concatenate([e["lbl"].to_numpy(np.int64),
+                                         lab["lbl"].to_numpy(np.int64)]),
             })
 
         u = edges.map_batches(tag_edge, batch_format="pandas").union(
             labels.map_batches(tag_label_pd, batch_format="pandas"))
-        msgs = u.groupby("node").map_groups(send, batch_format="pandas")
+        msgs = bucketed_apply(u, ["node"], send_bucket)
 
-        def take_min(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "node": pd.Series([int(g["node"].iloc[0])],
-                                  dtype="int64"),
-                "label": pd.Series([int(g["label"].min())],
-                                   dtype="int64"),
-            })
+        def take_min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return (g.groupby("node", sort=False)["label"].min()
+                     .reset_index())
 
         new_labels = compress(
-            msgs.groupby("node").map_groups(
-                take_min, batch_format="pandas")).materialize()
+            bucketed_apply(msgs, ["node"],
+                           take_min_bucket)).materialize()
 
         # converged when no label changed: compare via a keyed union
-        def pair_rows(tag):
-            def f(b: pd.DataFrame) -> pd.DataFrame:
-                out = b.copy()
-                out["src"] = tag
-                return out
-            return f
-
-        def changed(g: pd.DataFrame) -> pd.DataFrame:
-            vals = g["label"].unique()
-            n = 1 if len(vals) > 1 else 0
+        # (old and new label rows share the (node, label) schema; a node
+        # changed iff it carries >1 distinct label across the union)
+        def changed_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            n = int((g.groupby("node", sort=False)["label"]
+                      .nunique() > 1).sum())
             return pd.DataFrame({"changed": pd.Series([n],
                                                       dtype="int64")})
 
-        diff = (labels.map_batches(pair_rows(0), batch_format="pandas")
-                .union(new_labels.map_batches(pair_rows(1),
-                                              batch_format="pandas"))
-                .groupby("node").map_groups(changed,
-                                            batch_format="pandas"))
+        diff = bucketed_apply(labels.union(new_labels), ["node"],
+                              changed_bucket)
         n_changed = diff.sum("changed")
         labels = new_labels
         if not n_changed:

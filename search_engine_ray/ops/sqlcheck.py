@@ -1470,9 +1470,23 @@ nd AS (SELECT d.doc_id FROM documents d
 mx AS (SELECT doc_id FROM documents
        WHERE md5_number_lower(text) % 100 <
              CASE source {case} ELSE {MIX_DEFAULT} END),
+bgrams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i + 3], ' '))) AS g
+  FROM tl WHERE doc_id % 97 = 0),
+dgrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i + 3], ' '))) AS g
+  FROM tl WHERE doc_id % 97 <> 0),
+contaminated AS (SELECT DISTINCT doc_id FROM dgrams
+                 WHERE g IN (SELECT g FROM bgrams)),
+dc AS (SELECT doc_id FROM tl
+       WHERE doc_id % 97 <> 0
+         AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
 keep AS (SELECT q.doc_id FROM q
          JOIN e ON e.doc_id = q.doc_id
          JOIN nd ON nd.doc_id = q.doc_id
+         JOIN dc ON dc.doc_id = q.doc_id
          JOIN mx ON mx.doc_id = q.doc_id)
 SELECT d.lang,
        count(*) AS docs_in,

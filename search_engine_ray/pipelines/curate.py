@@ -1,15 +1,15 @@
 """End-to-end training-corpus CURATION pipeline — the engine's flagship
 composition for the 100-TB use case: quality gate -> exact dedup ->
-near-dup removal -> source mixing -> (optional) packed partitioned
-write, in one run.
+near-dup removal -> benchmark decontamination -> source mixing ->
+(optional) packed partitioned write, in one run.
 
 Every stage reuses the individually-SQL-checked operator; the COMPOSED
 result is value-checked against a single DuckDB query that chains the
-same four rules, so the composition itself (not just the parts) is
+same five rules, so the composition itself (not just the parts) is
 gated.
 
-Scale shape: the four keep-sets are Datasets of doc ids; their
-intersection is ONE tagged-union hash shuffle on doc_id (count==4),
+Scale shape: the five keep-sets are Datasets of doc ids; their
+intersection is ONE tagged-union hash shuffle on doc_id (count==5),
 never a driver set.  The final per-lang rollup attaches (lang,
 n_tokens) through the same shuffle and partial-combines before the
 five-row groupby.
@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-N_KEEP_RULES = 4
+N_KEEP_RULES = 5
 
 
 def _ids_only(ds, col: str = "doc_id"):
@@ -34,17 +34,20 @@ def _ids_only(ds, col: str = "doc_id"):
 
 
 def curate_summary(sf_dir: str):
-    """Per-lang curation summary: docs_in, docs_kept (surviving ALL four
+    """Per-lang curation summary: docs_in, docs_kept (surviving ALL five
     rules), tokens_kept.  Rules (identical constants to the standalone
     ops): quality gate (>=30 simple tokens, mean token length >= 4),
     exact dedup (keep min doc_id per byte-identical text), near-dup
     removal (3-gram Jaccard >= 0.6 connected components, keep min id),
-    source-weighted mixing (MIX_WEIGHTS hash-residue rule)."""
+    benchmark decontamination (drop docs sharing any 4-gram with the
+    doc_id%97==0 benchmark slice, and the slice itself), source-weighted
+    mixing (MIX_WEIGHTS hash-residue rule)."""
     import ray.data
     from ray.data.aggregate import Sum
 
     from search_engine_ray.ops.dedup import exact_dedup, near_dup_keep_ids
     from search_engine_ray.ops.textstats import (
+        decontaminate_ids,
         quality_filter_ids,
         source_mix_sample,
     )
@@ -53,17 +56,19 @@ def curate_summary(sf_dir: str):
         quality_filter_ids(sf_dir).select_columns(["doc_id"]),
         _ids_only(exact_dedup(sf_dir)),
         near_dup_keep_ids(sf_dir),
+        decontaminate_ids(sf_dir),
         _ids_only(source_mix_sample(sf_dir)),
     ]
     tagged = sets[0].union(*sets[1:])
 
-    def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < N_KEEP_RULES:
-            return pd.DataFrame({"doc_id": []})
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+    from search_engine_ray.ops.shuffle import bucketed_apply
 
-    kept = tagged.groupby("doc_id").map_groups(keep_if_all,
-                                               batch_format="pandas")
+    def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("doc_id", sort=False).size()
+        return pd.DataFrame({
+            "doc_id": cnt[cnt >= N_KEEP_RULES].index.to_numpy(np.int64)})
+
+    kept = bucketed_apply(tagged, ["doc_id"], keep_if_all)
 
     # attach (lang, n_tokens) through one more doc_id shuffle
     from search_engine_ray.text.tokenizer import simple_tokenize
@@ -93,17 +98,17 @@ def curate_summary(sf_dir: str):
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
         d = g[g["side"] == 0]
-        if d.empty:
-            return pd.DataFrame(
-                {"lang": [], "one": [], "kept": [], "tok_kept": []})
-        k = int((g["side"] == 1).any())
-        n = int(d["n_tokens"].iloc[0])
+        k = (g.loc[g["side"] == 1, ["doc_id"]].drop_duplicates()
+              .assign(__k=np.int64(1)))
+        m = d.merge(k, on="doc_id", how="left")
+        kept = m["__k"].fillna(0).astype(np.int64).to_numpy()
         return pd.DataFrame({
-            "lang": [d["lang"].iloc[0]], "one": [1], "kept": [k],
-            "tok_kept": [k * n]})
+            "lang": m["lang"].to_numpy(),
+            "one": np.ones(len(m), dtype=np.int64),
+            "kept": kept,
+            "tok_kept": kept * m["n_tokens"].to_numpy(np.int64)})
 
-    per = both.groupby("doc_id").map_groups(per_doc,
-                                            batch_format="pandas")
+    per = bucketed_apply(both, ["doc_id"], per_doc)
 
     def combine(batch: pa.Table) -> pa.Table:
         df = pa.Table.to_pandas(batch)
@@ -137,6 +142,7 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
 
     from search_engine_ray.ops.dedup import exact_dedup, near_dup_keep_ids
     from search_engine_ray.ops.textstats import (
+        decontaminate_ids,
         packing_plan,
         quality_filter_ids,
         source_mix_sample,
@@ -146,17 +152,19 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
         quality_filter_ids(sf_dir).select_columns(["doc_id"]),
         _ids_only(exact_dedup(sf_dir)),
         near_dup_keep_ids(sf_dir),
+        decontaminate_ids(sf_dir),
         _ids_only(source_mix_sample(sf_dir)),
     ]
     tagged = sets[0].union(*sets[1:])
 
-    def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < N_KEEP_RULES:
-            return pd.DataFrame({"doc_id": []})
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])]})
+    from search_engine_ray.ops.shuffle import bucketed_apply
 
-    kept = tagged.groupby("doc_id").map_groups(keep_if_all,
-                                               batch_format="pandas")
+    def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("doc_id", sort=False).size()
+        return pd.DataFrame({
+            "doc_id": cnt[cnt >= N_KEEP_RULES].index.to_numpy(np.int64)})
+
+    kept = bucketed_apply(tagged, ["doc_id"], keep_if_all)
 
     # --- tagged union on doc_id: side 0 = corpus row (payload), side 1 =
     # kept marker, side 2 = packing-plan row (chunk id); the groupby
@@ -198,18 +206,21 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
 
     def emit_kept(g: pd.DataFrame) -> pd.DataFrame:
         d = g[g["side"] == 0]
-        if d.empty or not (g["side"] == 1).any():
-            return pd.DataFrame({c: [] for c in
-                                 ("doc_id", "lang", "source", "text",
-                                  "chunk", "pk")})
-        p = g[g["side"] == 2]
-        out = d.iloc[[0]][["doc_id", "lang", "source", "text"]].copy()
-        out["chunk"] = int(p["chunk"].iloc[0]) if len(p) else 0
-        out["pk"] = int(d["doc_id"].iloc[0]) % write_partitions
+        k = (g.loc[g["side"] == 1, ["doc_id"]].drop_duplicates()
+              .assign(__k=np.int64(1)))
+        p = (g.loc[g["side"] == 2, ["doc_id", "chunk"]]
+              .drop_duplicates(subset=["doc_id"])
+              .rename(columns={"chunk": "__chunk"}))
+        m = d.merge(k, on="doc_id", how="left")
+        m = m[m["__k"].notna()]
+        m = m.merge(p, on="doc_id", how="left")
+        out = m[["doc_id", "lang", "source", "text"]].copy()
+        out["chunk"] = m["__chunk"].fillna(0).astype(np.int64).to_numpy()
+        out["pk"] = (m["doc_id"].to_numpy(np.int64)
+                     % write_partitions)
         return out
 
-    (both.groupby("doc_id")
-         .map_groups(emit_kept, batch_format="pandas")
+    (bucketed_apply(both, ["doc_id"], emit_kept)
          .write_parquet(out_dir, partition_cols=["pk"]))
     import pyarrow.dataset as pads
 

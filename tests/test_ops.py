@@ -286,12 +286,18 @@ def test_connected_components_long_chain(ray_session):
         "a": pa.array(range(n - 1), pa.int64()),
         "b": pa.array(range(1, n), pa.int64()),
     }))
-    out = connected_min_labels(pairs).to_pandas()
+    # force the DISTRIBUTED pointer-jumping path (the small-graph
+    # union-find fast path would trivially pass)
+    out = connected_min_labels(pairs, single_task_edges=0).to_pandas()
     assert sorted(out["node"]) == list(range(n))
     assert set(out["label"]) == {0}
+    # the fast path must agree exactly
+    fast = connected_min_labels(pairs).to_pandas()
+    assert (fast.sort_values("node").reset_index(drop=True)
+            .equals(out.sort_values("node").reset_index(drop=True)))
     # and the loud-failure path: 1 round cannot converge a 30-chain
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_min_labels(pairs, max_iters=1)
+        connected_min_labels(pairs, max_iters=1, single_task_edges=0)
 
 
 def test_embedding_lsh_multitable_recall(ray_session, tmp_path_factory):
