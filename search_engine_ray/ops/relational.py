@@ -559,25 +559,24 @@ def late_order_priority_counts(sf_dir: str, grace_days: int = 60):
         columns=["l_orderkey", "l_shipdate"])
         .map_batches(lprep, batch_format="pyarrow"))
 
-    def per_key(g):
+    def per_bucket(g):
         import pandas as pd
 
-        empty = pd.DataFrame({
-            "o_orderpriority": pd.Series([], dtype="object"),
-            "one": pd.Series([], dtype="int64")})
-        left = g[g["side"] == 0]
-        if len(left) == 0:
-            return empty
-        odate = int(left["ts_us"].iloc[0])
-        ships = g.loc[g["side"] == 1, "ts_us"]
-        if len(ships) == 0 or int(ships.max()) <= odate + grace_us:
-            return empty
-        return pd.DataFrame({
-            "o_orderpriority": [left["prio"].iloc[0]],
-            "one": np.ones(1, dtype=np.int64)})
+        o = g[g["side"] == 0]
+        ships = (g.loc[g["side"] == 1]
+                  .groupby("key", sort=False)["ts_us"].max()
+                  .rename("max_ship").reset_index())
+        m = o.merge(ships, on="key", how="left")
+        late = m["max_ship"].notna() & (m["max_ship"]
+                                        > m["ts_us"] + grace_us)
+        out = (m.loc[late, ["prio"]]
+                .rename(columns={"prio": "o_orderpriority"}))
+        out["one"] = np.int64(1)
+        return out
 
-    return (orders.union(li).groupby("key")
-            .map_groups(per_key, batch_format="pandas")
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    return (bucketed_apply(orders.union(li), ["key"], per_bucket)
             .groupby("o_orderpriority")
             .aggregate(Sum("one", alias_name="n_late")))
 
