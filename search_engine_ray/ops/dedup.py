@@ -377,10 +377,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
 
     def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
         if g["gram"].iloc[0] == "":  # count rows pass through
+            # .to_numpy(): group slices carry the parent frame's index;
+            # mixing them with default-indexed Series in a DataFrame
+            # constructor ALIGNS indexes and silently corrupts rows
             return pd.DataFrame({
-                "a": g["doc_id"].astype("int64"),
-                "b": pd.Series([-1] * len(g), dtype="int64"),
-                "i": g["n"].astype("int64")})
+                "a": g["doc_id"].to_numpy(np.int64),
+                "b": np.full(len(g), -1, dtype=np.int64),
+                "i": g["n"].to_numpy(np.int64)})
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -395,9 +398,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     # three downstream branches consume it, and it is the REDUCED
     # pair/count set — orders of magnitude smaller than the gram rows —
     # so pinning it beats re-running the gram shuffle three times
-    agg = (rows.groupby("gram").map_groups(pairs_in_gram,
-                                           batch_format="pandas")
-               .groupby(["a", "b"]).sum("i")).materialize()
+    from search_engine_ray.ops.shuffle import (
+        bucketed_sum,
+        grouped_apply,
+    )
+
+    agg = bucketed_sum(grouped_apply(rows, ["gram"], pairs_in_gram),
+                       ["a", "b"], ["i"],
+                       rename={"i": "sum(i)"}).materialize()
 
     # two attach shuffles pick up n_a (groupby a) then n_b (groupby b),
     # the same co-partitioned union-groupby shape as the minhash verifier
@@ -430,8 +438,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
                              "i": p["sum(i)"].astype("int64"),
                              "na": np.full(len(p), na, dtype=np.int64)})
 
-    with_na = counts.union(pairs).groupby("a").map_groups(
-        attach_a, batch_format="pandas")
+    with_na = grouped_apply(counts.union(pairs), ["a"], attach_a)
 
     # route count rows again, keyed by b: counts have b=-1, so re-key
     def rekey_counts(batch: pd.DataFrame) -> pd.DataFrame:
@@ -467,8 +474,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
                              "b": p["b"].to_numpy()[m],
                              "jaccard": jac[m]})
 
-    return with_na.union(counts_b).groupby("b").map_groups(
-        attach_b, batch_format="pandas")
+    return grouped_apply(with_na.union(counts_b), ["b"], attach_b)
 
 
 # ------------------------------------------------- dedup apply (components)

@@ -110,9 +110,11 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
         agg["duration_s"] = agg["session_end_s"] - agg["session_start_s"]
         return agg.drop(columns=["session_end_s"])
 
+    from search_engine_ray.ops.shuffle import grouped_apply
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "ts", "user_id"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return grouped_apply(ds, ["user_id"], per_user)
 
 
 def event_type_stats(sf_dir: str):
@@ -270,9 +272,12 @@ def distinct_users_daily(sf_dir: str):
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["ts", "user_id"])
-    deduped = (ds.map_batches(pairs, batch_format="pyarrow")
-                 .groupby(["day", "user_id"])
-                 .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    deduped = bucketed_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["day", "user_id"],
+        lambda g: g.drop_duplicates(subset=["day", "user_id"]))
     return (deduped.map_batches(day_partials, batch_format="pyarrow")
                    .groupby("day")
                    .aggregate(Sum("c", alias_name="n_users")))
@@ -306,12 +311,13 @@ def user_rolling_sum3(sf_dir: str):
             "ts_us": batch.column("ts").cast(pa.int64()),
             "e4": pa.array(e4, pa.int64())})
 
+    from search_engine_ray.ops.shuffle import grouped_apply
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_id", "ts", "value"])
-    return (ds.map_batches(prep, batch_format="pyarrow")
-              .groupby("user_id")
-              .map_groups(per_user, batch_format="pandas"))
+    return grouped_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["user_id"], per_user)
 
 
 def latest_event_per_user(sf_dir: str):
@@ -336,11 +342,13 @@ def latest_event_per_user(sf_dir: str):
 
     def final_latest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts_us", "event_id"])
-        return g.tail(1).reset_index(drop=True)
+        return g.groupby("user_id", sort=False).tail(1)
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_id", "ts", "event_type"])
-    return (ds.map_batches(partial_latest, batch_format="pyarrow")
-              .groupby("user_id")
-              .map_groups(final_latest, batch_format="pandas"))
+    return bucketed_apply(
+        ds.map_batches(partial_latest, batch_format="pyarrow"),
+        ["user_id"], final_latest)

@@ -106,7 +106,9 @@ def asof_join_last_value(sf_dir: str, left_type: str = "click",
             "ts_us": lt, "last_value_e4": lv_e4, "last_ts_us": lts})
 
     ds = _two_sided(sf_dir, left_type, right_type)
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from search_engine_ray.ops.shuffle import grouped_apply
+
+    return grouped_apply(ds, ["user_id"], per_user)
 
 
 def range_join_counts(sf_dir: str, left_type: str = "purchase",
@@ -142,4 +144,6 @@ def range_join_counts(sf_dir: str, left_type: str = "purchase",
             "ts_us": lt, "n_right_in_window": (hi - lo).astype(np.int64)})
 
     ds = _two_sided(sf_dir, left_type, right_type)
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from search_engine_ray.ops.shuffle import grouped_apply
+
+    return grouped_apply(ds, ["user_id"], per_user)

@@ -142,10 +142,13 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
                  "l_discount"])
         .map_batches(lpart, batch_format="pyarrow"))
 
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
     joined = li.join(orders, "inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = (joined.groupby("l_orderkey")
-                 .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
+    agg = bucketed_sum(joined.select_columns(["l_orderkey", "rev_e4"]),
+                       ["l_orderkey"], ["rev_e4"],
+                       rename={"rev_e4": "revenue_e4"})
     top = agg.sort(["revenue_e4", "l_orderkey"],
                    descending=[True, False]).limit(k)
     return top
@@ -237,18 +240,19 @@ def inactive_customers(sf_dir: str, since: str = "2001-01-01"):
         columns=["o_custkey", "o_orderdate"])
         .map_batches(oprep, batch_format="pyarrow"))
 
-    def per_key(g):
+    def anti_bucket(g):
         import pandas as pd
 
-        if (g["side"] == 1).any():
-            return pd.DataFrame({"c_custkey": [], "c_mktsegment": []})
+        probe = set(g.loc[g["side"] == 1, "key"].to_numpy(np.int64))
         left = g[g["side"] == 0]
+        m = ~left["key"].isin(probe)
         return pd.DataFrame({
-            "c_custkey": left["key"].astype("int64"),
-            "c_mktsegment": left["c_mktsegment"]})
+            "c_custkey": left.loc[m, "key"].to_numpy(np.int64),
+            "c_mktsegment": left.loc[m, "c_mktsegment"].to_numpy()})
 
-    return (cust.union(orders).groupby("key")
-                .map_groups(per_key, batch_format="pandas"))
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    return bucketed_apply(cust.union(orders), ["key"], anti_bucket)
 
 
 def returned_item_customers(sf_dir: str, qstart: str = "1997-01-01",
@@ -499,19 +503,23 @@ def customer_order_counts(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
         .map_batches(oprep, batch_format="pyarrow"))
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        import pandas as pd  # noqa: F811 (map_groups worker import)
+    def left_count_bucket(g):
+        import pandas as pd
 
-        if not (g["side"] == 0).any():
-            return pd.DataFrame({"c_custkey": [], "n_orders": []})
+        left = g.loc[g["side"] == 0, ["key"]].drop_duplicates()
+        counts = (g.loc[g["side"] == 1]
+                   .groupby("key", sort=False)["n"].sum()
+                   .rename("n_orders").reset_index())
+        m = left.merge(counts, on="key", how="left")
         return pd.DataFrame({
-            "c_custkey": [int(g["key"].iloc[0])],
-            "n_orders": [int(g.loc[g["side"] == 1, "n"].sum())]})
+            "c_custkey": m["key"].to_numpy(np.int64),
+            "n_orders": m["n_orders"].fillna(0).astype(np.int64)
+                         .to_numpy()})
 
-    import pandas as pd
+    from search_engine_ray.ops.shuffle import bucketed_apply
 
-    return (cust.union(orders).groupby("key")
-                .map_groups(per_key, batch_format="pandas"))
+    return bucketed_apply(cust.union(orders), ["key"],
+                          left_count_bucket)
 
 
 def late_order_priority_counts(sf_dir: str, grace_days: int = 60):
@@ -604,11 +612,14 @@ def large_orders(sf_dir: str, min_qty: int = 120, k: int = 100):
         return pa.table({"l_orderkey": pa.array(keys, pa.int64()),
                          "q": pa.array(sums, pa.int64())})
 
-    qty = (ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_quantity"])
-        .map_batches(lprep, batch_format="pyarrow")
-        .groupby("l_orderkey").aggregate(Sum("q", alias_name="sum_qty")))
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    qty = bucketed_sum(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"])
+        .map_batches(lprep, batch_format="pyarrow"),
+        ["l_orderkey"], ["q"], rename={"q": "sum_qty"})
     big = qty.filter(expr=f"sum_qty > {int(min_qty)}")
     # the HAVING survivors — tiny by construction (the knob is chosen so
     # this is O(k) rows; at 100 TB the same plan holds because the

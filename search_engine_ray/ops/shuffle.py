@@ -75,3 +75,20 @@ def grouped_apply(ds, keys, group_udf, n_buckets: int = 256):
         return outs[0]
 
     return bucketed_apply(ds, keys, per_bucket, n_buckets=n_buckets)
+
+
+def bucketed_sum(ds, keys, value_cols, rename=None, n_buckets: int = 256):
+    """``groupby(keys).sum(value_cols)`` via one bucket shuffle and a
+    vectorized pandas aggregation per bucket.  INTEGER value columns
+    only: bucketing changes float accumulation order, which matters for
+    oracles that compare exact sums — keep float aggregates on exact
+    integer scaling (per-row e4 ints) or on Ray's native aggregate."""
+    keys = list(keys)
+    value_cols = list(value_cols)
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(keys, sort=False)[value_cols].sum()
+                .reset_index())
+        return out.rename(columns=rename) if rename else out
+
+    return bucketed_apply(ds, keys, agg_bucket, n_buckets=n_buckets)

@@ -190,10 +190,12 @@ def term_df_simple(sf_dir: str):
             "df_part": pa.array(list(c.values()), pa.int64()),
         })
 
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["text"])
-    agg = ds.map_batches(partials, batch_format="pyarrow") \
-            .groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    agg = bucketed_sum(ds.map_batches(partials, batch_format="pyarrow"),
+                       ["term"], ["df_part"], rename={"df_part": "df"})
     return agg.filter(expr="df > 1")
 
 
@@ -250,9 +252,11 @@ def top_terms_per_lang(sf_dir: str, k: int = 10):
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["lang", "text"])
-    agg = (ds.map_batches(partials, batch_format="pyarrow")
-             .groupby(["lang", "term"])
-             .aggregate(Sum("n_part", alias_name="n")))
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    agg = bucketed_sum(ds.map_batches(partials, batch_format="pyarrow"),
+                       ["lang", "term"], ["n_part"],
+                       rename={"n_part": "n"})
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n", "term"],
@@ -534,7 +538,9 @@ def packing_plan(sf_dir: str, chunk_tokens: int = 512,
     base = (ray.data.read_parquet(path, columns=["doc_id", "text"])
             .map_batches(counts, batch_format="pyarrow"))
 
-    totals = (base.groupby("g").aggregate(Sum("n", alias_name="tot"))
+    from search_engine_ray.ops.shuffle import bucketed_sum, grouped_apply
+
+    totals = (bucketed_sum(base, ["g"], ["n"], rename={"n": "tot"})
               .to_pandas().sort_values("g"))
     off = np.concatenate([[0], np.cumsum(totals["tot"].to_numpy())[:-1]])
     offsets = dict(zip(totals["g"].astype(int), off.astype(int)))
@@ -552,7 +558,7 @@ def packing_plan(sf_dir: str, chunk_tokens: int = 512,
             "chunk_first": (start // chunk_tokens).astype("int64"),
             "chunk_last": (last_tok // chunk_tokens).astype("int64")})
 
-    return base.groupby("g").map_groups(per_group, batch_format="pandas")
+    return grouped_apply(base, ["g"], per_group)
 
 
 # whitespace class shared VERBATIM with the SQL oracle (RE2 and Python
@@ -638,11 +644,13 @@ def corpus_freq_doc_score(sf_dir: str, vocab_k: int = 512):
         return pa.table({"term": pa.array(list(toks), pa.string()),
                          "c": pa.array(list(toks.values()), pa.int64())})
 
-    vocab_t = (ray.data.read_parquet(path, columns=["text"])
-               .map_batches(counts, batch_format="pyarrow")
-               .groupby("term").aggregate(Sum("c", alias_name="c"))
-               .sort(["c", "term"], descending=[True, False])
-               .limit(vocab_k).to_pandas())
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    vocab_t = (bucketed_sum(
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(counts, batch_format="pyarrow"), ["term"], ["c"])
+        .sort(["c", "term"], descending=[True, False])
+        .limit(vocab_k).to_pandas())
     vocab = dict(zip(vocab_t["term"], vocab_t["c"].astype("int64")))
     vocab_ref = ray.put(vocab)
 
