@@ -70,14 +70,15 @@ def exact_dedup(sf_dir: str):
     # carry min(doc_id) and a representative text via map_groups
     import pandas as pd
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        i = g["doc_id"].idxmin()
-        return pd.DataFrame({"doc_id": [g.loc[i, "doc_id"]],
-                             "text": [g.loc[i, "text"]]})
+    def keep_min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = (g.sort_values(["fp", "doc_id"])
+                 .groupby("fp", sort=False).head(1))
+        return keep[["doc_id", "text"]]
 
-    return (ds.map_batches(with_fp, batch_format="pyarrow")
-              .groupby("fp")
-              .map_groups(keep_first, batch_format="pandas"))
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    return bucketed_apply(ds.map_batches(with_fp, batch_format="pyarrow"),
+                          ["fp"], keep_min_bucket)
 
 
 # --------------------------------------------------------------- minhash
@@ -832,8 +833,9 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
         return pd.DataFrame({"a": ids[iu[0][m]], "b": ids[iu[1][m]],
                              "hamming": ham[iu][m].astype(np.int64)})
 
-    cand = rows.groupby(["band", "key"]).map_groups(
-        pairs, batch_format="pandas")
+    from search_engine_ray.ops.shuffle import grouped_apply
+
+    cand = grouped_apply(rows, ["band", "key"], pairs)
     return _dedup_pairs(cand)
 
 
@@ -950,9 +952,10 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
                              "b": hi.astype(np.int64),
                              "cosine": C[iu][m].astype(np.float64)})
 
-    cand = (ds.map_batches(bucketize, batch_format="pyarrow")
-              .groupby(["table", "bucket"])
-              .map_groups(pairs, batch_format="pandas"))
+    from search_engine_ray.ops.shuffle import grouped_apply
+
+    cand = grouped_apply(ds.map_batches(bucketize, batch_format="pyarrow"),
+                         ["table", "bucket"], pairs)
     # distinct across tables (same pair, same cosine in every table it
     # collides in) — the distributed pair-keyed groupby, no driver set
     return _dedup_pairs(cand)

@@ -226,10 +226,11 @@ def label_centroid_sums(sf_dir: str):
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["label", "embedding"])
-    return (ds.map_batches(partials, batch_format="pyarrow")
-              .groupby(["label", "dim"])
-              .aggregate(Sum("sum_e4", alias_name="sum_e4"),
-                         Sum("one", alias_name="n")))
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    return bucketed_sum(ds.map_batches(partials, batch_format="pyarrow"),
+                        ["label", "dim"], ["sum_e4", "one"],
+                        rename={"one": "n"})
 
 
 def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 4):

@@ -74,8 +74,12 @@ def heavy_hitters(sf_dir: str, min_count: int = 50,
         })
 
     ds = ray.data.read_parquet(path, columns=["text"])
-    agg = (ds.map_batches(mg_partials, batch_format="pyarrow")
-             .groupby("term").aggregate(Sum("partial", alias_name="lower")))
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    agg = bucketed_sum(ds.map_batches(mg_partials,
+                                      batch_format="pyarrow"),
+                       ["term"], ["partial"],
+                       rename={"partial": "lower"})
     # merged sketch: one small row per retained term — driver-safe
     rows = agg.to_pandas()
     n_total = int(rows.loc[rows["term"] == _N_KEY, "lower"].sum())
@@ -98,8 +102,9 @@ def heavy_hitters(sf_dir: str, min_count: int = 50,
         })
 
     ds2 = ray.data.read_parquet(path, columns=["text"])
-    exact = (ds2.map_batches(exact_partials, batch_format="pyarrow")
-                .groupby("term").aggregate(Sum("partial", alias_name="n")))
+    exact = bucketed_sum(ds2.map_batches(exact_partials,
+                                          batch_format="pyarrow"),
+                         ["term"], ["partial"], rename={"partial": "n"})
 
     def final_filter(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
