@@ -694,12 +694,29 @@ PER_FILE_LINEAGE = "perfile-v1"
 
 
 def _file_fingerprint(path: str) -> str:
+    """Lineage key for incremental ingestion.  Uses st_mtime_ns (not
+    whole seconds — a same-size rewrite within one second must change
+    the fingerprint) plus the parquet footer bytes: the footer digests
+    row-group layout and column statistics, so any content change that
+    survives a size+mtime collision (e.g. copied-over file with mtime
+    preserved) still rotates the lineage key."""
     import hashlib
 
     st = os.stat(path)
     h = hashlib.blake2b(
-        f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}".encode(),
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode(),
         digest_size=6)
+    try:
+        with open(path, "rb") as f:
+            # parquet footer: last 8 bytes are <footer_len><'PAR1'>
+            f.seek(max(0, st.st_size - 8))
+            tail = f.read(8)
+            if len(tail) == 8 and tail[4:] == b"PAR1":
+                flen = int.from_bytes(tail[:4], "little")
+                f.seek(max(0, st.st_size - 8 - flen))
+                h.update(f.read(flen))
+    except OSError:
+        pass
     return h.hexdigest()
 
 

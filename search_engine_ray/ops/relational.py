@@ -167,7 +167,12 @@ def nation_revenue(sf_dir: str):
            for r in ray.data.read_parquet(
                os.path.join(sf_dir, "nation.parquet"),
                columns=["n_nationkey", "n_name"]).take_all()}
-    nat_ref = ray.put(nat)
+    # dense array indexed by nationkey (keys are 0..24): the per-batch
+    # name attach is then one fancy-index, not a per-row dict lookup
+    names_arr = np.empty(max(nat) + 1, dtype=object)
+    for k_, v in nat.items():
+        names_arr[k_] = v
+    nat_ref = ray.put(names_arr)
 
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
@@ -189,9 +194,9 @@ def nation_revenue(sf_dir: str):
 
     def to_nation(batch: pa.Table) -> pa.Table:
         lookup = ray.get(nat_ref)
-        nk = batch.column("c_nationkey").to_numpy()
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
         return pa.table({
-            "n_name": pa.array([lookup[int(x)] for x in nk], pa.string()),
+            "n_name": pa.array(lookup[nk], pa.string()),
             "price_e4": batch.column("price_e4"),
             "one": pa.array(np.ones(len(nk), dtype=np.int64)),
         })
@@ -625,15 +630,23 @@ def large_orders(sf_dir: str, min_qty: int = 120, k: int = 100):
     # this is O(k) rows; at 100 TB the same plan holds because the
     # driver only ever sees keys past the threshold)
     big_t = big.to_pandas()
-    want = dict(zip(big_t["l_orderkey"].astype("int64"),
-                    big_t["sum_qty"].astype("int64")))
-    want_ref = ray.put(want)
+    # broadcast as SORTED parallel arrays: membership + value lookup are
+    # then one searchsorted per batch (per-row `in dict` loops are
+    # orders-of-magnitude slower on wide scans)
+    order = np.argsort(big_t["l_orderkey"].to_numpy())
+    want_keys = big_t["l_orderkey"].to_numpy().astype(np.int64)[order]
+    want_vals = big_t["sum_qty"].to_numpy().astype(np.int64)[order]
+    want_ref = ray.put((want_keys, want_vals))
 
     def oattach(batch: pa.Table) -> pa.Table:
-        w = ray.get(want_ref)
-        ok = batch.column("o_orderkey").to_numpy()
-        keep = np.array([int(x) in w for x in ok], dtype=bool)
-        if not keep.any():
+        keys, vals = ray.get(want_ref)
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, ok).clip(0, len(keys) - 1)
+            keep = keys[pos] == ok
+        else:
+            keep = np.zeros(len(ok), dtype=bool)
+        if not np.any(keep):
             return pa.table({
                 "o_orderkey": pa.array([], pa.int64()),
                 "o_custkey": pa.array([], pa.int64()),
@@ -641,7 +654,7 @@ def large_orders(sf_dir: str, min_qty: int = 120, k: int = 100):
                 "totalprice_e4": pa.array([], pa.int64()),
                 "sum_qty": pa.array([], pa.int64())})
         sub = batch.filter(pa.array(keep))
-        okk = sub.column("o_orderkey").to_numpy()
+        okk = sub.column("o_orderkey").to_numpy().astype(np.int64)
         return pa.table({
             "o_orderkey": sub.column("o_orderkey"),
             "o_custkey": sub.column("o_custkey"),
@@ -649,7 +662,8 @@ def large_orders(sf_dir: str, min_qty: int = 120, k: int = 100):
             "totalprice_e4": pa.array(
                 _e4_halfaway(sub.column("o_totalprice").to_numpy()),
                 pa.int64()),
-            "sum_qty": pa.array([w[int(x)] for x in okk], pa.int64())})
+            "sum_qty": pa.array(
+                vals[np.searchsorted(keys, okk)], pa.int64())})
 
     orders = (ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -657,13 +671,13 @@ def large_orders(sf_dir: str, min_qty: int = 120, k: int = 100):
         .map_batches(oattach, batch_format="pyarrow"))
     hits = orders.to_pandas()  # O(k) rows
 
-    want_ck = ray.put(frozenset(int(x) for x in hits["o_custkey"]))
+    want_ck = ray.put(np.unique(hits["o_custkey"].to_numpy()
+                                .astype(np.int64)))
 
     def cfilter(batch: pa.Table) -> pa.Table:
         ks = ray.get(want_ck)
-        ck = batch.column("c_custkey").to_numpy()
-        keep = np.array([int(x) in ks for x in ck], dtype=bool)
-        return batch.filter(pa.array(keep))
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return batch.filter(pa.array(np.isin(ck, ks)))
 
     names_df = (ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),

@@ -762,7 +762,10 @@ def winnow_shared_pairs(sf_dir: str, min_shared: int = 20,
             a_parts.append(ids[s:e][iu])
             b_parts.append(ids[s:e][ju])
         if not a_parts:
-            return pd.DataFrame({"pk": pd.Series([], dtype="object"),
+            # MUST match the non-empty path's schema exactly ("pb",
+            # int64) or the downstream groupby("pb") hits schema
+            # unification failures on all-singleton buckets
+            return pd.DataFrame({"pb": pd.Series([], dtype="int64"),
                                  "id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "c": pd.Series([], dtype="int64")})
