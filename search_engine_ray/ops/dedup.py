@@ -686,8 +686,12 @@ def near_dup_keep_ids(sf_dir: str, threshold: float = 0.6,
     removal — keep the MINIMUM doc id of every connected near-dup
     component plus all non-duplicated docs.  Returns a Dataset (doc_id).
 
-    Composition: near-dup pairs -> connected_min_labels -> one broadcast
-    of the (tiny) dropped-id set into a corpus filter.
+    Composition: near-dup pairs -> connected_min_labels -> a tagged-union
+    shuffle ANTI-JOIN of the corpus ids against the dropped ids (rows
+    with node != label).  No driver materialization anywhere: near-dup
+    rates on web corpora run 30-50%, so at 100 TB the dropped set is
+    billions of ids — it must stay distributed, co-partitioned with the
+    corpus ids on the same doc_id hash buckets.
 
     ``backbone="lsh"`` (default, the 100-TB path): minhash-LSH candidate
     generation + DISTRIBUTED exact-Jaccard verification
@@ -713,24 +717,34 @@ def near_dup_keep_ids(sf_dir: str, threshold: float = 0.6,
         import pyarrow.compute as pc
 
         m = pc.not_equal(batch.column("node"), batch.column("label"))
-        return pa.table({"doc_id": batch.filter(m).column("node")})
+        ids = batch.filter(m).column("node")
+        return pa.table({
+            "doc_id": ids,
+            "side": pa.array(np.ones(len(ids), dtype=np.int8))})
 
-    # the dropped set is ~(dup docs) — tiny by construction; collect and
-    # broadcast it to the corpus filter
-    drop_df = labels.map_batches(dropped,
-                                 batch_format="pyarrow").to_pandas()
-    drop_ref = ray.put(frozenset(int(x) for x in drop_df["doc_id"]))
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))})
 
-    def keep(batch: pa.Table) -> pa.Table:
-        ds_ = ray.get(drop_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = np.array([i not in ds_ for i in ids], dtype=bool)
-        return pa.table({"doc_id": pa.array(ids[mask], pa.int64())})
+    drop_ds = labels.map_batches(dropped, batch_format="pyarrow")
+    docs = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(corpus_side, batch_format="pyarrow"))
 
-    docs = ray.data.read_parquet(os.path.join(sf_dir,
-                                              "documents.parquet"),
-                                 columns=["doc_id"])
-    return docs.map_batches(keep, batch_format="pyarrow")
+    import pandas as pd
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        keep = g["doc_id"].to_numpy()[side == 0].astype(np.int64)
+        drop = g["doc_id"].to_numpy()[side == 1].astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(keep[~np.isin(keep, drop)],
+                                 dtype="int64")})
+
+    return bucketed_apply(docs.union(drop_ds), ["doc_id"], anti)
 
 
 # ---------------------------------------------------------------- simhash
