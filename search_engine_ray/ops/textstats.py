@@ -419,15 +419,89 @@ def repetition_stats(sf_dir: str):
     return ds.map_batches(per_doc, batch_format="pyarrow")
 
 
-def contamination_check(sf_dir: str, n: int = 4, mod: int = 97):
-    """Benchmark-contamination scan: the 'benchmark' is every doc with
-    doc_id % mod == 0; its n-token shingles are collected (a benchmark
-    set is inherently SMALL — eval suites are KBs next to a 100-TB
-    corpus) and BROADCAST via ray.put; every other doc is flagged if it
-    shares any shingle.  Returns per-lang doc / contaminated counts."""
+# -------------------------------------------------- decontamination
+# Two plans behind one mode switch:
+#   "broadcast" — collect the benchmark's n-gram set on the driver and
+#     ray.put it (ONE copy in the object store, read by every task).
+#     Right whenever the benchmark is a real eval suite: KBs-MBs next
+#     to a 100-TB corpus.
+#   "shuffle" — a gram-keyed tagged-union anti-join: benchmark grams
+#     (side 1) and corpus (gram, doc_id) rows (side 0) co-partitioned
+#     by gram hash; contaminated ids fall out of a vectorized isin per
+#     bucket.  Right when the "benchmark" scales with the corpus (the
+#     fixture's doc_id % mod slice is ~1% OF THE CORPUS) — nothing is
+#     ever materialized on the driver.
+#   "auto" — count the benchmark docs with a column-pruned doc_id scan
+#     and broadcast only below ``broadcast_max_bench_docs``.
+# Grams travel as 63-bit blake2 hashes in the shuffle plan: collision
+# odds are |bench|x|corpus|/2^63 (negligible), and the broadcast plan
+# (which the SQL oracle mirrors exactly) uses the strings themselves.
+
+_BROADCAST_MAX_BENCH_DOCS = 100_000
+
+
+def _gram_hashes(ts: list[str], n: int) -> np.ndarray:
+    """Distinct 63-bit hashes of the n-token shingles of one doc."""
+    import hashlib
+
+    gs = {" ".join(ts[j:j + n]) for j in range(len(ts) - n + 1)}
+    if not gs:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                        .digest(), "little") & 0x7FFF_FFFF_FFFF_FFFF
+         for g in gs), dtype=np.int64, count=len(gs)))
+
+
+def _contaminated_ids_shuffled(sf_dir: str, n: int, mod: int):
+    """Distributed contaminated-id detection: Dataset of doc_ids (with
+    possible duplicates across gram buckets) of non-benchmark docs that
+    share at least one n-gram with any benchmark doc."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        g_parts, id_parts, side_parts = [], [], []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            hs = _gram_hashes(simple_tokenize(t), n)
+            if not len(hs):
+                continue
+            g_parts.append(hs)
+            id_parts.append(np.full(len(hs), int(i), dtype=np.int64))
+            side_parts.append(np.full(
+                len(hs), 1 if int(i) % mod == 0 else 0, dtype=np.int8))
+        if not g_parts:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8())})
+        return pa.table({
+            "g": pa.array(np.concatenate(g_parts)),
+            "doc_id": pa.array(np.concatenate(id_parts)),
+            "side": pa.array(np.concatenate(side_parts))})
+
+    rows = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(gram_rows, batch_format="pyarrow"))
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        bench = g["g"].to_numpy()[side == 1]
+        cor_g = g["g"].to_numpy()[side == 0]
+        cor_id = g["doc_id"].to_numpy()[side == 0]
+        hit = np.isin(cor_g, bench)
+        return pd.DataFrame({"doc_id": pd.Series(
+            np.unique(cor_id[hit]), dtype="int64")})
+
+    return bucketed_apply(rows, ["g"], mark)
+
+
+def _bench_gram_set_ref(sf_dir: str, n: int, mod: int):
+    """Broadcast plan's benchmark gram set: collected once, ray.put."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     path = os.path.join(sf_dir, "documents.parquet")
 
@@ -444,33 +518,118 @@ def contamination_check(sf_dir: str, n: int = 4, mod: int = 97):
 
     grams_ds = (ray.data.read_parquet(path, columns=["doc_id", "text"])
                 .map_batches(bench_grams, batch_format="pyarrow"))
-    grams = frozenset(grams_ds.to_pandas()["g"].tolist())
-    grams_ref = ray.put(grams)
+    return ray.put(frozenset(grams_ds.to_pandas()["g"].tolist()))
 
-    def flag(batch: pa.Table) -> pa.Table:
-        gs = ray.get(grams_ref)
+
+def _decontam_mode(sf_dir: str, mod: int, mode: str) -> str:
+    if mode != "auto":
+        return mode
+    import ray.data
+
+    def bench_count(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        langs = batch.column("lang").to_pylist()
-        rows = {"lang": [], "c": [], "one": []}
-        for i, lang, t in zip(ids, langs,
-                              batch.column("text").to_pylist()):
-            if int(i) % mod == 0:
-                continue
-            ts = simple_tokenize(t)
-            hit = any(" ".join(ts[j:j + n]) in gs
-                      for j in range(len(ts) - n + 1))
-            rows["lang"].append(lang)
-            rows["c"].append(int(hit))
-            rows["one"].append(1)
-        g = pd.DataFrame(rows).groupby("lang", sort=False).agg(
-            c=("c", "sum"), one=("one", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table({"n": pa.array(
+            [int(((ids % mod) == 0).sum())], pa.int64())})
 
-    ds = ray.data.read_parquet(path, columns=["doc_id", "lang", "text"])
-    return (ds.map_batches(flag, batch_format="pyarrow")
-              .groupby("lang")
-              .aggregate(Sum("c", alias_name="n_contaminated"),
-                         Sum("one", alias_name="n_docs")))
+    n_bench = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(bench_count, batch_format="pyarrow").sum("n"))
+    return ("broadcast" if n_bench <= _BROADCAST_MAX_BENCH_DOCS
+            else "shuffle")
+
+
+def contamination_check(sf_dir: str, n: int = 4, mod: int = 97,
+                        mode: str = "broadcast"):
+    """Benchmark-contamination scan: the 'benchmark' is every doc with
+    doc_id % mod == 0; every other doc is flagged if it shares any
+    n-token shingle with it.  Returns per-lang doc/contaminated counts.
+    ``mode``: "broadcast" (default — real eval suites are tiny),
+    "shuffle" (gram-keyed anti-join, for corpus-scaled benchmark sets),
+    or "auto" (count benchmark docs, then pick)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    mode = _decontam_mode(sf_dir, mod, mode)
+
+    if mode == "broadcast":
+        grams_ref = _bench_gram_set_ref(sf_dir, n, mod)
+
+        def flag(batch: pa.Table) -> pa.Table:
+            gs = ray.get(grams_ref)
+            ids = batch.column("doc_id").to_numpy()
+            langs = batch.column("lang").to_pylist()
+            rows = {"lang": [], "c": [], "one": []}
+            for i, lang, t in zip(ids, langs,
+                                  batch.column("text").to_pylist()):
+                if int(i) % mod == 0:
+                    continue
+                ts = simple_tokenize(t)
+                hit = any(" ".join(ts[j:j + n]) in gs
+                          for j in range(len(ts) - n + 1))
+                rows["lang"].append(lang)
+                rows["c"].append(int(hit))
+                rows["one"].append(1)
+            g = pd.DataFrame(rows).groupby("lang", sort=False).agg(
+                c=("c", "sum"), one=("one", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        ds = ray.data.read_parquet(path,
+                                   columns=["doc_id", "lang", "text"])
+        return (ds.map_batches(flag, batch_format="pyarrow")
+                  .groupby("lang")
+                  .aggregate(Sum("c", alias_name="n_contaminated"),
+                             Sum("one", alias_name="n_docs")))
+
+    # shuffle plan: contaminated ids (side 1) anti-join the corpus'
+    # (doc_id, lang) rows (side 0), co-partitioned on doc_id — then a
+    # tiny per-lang aggregate
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    cont = _contaminated_ids_shuffled(sf_dir, n, mod)
+
+    def cont_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": pa.array([""] * batch.num_rows, pa.string()),
+            "side": pa.array(np.ones(batch.num_rows, dtype=np.int8))})
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = (ids % mod) != 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "lang": batch.column("lang").filter(pa.array(keep)),
+            "side": pa.array(np.zeros(int(keep.sum()), dtype=np.int8))})
+
+    docs = (ray.data.read_parquet(path, columns=["doc_id", "lang"])
+            .map_batches(corpus_side, batch_format="pyarrow"))
+    tagged = docs.union(cont.map_batches(cont_side,
+                                         batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        bad = g["doc_id"].to_numpy()[side == 1]
+        cor = g[side == 0]
+        if not len(cor):
+            return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                                 "c": pd.Series([], dtype="int64"),
+                                 "one": pd.Series([], dtype="int64")})
+        hit = np.isin(cor["doc_id"].to_numpy(), bad)
+        out = pd.DataFrame({"lang": cor["lang"].to_numpy(),
+                            "c": hit.astype(np.int64),
+                            "one": np.ones(len(cor), dtype=np.int64)})
+        return (out.groupby("lang", sort=False)
+                   .agg(c=("c", "sum"), one=("one", "sum"))
+                   .reset_index())
+
+    from ray.data.aggregate import Sum
+
+    return (bucketed_apply(tagged, ["doc_id"], per_bucket)
+            .groupby("lang")
+            .aggregate(Sum("c", alias_name="n_contaminated"),
+                       Sum("one", alias_name="n_docs")))
 
 
 # per-source keep-percentages for the mixing op — the single source of
@@ -673,49 +832,72 @@ def corpus_freq_doc_score(sf_dir: str, vocab_k: int = 512):
             .map_batches(score, batch_format="pyarrow"))
 
 
-def decontaminate_ids(sf_dir: str, n: int = 4, mod: int = 97):
+def decontaminate_ids(sf_dir: str, n: int = 4, mod: int = 97,
+                      mode: str = "auto"):
     """Decontamination APPLY: the doc_ids a training run may keep —
     non-benchmark docs sharing NO ``n``-gram with the benchmark set
     (doc_id % mod == 0 marks the benchmark, as in contamination_check).
-    Same broadcast-shingle plan; the output is the keep-list a curation
-    write intersects with."""
+    The output is the keep-list a curation write intersects with.
+    ``mode`` as in contamination_check: broadcast for real (tiny)
+    benchmark suites, a gram-keyed shuffle anti-join when the benchmark
+    scales with the corpus, auto-picked by benchmark doc count."""
     import ray
     import ray.data
 
     path = os.path.join(sf_dir, "documents.parquet")
+    mode = _decontam_mode(sf_dir, mod, mode)
 
-    def bench_grams(batch: pa.Table) -> pa.Table:
+    if mode == "broadcast":
+        grams_ref = _bench_gram_set_ref(sf_dir, n, mod)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            gs = ray.get(grams_ref)
+            ids = batch.column("doc_id").to_numpy()
+            mask = np.zeros(len(ids), dtype=bool)
+            for r, (i, t) in enumerate(
+                    zip(ids, batch.column("text").to_pylist())):
+                if int(i) % mod == 0:
+                    continue
+                ts = simple_tokenize(t)
+                mask[r] = not any(" ".join(ts[j:j + n]) in gs
+                                  for j in range(len(ts) - n + 1))
+            return batch.select(["doc_id"]).filter(pa.array(mask))
+
+        return (ray.data.read_parquet(path, columns=["doc_id", "text"])
+                .map_batches(keep, batch_format="pyarrow"))
+
+    # shuffle plan: contaminated ids (side 1, from the gram-keyed
+    # anti-join) drop out of the non-benchmark corpus ids (side 0) in a
+    # doc_id-co-partitioned anti-join — nothing touches the driver
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    cont = _contaminated_ids_shuffled(sf_dir, n, mod)
+
+    def cont_side(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "side": pa.array(np.ones(batch.num_rows, dtype=np.int8))})
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        out = set()
-        for i, t in zip(ids, batch.column("text").to_pylist()):
-            if int(i) % mod != 0:
-                continue
-            ts = simple_tokenize(t)
-            for j in range(len(ts) - n + 1):
-                out.add(" ".join(ts[j:j + n]))
-        return pa.table({"g": pa.array(sorted(out), pa.string())})
+        keep = (ids % mod) != 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "side": pa.array(np.zeros(int(keep.sum()), dtype=np.int8))})
 
-    grams = frozenset(
-        (ray.data.read_parquet(path, columns=["doc_id", "text"])
-         .map_batches(bench_grams, batch_format="pyarrow")
-         .to_pandas())["g"].tolist())
-    grams_ref = ray.put(grams)
+    docs = (ray.data.read_parquet(path, columns=["doc_id"])
+            .map_batches(corpus_side, batch_format="pyarrow"))
+    tagged = docs.union(cont.map_batches(cont_side,
+                                         batch_format="pyarrow"))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        gs = ray.get(grams_ref)
-        ids = batch.column("doc_id").to_numpy()
-        mask = np.zeros(len(ids), dtype=bool)
-        for r, (i, t) in enumerate(zip(ids,
-                                       batch.column("text").to_pylist())):
-            if int(i) % mod == 0:
-                continue
-            ts = simple_tokenize(t)
-            mask[r] = not any(" ".join(ts[j:j + n]) in gs
-                              for j in range(len(ts) - n + 1))
-        return batch.select(["doc_id"]).filter(pa.array(mask))
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        bad = g["doc_id"].to_numpy()[side == 1]
+        ids = g["doc_id"].to_numpy()[side == 0].astype(np.int64)
+        return pd.DataFrame({"doc_id": pd.Series(
+            ids[~np.isin(ids, bad)], dtype="int64")})
 
-    return (ray.data.read_parquet(path, columns=["doc_id", "text"])
-            .map_batches(keep, batch_format="pyarrow"))
+    return bucketed_apply(tagged, ["doc_id"], anti)
 
 
 def winnow_shared_pairs(sf_dir: str, min_shared: int = 20,

@@ -676,7 +676,8 @@ def test_user_rolling_sum3_short_series(ray_session, tmp_path):
     assert out["roll3_e4"].tolist() == [10000, 30000, 70000, 90000]
 
 
-def test_contamination_planted(ray_session, tmp_path):
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_contamination_planted(ray_session, tmp_path, mode):
     from search_engine_ray.ops.textstats import contamination_check
 
     # doc 0 (id 0 % 97 == 0) is the benchmark; doc 5 shares its 4-gram
@@ -689,9 +690,30 @@ def test_contamination_planted(ray_session, tmp_path):
         "text": pa.array([texts[i] for i in ids], pa.string()),
         "lang": pa.array(["en"] * len(ids), pa.string()),
     }), str(tmp_path / "documents.parquet"))
-    out = contamination_check(str(tmp_path)).to_pandas()
+    out = contamination_check(str(tmp_path), mode=mode).to_pandas()
     assert out["n_docs"].tolist() == [2]
     assert out["n_contaminated"].tolist() == [1]
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_decontaminate_ids_both_paths(ray_session, tmp_path, mode):
+    """The broadcast and shuffle decontamination plans must agree: only
+    the uncontaminated non-benchmark docs survive."""
+    from search_engine_ray.ops.textstats import decontaminate_ids
+
+    texts = {0: "one two three four tail",
+             5: "prefix one two three four",       # contaminated
+             6: "totally different words here now",  # clean
+             7: "short"}                             # no 4-grams: clean
+    ids = sorted(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids], pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = sorted(decontaminate_ids(str(tmp_path), mode=mode)
+                 .to_pandas()["doc_id"].tolist())
+    assert out == [6, 7]
 
 
 def test_curate_write_roundtrip(ray_session, tmp_path):
