@@ -87,20 +87,28 @@ class MinHasher:
     rows.  Permutation parameters built once per actor."""
 
     # splitmix64 finalizer constants — full-avalanche integer mixing.
-    # The obvious h(x) = (a*x + b) % prime family is NOT usable here:
-    # with 32-bit shingles and a 61-bit prime each h is piecewise
-    # MONOTONE in x with ~2 wrap pieces, so the per-permutation argmin
+    # Permutation family: h_p(x) = a_p * mix64(x) + b_p (mod 2^64),
+    # a_p odd.  The mod-2^64 multiply alone is NOT usable on raw 32-bit
+    # shingles: h is piecewise MONOTONE in x and the shingles occupy a
+    # tiny prefix of the domain, so the per-permutation argmin
     # concentrates on ~2 specific set elements and signatures barely
     # vary across permutations (measured: 4/64 equal minhashes at
-    # jaccard 0.82, where a proper family gives ~52/64).
+    # jaccard 0.82, where a proper family gives ~52/64).  Avalanching
+    # the shingle ONCE through splitmix64 first spreads it over the full
+    # 64-bit domain, after which the multiply-shift step is effectively
+    # random — and costs 2 vector ops per permutation instead of the 8
+    # a full per-permutation mix needs (the minhash stage is 64 perms x
+    # every shingle, so this is the stage's dominant term).
     _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
     _MIX2 = np.uint64(0x94D049BB133111EB)
 
     def __init__(self, num_perm: int = _MINHASH_PERMS, ngram: int = 3):
         rng = np.random.default_rng(42)
         self.ngram = ngram
-        self.keys = rng.integers(0, 1 << 63, size=num_perm,
-                                 dtype=np.uint64)
+        self.a = (rng.integers(0, 1 << 63, size=num_perm,
+                               dtype=np.uint64) << np.uint64(1)) \
+            | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
 
     @classmethod
     def _mix64(cls, x: np.ndarray) -> np.ndarray:
@@ -110,49 +118,133 @@ class MinHasher:
         z = (z ^ (z >> np.uint64(27))) * cls._MIX2
         return z ^ (z >> np.uint64(31))
 
-    def _grams(self, text: str) -> list[str]:
-        toks = simple_tokenize(text)
-        if len(toks) < self.ngram:
-            return [" ".join(toks)] if toks else []
-        return [" ".join(toks[i:i + self.ngram])
-                for i in range(len(toks) - self.ngram + 1)]
+    def _doc_shingles64(self, texts: list[str]) -> list[np.ndarray]:
+        """64-bit gram hashes per doc, batch-vectorized: blake2 runs
+        ONCE per unique token in the batch; each n-token window then
+        composes its token hashes through a splitmix64 chain
+        (mix(mix(mix(h0) ^ h1) ^ h2)), which is a full-avalanche
+        injective-whp map of the token-hash tuple — so distinct grams
+        get distinct hashes with the same odds as hashing the joined
+        string, at a fraction of the cost.  Docs shorter than ``ngram``
+        compose all their tokens (one gram), matching the string plan's
+        single ' '.join(toks) gram."""
+        tok_lists = [simple_tokenize(t) for t in texts]
+        lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        flat = [x for ts in tok_lists for x in ts]
+        empty = np.empty(0, dtype=np.uint64)
+        if not flat:
+            return [empty for _ in texts]
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        th = np.fromiter((_hash64(t.encode()) for t in uniq),
+                         dtype=np.uint64, count=len(uniq))
+        codes = th[inv]
+        n = self.ngram
+        out: list[np.ndarray | None] = [None] * len(texts)
+        doc_of = np.repeat(np.arange(len(texts)), lens)
+        total = len(codes)
+        if total >= n:
+            # ONE mix chain over the whole flat token-hash array; a
+            # window is a real gram iff it doesn't straddle a doc edge
+            m = total - n + 1
+            acc = self._mix64(codes[:m].copy())
+            for j in range(1, n):
+                acc = self._mix64(acc ^ codes[j:j + m])
+            valid = doc_of[:m] == doc_of[n - 1:]
+            g, gd = acc[valid], doc_of[:m][valid]
+            # per-doc sorted-unique via one lexsort + consecutive diff
+            order = np.lexsort((g, gd))
+            g, gd = g[order], gd[order]
+            keep = np.r_[True, (gd[1:] != gd[:-1]) | (g[1:] != g[:-1])]
+            g, gd = g[keep], gd[keep]
+            starts = np.flatnonzero(np.r_[True, gd[1:] != gd[:-1]])
+            ends = np.append(starts[1:], len(gd))
+            for s, e in zip(starts, ends):
+                out[int(gd[s])] = g[s:e]
+        # docs shorter than ngram compose ALL their tokens (one gram,
+        # matching the string plan's single ' '.join(toks) gram); rare,
+        # so the per-doc chain here is off the hot path
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        for i, k in enumerate(lens):
+            if out[i] is not None:
+                continue
+            if k == 0:
+                out[i] = empty
+            else:
+                hs = codes[offs[i]:offs[i] + k]
+                a = self._mix64(hs[:1].copy())
+                for j in range(1, int(k)):
+                    a = self._mix64(a ^ hs[j:j + 1])
+                out[i] = a
+        return out
 
     def shingles(self, text: str) -> np.ndarray:
         """32-bit shingle hashes (signature space)."""
-        return np.unique(np.array(
-            [_hash64(g.encode()) & 0xFFFF_FFFF for g in self._grams(text)],
-            dtype=np.int64))
+        sh = self._doc_shingles64([text])[0]
+        return np.unique((sh & np.uint64(0xFFFF_FFFF)).astype(np.int64))
 
     def shingles_wide(self, text: str) -> np.ndarray:
         """63-bit shingle hashes — the verification set (collision odds
         ~n^2/2^63, so |set| matches the string-shingle set and Jaccard
         values equal the string-set Jaccard an exact oracle computes)."""
-        return np.unique(np.array(
-            [_hash64(g.encode()) & 0x7FFF_FFFF_FFFF_FFFF
-             for g in self._grams(text)], dtype=np.int64))
+        sh = self._doc_shingles64([text])[0]
+        return np.unique(
+            (sh & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64))
 
     def signature(self, text: str) -> np.ndarray:
-        sh = self.shingles(text)
-        if len(sh) == 0:
-            return np.zeros(len(self.keys), dtype=np.uint64)
-        hashed = self._mix64(sh.astype(np.uint64)[None, :]
-                             ^ self.keys[:, None])
-        return hashed.min(axis=1)
+        return self.signatures([text])[0]
+
+    # bound the (num_perm x shingles) mixing temp to ~32 MB per chunk
+    _SIG_CHUNK_SHINGLES = 65_536
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a batch: all
+        docs' shingles concatenated, ONE vectorized mix per permutation
+        set, per-doc minima via minimum.reduceat — no per-doc Python
+        loop in the hash/min math.  Empty docs get all-zero rows (they
+        bucket together, and the verify stage scores them jaccard=1,
+        same as the per-doc plan)."""
+        P = len(self.a)
+        sh_list = [
+            (s & np.uint64(0xFFFF_FFFF))
+            for s in self._doc_shingles64(texts)]
+        sig = np.zeros((len(texts), P), dtype=np.uint64)
+        idx = [i for i, s in enumerate(sh_list) if len(s)]
+        i = 0
+        while i < len(idx):
+            j, tot = i, 0
+            while j < len(idx) and (j == i or
+                                    tot + len(sh_list[idx[j]])
+                                    <= self._SIG_CHUNK_SHINGLES):
+                tot += len(sh_list[idx[j]])
+                j += 1
+            chunk = idx[i:j]
+            cat = np.concatenate([sh_list[c] for c in chunk])
+            offsets = np.cumsum(
+                [0] + [len(sh_list[c]) for c in chunk[:-1]])
+            y = self._mix64(cat)       # avalanche ONCE per shingle
+            hashed = self.a[:, None] * y[None, :] + self.b[:, None]
+            mins = np.minimum.reduceat(hashed, offsets, axis=1)
+            sig[chunk, :] = mins.T
+            i = j
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, buckets = [], [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()):
-            sig = self.signature(text)
-            for b in range(_BANDS):
-                band = sig[b * _ROWS_PER_BAND:(b + 1) * _ROWS_PER_BAND]
-                doc_ids.append(did)
-                bands.append(b)
-                buckets.append(_hash64(band.tobytes()) & 0x7FFF_FFFF_FFFF_FFFF)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = self.signatures(batch.column("text").to_pylist())
+        # band buckets, vectorized: reshape to (docs, bands, rows) and
+        # chain-mix each band's rows into one 63-bit bucket key
+        b3 = sig.reshape(len(ids), _BANDS, _ROWS_PER_BAND)
+        acc = self._mix64(b3[:, :, 0])
+        for r in range(1, _ROWS_PER_BAND):
+            acc = self._mix64(acc ^ b3[:, :, r])
+        buckets = (acc & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "bucket": pa.array(buckets, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, _BANDS).astype(np.int64),
+                               pa.int64()),
+            "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int32),
+                                     len(ids)), pa.int32()),
+            "bucket": pa.array(buckets.reshape(-1), pa.int64()),
         })
 
 
@@ -165,8 +257,9 @@ class ShingleBlobs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        blobs = [self.mh.shingles_wide(t).tobytes()
-                 for t in batch.column("text").to_pylist()]
+        sh = self.mh._doc_shingles64(batch.column("text").to_pylist())
+        blobs = [np.unique((s & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+                           .astype(np.int64)).tobytes() for s in sh]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "blob": pa.array(blobs, pa.binary())})
 
