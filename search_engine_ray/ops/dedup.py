@@ -53,32 +53,77 @@ def _empty_pairs(value_col: str, value_type=pa.float64()) -> pa.Table:
 
 
 # ----------------------------------------------------------------- exact
-def exact_dedup(sf_dir: str):
-    """One surviving row per distinct text: (doc_id=min, text).
-    SQL: SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text."""
+def exact_dedup_ids(sf_dir: str):
+    """Surviving doc_ids of exact text dedup (min doc_id per distinct
+    text) — the 100-TB core: ONLY (fp, doc_id) pairs ride the
+    fingerprint shuffle; text never leaves its read task.  Compositions
+    that need just the keep-set (curate) use this directly."""
+    import pandas as pd
     import ray.data
 
+    from search_engine_ray.ops.shuffle import bucketed_apply
     from search_engine_ray.ops.textstats import fingerprint64
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
-    def with_fp(batch: pa.Table) -> pa.Table:
-        return batch.append_column("fp", fingerprint64(batch).column("fp"))
+    def fp_id(batch: pa.Table) -> pa.Table:
+        return pa.table({"fp": fingerprint64(batch).column("fp"),
+                         "doc_id": batch.column("doc_id")})
 
-    # group on the 64-bit fingerprint (never shuffles full text twice);
-    # carry min(doc_id) and a representative text via map_groups
+    def min_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("fp", sort=False)["doc_id"].min()
+                 .reset_index()[["doc_id"]])
+
+    return bucketed_apply(ds.map_batches(fp_id, batch_format="pyarrow"),
+                          ["fp"], min_per_fp)
+
+
+def exact_dedup(sf_dir: str):
+    """One surviving row per distinct text: (doc_id=min, text).
+    SQL: SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text.
+
+    Composition: exact_dedup_ids (fingerprint shuffle of (fp, doc_id)
+    pairs only) + a doc_id-co-partitioned inner join to re-attach text
+    from a second column-pruned read.  Text therefore crosses the wire
+    once (the attach), not twice — and ids-only callers skip the attach
+    entirely."""
     import pandas as pd
-
-    def keep_min_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        keep = (g.sort_values(["fp", "doc_id"])
-                 .groupby("fp", sort=False).head(1))
-        return keep[["doc_id", "text"]]
+    import ray.data
 
     from search_engine_ray.ops.shuffle import bucketed_apply
 
-    return bucketed_apply(ds.map_batches(with_fp, batch_format="pyarrow"),
-                          ["fp"], keep_min_bucket)
+    ids = exact_dedup_ids(sf_dir)
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "text": pa.array([""] * n, pa.string()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": batch.column("text"),
+            "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))})
+
+    docs = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pyarrow"))
+    tagged = docs.union(ids.map_batches(tag_ids, batch_format="pyarrow"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        keep_ids = g["doc_id"].to_numpy()[side == 1].astype(np.int64)
+        d = g[side == 0]
+        m = np.isin(d["doc_id"].to_numpy().astype(np.int64), keep_ids)
+        out = d.loc[m, ["doc_id", "text"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return bucketed_apply(tagged, ["doc_id"], attach)
 
 
 # --------------------------------------------------------------- minhash

@@ -45,7 +45,7 @@ def curate_summary(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    from search_engine_ray.ops.dedup import exact_dedup, near_dup_keep_ids
+    from search_engine_ray.ops.dedup import exact_dedup_ids, near_dup_keep_ids
     from search_engine_ray.ops.textstats import (
         decontaminate_ids,
         quality_filter_ids,
@@ -54,7 +54,7 @@ def curate_summary(sf_dir: str):
 
     sets = [
         quality_filter_ids(sf_dir).select_columns(["doc_id"]),
-        _ids_only(exact_dedup(sf_dir)),
+        exact_dedup_ids(sf_dir),
         near_dup_keep_ids(sf_dir),
         decontaminate_ids(sf_dir),
         _ids_only(source_mix_sample(sf_dir)),
@@ -140,7 +140,7 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
     ``group_size`` docs, documented bounded in textstats.py)."""
     import ray.data
 
-    from search_engine_ray.ops.dedup import exact_dedup, near_dup_keep_ids
+    from search_engine_ray.ops.dedup import exact_dedup_ids, near_dup_keep_ids
     from search_engine_ray.ops.textstats import (
         decontaminate_ids,
         packing_plan,
@@ -150,7 +150,7 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
 
     sets = [
         quality_filter_ids(sf_dir).select_columns(["doc_id"]),
-        _ids_only(exact_dedup(sf_dir)),
+        exact_dedup_ids(sf_dir),
         near_dup_keep_ids(sf_dir),
         decontaminate_ids(sf_dir),
         _ids_only(source_mix_sample(sf_dir)),
