@@ -17,11 +17,35 @@ exactly like the index build's (tbucket, sshard) grid.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 _BK = "__bk"
+
+
+def default_n_buckets() -> int:
+    """Reduce-partition count for the bucketed shuffles, sized with the
+    cluster: 8 buckets per CPU (overridable via SE_RAY_N_BUCKETS), so a
+    256-node x 64-core cluster gets ~128k buckets and each bucket holds
+    ~1/131072 of the shuffled rows — one bucket is ONE pandas frame in
+    ONE reduce task, so this bound is what keeps per-worker memory flat
+    as the corpus grows.  At the 32-CPU test session this resolves to
+    256 (the historical constant), and a floor of 64 keeps tiny local
+    sessions from collapsing to a handful of giant buckets."""
+    env = os.environ.get("SE_RAY_N_BUCKETS")
+    if env:
+        return max(1, int(env))
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 32)) \
+            if ray.is_initialized() else 32
+    except Exception:
+        cpus = 32
+    return max(64, cpus * 8)
 
 
 def _bucket_ids(batch: pa.Table, keys, n_buckets: int) -> np.ndarray:
@@ -38,12 +62,15 @@ def _bucket_ids(batch: pa.Table, keys, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def bucketed_apply(ds, keys, bucket_udf, n_buckets: int = 256):
+def bucketed_apply(ds, keys, bucket_udf, n_buckets: int | None = None):
     """``bucket_udf(df) -> df`` runs once per hash bucket over ALL rows
     whose ``keys`` hash there (complete key groups, co-partitioned).
     The udf must be key-group-aware itself (vectorized groupby/merge
-    inside) — that is the point."""
+    inside) — that is the point.  ``n_buckets`` defaults to
+    ``default_n_buckets()`` (cluster-width-scaled)."""
     keys = list(keys)
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
 
     def add_bk(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -56,7 +83,7 @@ def bucketed_apply(ds, keys, bucket_udf, n_buckets: int = 256):
               .groupby(_BK).map_groups(run, batch_format="pandas"))
 
 
-def grouped_apply(ds, keys, group_udf, n_buckets: int = 256):
+def grouped_apply(ds, keys, group_udf, n_buckets: int | None = None):
     """Drop-in for ``ds.groupby(keys).map_groups(group_udf)`` with
     bucket-level dispatch: the per-group Python loop runs INSIDE one
     pandas partition (µs per group) instead of through Ray's per-key
@@ -77,7 +104,8 @@ def grouped_apply(ds, keys, group_udf, n_buckets: int = 256):
     return bucketed_apply(ds, keys, per_bucket, n_buckets=n_buckets)
 
 
-def bucketed_sum(ds, keys, value_cols, rename=None, n_buckets: int = 256):
+def bucketed_sum(ds, keys, value_cols, rename=None,
+                 n_buckets: int | None = None):
     """``groupby(keys).sum(value_cols)`` via one bucket shuffle and a
     vectorized pandas aggregation per bucket.  INTEGER value columns
     only: bucketing changes float accumulation order, which matters for

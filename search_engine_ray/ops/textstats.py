@@ -912,7 +912,9 @@ def winnow_shared_pairs(sf_dir: str, min_shared: int = 20,
     pairs, then (id_a, id_b) -> shared-count."""
     import ray.data
 
-    n_buckets = 256  # scale with cluster width at 100 TB
+    from search_engine_ray.ops.shuffle import default_n_buckets
+
+    n_buckets = default_n_buckets()  # cluster-width-scaled
 
     def with_bucket(batch: pa.Table) -> pa.Table:
         t = winnow_fingerprints(batch)
