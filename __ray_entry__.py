@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "bm25"),
         "search_wand_clean_top10": lambda sf: sq.q_search_bm25_clean(
             sf, "bm25_wand"),
+        "search_bool_and_clean": sq.q_search_bool_and_clean,
         "doc_token_stats": sq.q_doc_token_stats,
         "bpe_token_stats": sq.q_bpe_token_stats,
         "quality_counts": sq.q_quality_counts,
@@ -138,59 +139,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": sq.q_exact_dedup,
         "lang_counts": sq.q_lang_counts,
         "events_tumbling_1h": sq.q_tumbling,
-        "events_hopping_1h_15m": sq.q_hopping,
         "events_sessionize": sq.q_sessionize,
         "event_type_stats": sq.q_event_type_stats,
         "top_terms_per_lang": sq.q_top_terms_per_lang,
-        "sample_mod100": sq.q_sample_mod,
-        "quality_filter": sq.q_quality_filter,
         "knn_cosine_top10": sq.q_knn,
         "bm25_topk_simple": sq.q_bm25_topk,
         "embedding_near_dups": sq.q_embedding_near_dups,
         "ngram_jaccard_dups": sq.q_ngram_jaccard,
         "near_dup_keep_ids": sq.q_near_dup_keep,
         "langid_pred": sq.q_langid_pred,
-        "fingerprint_md5": sq.q_fingerprint_md5,
         "winnow_fingerprints": sq.q_winnow_fingerprints,
+        "winnow_shared_pairs": sq.q_winnow_shared_pairs,
         "events_asof_join": sq.q_asof_join,
         "events_range_join_24h": sq.q_range_join,
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
         "tpch_top_orders": sq.q_top_orders,
         "tpch_nation_revenue": sq.q_nation_revenue,
+        "tpch_late_priority": sq.q_late_priority,
+        "tpch_large_orders": sq.q_large_orders,
+        "tpch_priority_shipstatus": sq.q_priority_shipstatus,
         "label_centroids": sq.q_label_centroids,
         "value_quantiles_per_type": sq.q_value_quantiles,
         "inactive_customers": sq.q_inactive_customers,
         "json_field_stats": sq.q_json_field_stats,
         "tpch_returned_customers": sq.q_returned_customers,
-        "events_value_histogram": sq.q_value_histogram,
         "pii_scan": sq.q_pii_scan,
         "repetition_stats": sq.q_repetition_stats,
         "contamination_4gram": sq.q_contamination,
-        "distinct_users_daily": sq.q_distinct_users_daily,
+        "decontaminate_ids": sq.q_decontaminate,
         "user_rolling_sum3": sq.q_user_rolling_sum3,
         "tpch_promo_revenue": sq.q_promo_revenue,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         "source_mix_sample": sq.q_source_mix,
+        "stratified_sample_20": sq.q_stratified_sample,
+        "corpus_freq_score": sq.q_corpus_freq_score,
         "packing_plan_512": sq.q_packing_plan,
-        "approx_quantiles_hist": sq.q_approx_quantiles,
-        "customer_order_counts": sq.q_customer_order_counts,
         "curate_summary": sq.q_curate_summary,
         "latest_event_per_user": sq.q_latest_event,
         # --- SQL-checked but past the driver's ~50-row record cap (still
-        # run by the local mirror tests/test_entry.py): redundant with
-        # term_df / fingerprint_md5 style rows above
+        # run by the local mirror tests/test_entry.py): each row below is
+        # shape-redundant with an in-cap sibling (quality_filter ~
+        # quality_counts, fingerprint_md5/norm_fingerprint ~
+        # winnow_fingerprints, hopping/histogram/daily ~ the in-cap event
+        # rows, sample_mod100 ~ source_mix_sample, customer_order_counts
+        # ~ inactive_customers, approx_quantiles ~ value_quantiles)
+        "quality_filter": sq.q_quality_filter,
+        "fingerprint_md5": sq.q_fingerprint_md5,
+        "norm_fingerprint": sq.q_norm_fingerprint,
+        "events_hopping_1h_15m": sq.q_hopping,
+        "events_value_histogram": sq.q_value_histogram,
+        "distinct_users_daily": sq.q_distinct_users_daily,
+        "sample_mod100": sq.q_sample_mod,
+        "customer_order_counts": sq.q_customer_order_counts,
+        "approx_quantiles_hist": sq.q_approx_quantiles,
         "top_terms": sq.q_top_terms,
         "token_count_total": sq.q_token_count_total,
-        "norm_fingerprint": sq.q_norm_fingerprint,
-        "stratified_sample_20": sq.q_stratified_sample,
-        "corpus_freq_score": sq.q_corpus_freq_score,
-        "decontaminate_ids": sq.q_decontaminate,
-        "tpch_late_priority": sq.q_late_priority,
-        "tpch_large_orders": sq.q_large_orders,
-        "tpch_priority_shipstatus": sq.q_priority_shipstatus,
-        "search_bool_and_clean": sq.q_search_bool_and_clean,
-        "winnow_shared_pairs": sq.q_winnow_shared_pairs,
         # --- rows-only (non-SQL-expressible semantics: full tokenizer,
         # glove-blended reference scoring, LSH/IVF approximation) ---
         "index_dictionary_full": index_dictionary,

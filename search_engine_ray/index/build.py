@@ -603,7 +603,19 @@ class FinalizeBucket:
         tbl = pa.table({k: pa.array(v, type=types.get(k, pa.binary()))
                         for k, v in out.items()})
         # term-sorted rows => tight parquet row-group min/max stats =>
-        # query-side predicate pushdown skips row groups
+        # query-side predicate pushdown skips row groups.
+        # INVARIANT the query engine's footer-stats bisect relies on
+        # (engine.py _read_term_groups): each posting file holds at most
+        # ONE row per term — true because every reduce partition is a
+        # single shard of one tbucket.  Assert it here so a future
+        # multi-row-per-term writer fails loudly at BUILD time instead
+        # of silently dropping postings at query time.
+        terms = tbl.column("term").to_pylist()
+        if len(terms) != len(set(terms)):
+            raise AssertionError(
+                "FinalizeBucket produced duplicate term rows in one "
+                "partition — the query engine's one-row-per-term-per-"
+                "file row-group index would drop postings")
         return tbl.sort_by("term")
 
 

@@ -168,11 +168,20 @@ class SearchEngine:
                 r = bisect.bisect_right(mins, t) - 1
                 if r >= 0 and maxs[r] >= t:
                     hits.setdefault(f, set()).add(r)
+                    # parquet writers may TRUNCATE long string min stats
+                    # (stored min <= true min), so a term equal to the
+                    # stored boundary could really live one group left;
+                    # the extra group costs one coalesced read, never a
+                    # wrong answer (the is_in filter below is exact)
+                    if r > 0 and mins[r] == t and maxs[r - 1] >= t:
+                        hits[f].add(r - 1)
         parts = []
         for f, rgs in hits.items():
-            pf = self._handle(f)
-            for r in sorted(rgs):
-                parts.append(pf.read_row_group(r, columns=cols))
+            # ONE coalesced read per file: read_row_groups turns k
+            # row-group fetches into a single IO plan (adjacent groups
+            # merge), which is what cold multi-term queries pay for
+            parts.append(self._handle(f).read_row_groups(
+                sorted(rgs), columns=cols))
         if not parts:
             return None
         import pyarrow.compute as pc
