@@ -132,7 +132,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "bm25_wand"),
         "search_bool_and_clean": sq.q_search_bool_and_clean,
         "doc_token_stats": sq.q_doc_token_stats,
-        "bpe_token_stats": sq.q_bpe_token_stats,
         "quality_counts": sq.q_quality_counts,
         "term_df": sq.q_term_df,
         "min_match_candidates": sq.q_min_match,
@@ -140,8 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": sq.q_lang_counts,
         "events_tumbling_1h": sq.q_tumbling,
         "events_sessionize": sq.q_sessionize,
-        "event_type_stats": sq.q_event_type_stats,
         "top_terms_per_lang": sq.q_top_terms_per_lang,
+        "token_entropy": sq.q_token_entropy,
+        "prefix_dup_groups": sq.q_prefix_dup_groups,
         "knn_cosine_top10": sq.q_knn,
         "bm25_topk_simple": sq.q_bm25_topk,
         "embedding_near_dups": sq.q_embedding_near_dups,
@@ -154,8 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_24h": sq.q_range_join,
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
-        "tpch_top_orders": sq.q_top_orders,
         "tpch_nation_revenue": sq.q_nation_revenue,
+        "tpch_nation_pair_volume": sq.q_nation_pair_volume,
         "tpch_late_priority": sq.q_late_priority,
         "tpch_large_orders": sq.q_large_orders,
         "tpch_priority_shipstatus": sq.q_priority_shipstatus,
@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnow_fingerprints, hopping/histogram/daily ~ the in-cap event
         # rows, sample_mod100 ~ source_mix_sample, customer_order_counts
         # ~ inactive_customers, approx_quantiles ~ value_quantiles)
+        "bpe_token_stats": sq.q_bpe_token_stats,
+        "event_type_stats": sq.q_event_type_stats,
+        "tpch_top_orders": sq.q_top_orders,
         "quality_filter": sq.q_quality_filter,
         "fingerprint_md5": sq.q_fingerprint_md5,
         "norm_fingerprint": sq.q_norm_fingerprint,
@@ -272,4 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_priority_shipstatus": sq.SQL_PRIORITY_SHIPSTATUS,
         "search_bool_and_clean": sq.SQL_SEARCH_BOOL_AND_CLEAN,
         "winnow_shared_pairs": sq.SQL_WINNOW_SHARED_PAIRS,
+        "tpch_nation_pair_volume": sq.SQL_NATION_PAIR_VOLUME,
+        "prefix_dup_groups": sq.SQL_PREFIX_DUP_GROUPS,
+        "token_entropy": sq.SQL_TOKEN_ENTROPY,
     }

@@ -736,3 +736,96 @@ def priority_shipstatus_counts(sf_dir: str):
             .groupby("l_linestatus")
             .aggregate(Sum("high_count", alias_name="high_count"),
                        Sum("low_count", alias_name="low_count")))
+
+
+def nation_pair_volume(sf_dir: str, dstart: str = "1995-01-01",
+                       dend: str = "1997-01-01"):
+    """TPC-H Q7 shape: shipped revenue per (supplier nation, customer
+    nation, ship year) over a two-year window — the engine's two-hop
+    fact-fact join chain: lineitem JOIN orders (hash shuffle) JOIN
+    customer (hash shuffle), supplier nationkey attached from a dense
+    int8 BROADCAST array (suppkey -> nationkey is ~1 byte/supplier, MBs
+    even at SF-1000), nation names from the 25-row dimension.  Revenue
+    is per-row e4-scaled before the integer sum.  Unlike canonical Q7
+    no nation pair is filtered out: the output is the full
+    (supp_nation, cust_nation, year) matrix, which keeps the reduce
+    small (25 x 25 x years rows) while both joins run at fact scale."""
+    import ray
+    import ray.data
+
+    lo, hi = _ts_us(dstart), _ts_us(dend)
+
+    sup = (ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas())
+    snk = np.zeros(int(sup["s_suppkey"].max()) + 1, dtype=np.int8)
+    snk[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    snk_ref = ray.put(snk)
+
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in ray.data.read_parquet(
+               os.path.join(sf_dir, "nation.parquet"),
+               columns=["n_nationkey", "n_name"]).take_all()}
+    names_arr = np.empty(max(nat) + 1, dtype=object)
+    for k_, v in nat.items():
+        names_arr[k_] = v
+    nat_ref = ray.put(names_arr)
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ts >= lo) & (ts < hi)
+        sub = batch.filter(pa.array(keep))
+        sn = ray.get(snk_ref)
+        sk = sub.column("l_suppkey").to_numpy().astype(np.int64)
+        px = sub.column("l_extendedprice").to_numpy()
+        disc = sub.column("l_discount").to_numpy()
+        yrs = pc.year(sub.column("l_shipdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_orderkey": sub.column("l_orderkey"),
+            "supp_nk": pa.array(sn[sk].astype(np.int64), pa.int64()),
+            "l_year": pa.array(yrs, pa.int64()),
+            "rev_e4": pa.array(_e4_halfaway(px * (1.0 - disc)),
+                               pa.int64())})
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+        .map_batches(lprep, batch_format="pyarrow"))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    j1 = li.join(orders, "inner", num_partitions=16,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    j2 = j1.join(cust, "inner", num_partitions=16,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        names = ray.get(nat_ref)
+        snn = batch.column("supp_nk").to_numpy().astype(np.int64)
+        cnn = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "supp_nation": names[snn],
+            "cust_nation": names[cnn],
+            "l_year": batch.column("l_year").to_numpy(),
+            "revenue_e4": batch.column("rev_e4").to_numpy()})
+        g = (df.groupby(["supp_nation", "cust_nation", "l_year"],
+                        sort=False)["revenue_e4"].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    # per-batch pre-combine shrinks the shuffle to <= 25*25*years rows
+    # per batch; the final groupby is tiny.  Single composite string key
+    # would also work, but 3 keys over ~1900 distinct rows is cheap.
+    return (j2.map_batches(combine, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))

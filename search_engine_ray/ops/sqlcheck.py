@@ -1705,3 +1705,62 @@ pairs AS (
 SELECT id_a, id_b, count(*) AS shared
 FROM pairs GROUP BY id_a, id_b HAVING count(*) >= 20
 """
+
+
+# ------------------------------------------------------- round-4 additions
+def q_nation_pair_volume(sf_dir: str):
+    from search_engine_ray.ops.relational import nation_pair_volume
+
+    return nation_pair_volume(sf_dir)
+
+
+SQL_NATION_PAIR_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT
+           )::BIGINT AS revenue_e4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_prefix_dup_groups(sf_dir: str):
+    from search_engine_ray.ops.textstats import prefix_dup_groups
+
+    return prefix_dup_groups(sf_dir)
+
+
+SQL_PREFIX_DUP_GROUPS = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+pre AS (SELECT doc_id, array_to_string(ts[1:20], ' ') AS p FROM base)
+SELECT min(doc_id) AS rep_doc_id, count(*)::BIGINT AS n_docs
+FROM pre GROUP BY p HAVING count(*) >= 2
+"""
+
+
+def q_token_entropy(sf_dir: str):
+    from search_engine_ray.ops.textstats import token_entropy_scores
+
+    return token_entropy_scores(sf_dir)
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+tot AS (SELECT doc_id, len(ts)::BIGINT AS n_tokens FROM base),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM base),
+cnt AS (SELECT doc_id, t, count(*)::DOUBLE AS c FROM tok
+        GROUP BY doc_id, t),
+e AS (SELECT cnt.doc_id,
+             -sum((c / n_tokens) * log2(c / n_tokens)) AS ent
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+      GROUP BY cnt.doc_id)
+SELECT tot.doc_id, tot.n_tokens,
+       coalesce(round(e.ent * 10000), 0)::BIGINT AS entropy_e4
+FROM tot LEFT JOIN e ON tot.doc_id = e.doc_id
+"""

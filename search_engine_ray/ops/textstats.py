@@ -983,3 +983,78 @@ def winnow_shared_pairs(sf_dir: str, min_shared: int = 20,
 
     return pairs.groupby("pb").map_groups(count_in_bucket,
                                           batch_format="pandas")
+
+
+def prefix_dup_groups(sf_dir: str, k: int = 20):
+    """Boilerplate-prefix duplicate groups: docs whose first ``k``
+    simple tokens are identical (shorter docs group by their full token
+    string) — the common-crawl 'same template header' signal that
+    whole-document hashing misses.  Emits one row per group with >= 2
+    docs: (rep_doc_id = min doc_id, n_docs).  The prefix travels as a
+    63-bit blake2 hash (collision odds ~groups^2/2^63), so the shuffle
+    carries 16 bytes/doc regardless of prefix length."""
+    import hashlib
+
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    def prefix_fp(batch: pa.Table) -> pa.Table:
+        fps = []
+        for t in batch.column("text").to_pylist():
+            ts = simple_tokenize(t)[:k]
+            h = hashlib.blake2b(" ".join(ts).encode(), digest_size=8)
+            fps.append(int.from_bytes(h.digest(), "little")
+                       & 0x7FFF_FFFF_FFFF_FFFF)
+        return pa.table({"pfp": pa.array(fps, pa.int64()),
+                         "doc_id": batch.column("doc_id")})
+
+    ds = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(prefix_fp, batch_format="pyarrow"))
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("pfp", sort=False)["doc_id"]
+                .agg(rep_doc_id="min", n_docs="size").reset_index())
+        out = out[out["n_docs"] >= 2]
+        return pd.DataFrame({
+            "rep_doc_id": out["rep_doc_id"].to_numpy(np.int64),
+            "n_docs": out["n_docs"].to_numpy(np.int64)})
+
+    return bucketed_apply(ds, ["pfp"], groups)
+
+
+def token_entropy_scores(sf_dir: str):
+    """Per-doc Shannon entropy over the simple-token distribution (in
+    bits, e4-scaled) plus the token count — a repetitiveness / quality
+    signal: boilerplate and keyword-stuffed docs sit far below normal
+    prose.  entropy = -sum(p * log2(p)) over per-doc token frequencies;
+    empty docs score 0.  The SQL mirror computes the identical
+    double-precision expression; the per-doc sum runs over at most the
+    doc's distinct tokens, so cross-engine float-association drift is
+    ~1e-15 against an e-4 rounding grid."""
+    import ray.data
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        n_tok, ent = [], []
+        for t in batch.column("text").to_pylist():
+            ts = simple_tokenize(t)
+            n = len(ts)
+            n_tok.append(n)
+            if n == 0:
+                ent.append(0)
+                continue
+            _, cnt = np.unique(ts, return_counts=True)
+            p = cnt / n
+            e = float(-(p * np.log2(p)).sum())
+            ent.append(int(np.sign(e) * np.floor(abs(e) * 1e4 + 0.5)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "entropy_e4": pa.array(ent, pa.int64())})
+
+    return (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(per_doc, batch_format="pyarrow"))
