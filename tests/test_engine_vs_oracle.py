@@ -30,7 +30,11 @@ def test_postings_identical(engine, small_oracle):
         assert p is not None, term
         assert (p["doc_ids"] == np.array([x[0] for x in o])).all(), term
         assert (p["dls"] == np.array([x[1] for x in o])).all(), term
-        assert (p["mtfs"] == np.array([x[2] for x in o])).all(), term
+        # mtf decodes lazily (only the reference scorer reads it)
+        from search_engine_ray.query.engine import SearchEngine
+
+        assert (SearchEngine._mtfs_of(p)
+                == np.array([x[2] for x in o])).all(), term
         assert (p["tfs"] == np.array([x[4] for x in o])).all(), term
 
 
