@@ -38,6 +38,24 @@ def _e4_halfaway(x: np.ndarray) -> np.ndarray:
     return (np.sign(x) * np.floor(np.abs(x) * 10000 + 0.5)).astype(np.int64)
 
 
+def _join_partitions() -> int:
+    """``Dataset.join`` shuffle width, sized with the cluster (cpus/2).
+    Hash-shuffle joins reserve aggregator actors per partition; a fixed
+    width larger than the session can host DEADLOCKS the pipeline when
+    two joins run concurrently (measured: two 16-partition joins hang a
+    4-CPU session forever, two 8-partition joins run fine).  cpus/2
+    keeps one pipeline's worth of aggregators schedulable beside the map
+    stages at any cluster size."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 32)) \
+            if ray.is_initialized() else 32
+    except Exception:
+        cpus = 32
+    return max(2, cpus // 2)
+
+
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
     """TPC-H Q1 shape: scan-filter lineitem, per-batch partial combine,
     tiny groupby on (l_returnflag, l_linestatus).
@@ -144,7 +162,7 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
 
     from search_engine_ray.ops.shuffle import bucketed_sum
 
-    joined = li.join(orders, "inner", num_partitions=16,
+    joined = li.join(orders, "inner", num_partitions=_join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     agg = bucketed_sum(joined.select_columns(["l_orderkey", "rev_e4"]),
                        ["l_orderkey"], ["rev_e4"],
@@ -189,7 +207,7 @@ def nation_revenue(sf_dir: str):
         columns=["o_custkey", "o_totalprice"])
         .map_batches(oprep, batch_format="pyarrow"))
 
-    joined = orders.join(cust, "inner", num_partitions=8,
+    joined = orders.join(cust, "inner", num_partitions=_join_partitions(),
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def to_nation(batch: pa.Table) -> pa.Table:
@@ -306,7 +324,7 @@ def returned_item_customers(sf_dir: str, qstart: str = "1997-01-01",
                  "l_discount"])
         .map_batches(lpart, batch_format="pyarrow"))
 
-    joined = li.join(orders, "inner", num_partitions=16,
+    joined = li.join(orders, "inner", num_partitions=_join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     agg = (joined.groupby("o_custkey")
                  .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
@@ -439,7 +457,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"])
-    ord_nat = orders.join(cust, "inner", num_partitions=8,
+    ord_nat = orders.join(cust, "inner", num_partitions=_join_partitions(),
                           on=("o_custkey",), right_on=("c_custkey",))
 
     def lprep(batch: pa.Table) -> pa.Table:
@@ -456,7 +474,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"])
         .map_batches(lprep, batch_format="pyarrow"))
-    joined = li.join(ord_nat, "inner", num_partitions=16,
+    joined = li.join(ord_nat, "inner", num_partitions=_join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def localize(batch: pa.Table) -> pa.Table:
@@ -716,7 +734,7 @@ def priority_shipstatus_counts(sf_dir: str):
     li = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_linestatus"])
-    joined = li.join(orders, "inner", num_partitions=16,
+    joined = li.join(orders, "inner", num_partitions=_join_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -797,13 +815,13 @@ def nation_pair_volume(sf_dir: str, dstart: str = "1995-01-01",
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"])
-    j1 = li.join(orders, "inner", num_partitions=16,
+    j1 = li.join(orders, "inner", num_partitions=_join_partitions(),
                  on=("l_orderkey",), right_on=("o_orderkey",))
 
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"])
-    j2 = j1.join(cust, "inner", num_partitions=16,
+    j2 = j1.join(cust, "inner", num_partitions=_join_partitions(),
                  on=("o_custkey",), right_on=("c_custkey",))
 
     def combine(batch: pa.Table) -> pa.Table:
