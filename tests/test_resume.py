@@ -91,7 +91,11 @@ def test_kill_midstage_resume_byte_identical(resume_setup,
         del os.environ["GRAFT_CRASH_POSTINGS_AFTER"]
     time.sleep(1.0)
 
-    # ---- kill 4: mid-docmeta
+    # ---- kill 4: mid-docmeta.  Docmeta OVERLAPS stages 2+3 (it depends
+    # only on the parse checkpoint), so the kill-2/kill-3 runs already
+    # completed it in their concurrent thread — clear it to get fresh
+    # docmeta work for this crash, exactly like a new config would.
+    mf.clear_stage(out_b, "docmeta")
     os.environ["GRAFT_CRASH_DOCMETA_AFTER"] = "2"
     try:
         with pytest.raises(InjectedCrash):
