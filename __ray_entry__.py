@@ -148,7 +148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": sq.q_ngram_jaccard,
         "near_dup_keep_ids": sq.q_near_dup_keep,
         "langid_pred": sq.q_langid_pred,
-        "winnow_fingerprints": sq.q_winnow_fingerprints,
         "winnow_shared_pairs": sq.q_winnow_shared_pairs,
         "events_asof_join": sq.q_asof_join,
         "events_range_join_24h": sq.q_range_join,
@@ -159,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_late_priority": sq.q_late_priority,
         "tpch_large_orders": sq.q_large_orders,
         "tpch_priority_shipstatus": sq.q_priority_shipstatus,
+        "tpch_revenue_delta": sq.q_revenue_delta,
+        "tpch_top_supplier": sq.q_top_supplier,
+        "tpch_small_qty_revenue": sq.q_small_qty_revenue,
+        "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "label_centroids": sq.q_label_centroids,
         "value_quantiles_per_type": sq.q_value_quantiles,
         "inactive_customers": sq.q_inactive_customers,
@@ -166,12 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_returned_customers": sq.q_returned_customers,
         "pii_scan": sq.q_pii_scan,
         "repetition_stats": sq.q_repetition_stats,
-        "contamination_4gram": sq.q_contamination,
         "decontaminate_ids": sq.q_decontaminate,
         "user_rolling_sum3": sq.q_user_rolling_sum3,
-        "tpch_promo_revenue": sq.q_promo_revenue,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
-        "source_mix_sample": sq.q_source_mix,
         "stratified_sample_20": sq.q_stratified_sample,
         "corpus_freq_score": sq.q_corpus_freq_score,
         "packing_plan_512": sq.q_packing_plan,
@@ -180,11 +180,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
-        # quality_counts, fingerprint_md5/norm_fingerprint ~
-        # winnow_fingerprints, hopping/histogram/daily ~ the in-cap event
-        # rows, sample_mod100 ~ source_mix_sample, customer_order_counts
-        # ~ inactive_customers, approx_quantiles ~ value_quantiles)
+        # quality_counts, fingerprint_md5/norm_fingerprint/
+        # winnow_fingerprints ~ winnow_shared_pairs, hopping/histogram/
+        # daily ~ the in-cap event rows, sample_mod100/source_mix_sample
+        # ~ stratified_sample_20, contamination_4gram ~ decontaminate_ids,
+        # customer_order_counts ~ inactive_customers, approx_quantiles ~
+        # value_quantiles, promo_revenue (Q14 broadcast semi-join) ~
+        # small_qty_revenue (Q17 shuffle semi-join))
         "bpe_token_stats": sq.q_bpe_token_stats,
+        "winnow_fingerprints": sq.q_winnow_fingerprints,
+        "contamination_4gram": sq.q_contamination,
+        "source_mix_sample": sq.q_source_mix,
+        "tpch_promo_revenue": sq.q_promo_revenue,
         "event_type_stats": sq.q_event_type_stats,
         "tpch_top_orders": sq.q_top_orders,
         "quality_filter": sq.q_quality_filter,
@@ -278,4 +285,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_nation_pair_volume": sq.SQL_NATION_PAIR_VOLUME,
         "prefix_dup_groups": sq.SQL_PREFIX_DUP_GROUPS,
         "token_entropy": sq.SQL_TOKEN_ENTROPY,
+        "tpch_revenue_delta": sq.SQL_REVENUE_DELTA,
+        "tpch_top_supplier": sq.SQL_TOP_SUPPLIER,
+        "tpch_small_qty_revenue": sq.SQL_SMALL_QTY_REVENUE,
+        "tpch_idle_rich_customers": sq.SQL_IDLE_RICH_CUSTOMERS,
     }

@@ -847,3 +847,259 @@ def nation_pair_volume(sf_dir: str, dstart: str = "1995-01-01",
     return (j2.map_batches(combine, batch_format="pyarrow")
             .groupby(["supp_nation", "cust_nation", "l_year"])
             .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+
+def revenue_delta(sf_dir: str, dstart: str = "1996-01-01",
+                  dend: str = "1997-01-01", disc_lo: int = 5,
+                  disc_hi: int = 7, max_qty: int = 24):
+    """TPC-H Q6 shape: forecast revenue change — one streaming
+    filter-aggregate over lineitem, no join and no shuffle beyond the
+    single-row partial combine.  The discount window compares e2-scaled
+    integers (floats like 0.05 are rounded per row on BOTH sides), and
+    the revenue term px*disc is e4-scaled per row, so the global sum is
+    exact integer math regardless of reduce order."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts_us(dstart), _ts_us(dend)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        disc_e2 = (np.sign(disc)
+                   * np.floor(np.abs(disc) * 100 + 0.5)).astype(np.int64)
+        qty = batch.column("l_quantity").to_numpy()
+        keep = ((ts >= lo) & (ts < hi)
+                & (disc_e2 >= disc_lo) & (disc_e2 <= disc_hi)
+                & (qty < max_qty))
+        px = batch.column("l_extendedprice").to_numpy()[keep]
+        rev = _e4_halfaway(px * disc[keep])
+        return pa.table({
+            "k": pa.array(np.zeros(1, dtype=np.int64)),
+            "rev_e4": pa.array([int(rev.sum())], pa.int64()),
+            "one": pa.array([int(keep.sum())], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("k")
+             .aggregate(Sum("rev_e4", alias_name="revenue_e4"),
+                        Sum("one", alias_name="n")))
+    return agg.drop_columns(["k"])
+
+
+def top_supplier(sf_dir: str, dstart: str = "1996-01-01",
+                 dend: str = "1996-04-01"):
+    """TPC-H Q15 shape: the quarter's maximum-revenue supplier(s).
+    Per-supplier revenue is a bucketed integer sum (pre-combined per
+    batch, so shuffle rows are bounded by distinct suppliers per batch);
+    the global max is the only scalar that ever reaches the driver, and
+    the winners (ties included) are O(1) rows whose names attach via a
+    pruned supplier read — no supplier-table broadcast, no sort."""
+    import ray
+    import ray.data
+
+    lo, hi = _ts_us(dstart), _ts_us(dend)
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ts >= lo) & (ts < hi)
+        sk = batch.column("l_suppkey").to_numpy()[keep]
+        px = batch.column("l_extendedprice").to_numpy()[keep]
+        disc = batch.column("l_discount").to_numpy()[keep]
+        rev = _e4_halfaway(px * (1.0 - disc))
+        keys, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"s_suppkey": pa.array(keys, pa.int64()),
+                         "rev": pa.array(sums, pa.int64())})
+
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    rev = bucketed_sum(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+        .map_batches(lprep, batch_format="pyarrow"),
+        ["s_suppkey"], ["rev"], rename={"rev": "total_revenue_e4"})
+    mx = rev.max("total_revenue_e4")  # ONE scalar to the driver
+    winners = rev.filter(
+        expr=f"total_revenue_e4 == {int(mx)}").to_pandas()  # O(ties) rows
+
+    want = np.unique(winners["s_suppkey"].to_numpy().astype(np.int64))
+
+    def sfilter(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy().astype(np.int64)
+        return batch.filter(pa.array(np.isin(sk, want)))
+
+    names = (ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"])
+        .map_batches(sfilter, batch_format="pyarrow").to_pandas())
+    out = winners.merge(names, on="s_suppkey")
+    out = out.sort_values("s_suppkey").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["s_suppkey", "s_name", "total_revenue_e4"]],
+        preserve_index=False)
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#23",
+                      min_size: int = 5):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average order quantity, for one brand's larger
+    parts.  The correlated per-part average is ONE tagged-union hash
+    shuffle on partkey (filtered part keys side 0, lineitem facts side
+    1): each bucket semi-joins, computes per-part (count, total qty)
+    vectorized, and applies the avg predicate as exact integer math
+    (5*qty*cnt < total ⇔ qty < 0.2*avg — quantities are integral), so
+    lineitem is scanned ONCE and no part set is ever broadcast."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def pprep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("p_brand"), brand),
+                    pc.greater_equal(batch.column("p_size"), min_size))
+        sub = batch.filter(m)
+        n = sub.num_rows
+        return pa.table({
+            "key": sub.column("p_partkey").cast(pa.int64()),
+            "qty": pa.array(np.zeros(n, dtype=np.int64)),
+            "px_e4": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("l_partkey").cast(pa.int64()),
+            "qty": pa.array(batch.column("l_quantity").to_numpy()
+                            .astype(np.int64), pa.int64()),
+            "px_e4": pa.array(_e4_halfaway(
+                batch.column("l_extendedprice").to_numpy()), pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    part = (ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"])
+        .map_batches(pprep, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(lprep, batch_format="pyarrow"))
+
+    def per_bucket(g):
+        import pandas as pd
+
+        wanted = g.loc[g["side"] == 0, "key"].to_numpy(np.int64)
+        li_g = g[g["side"] == 1]
+        keys = li_g["key"].to_numpy(np.int64)
+        hit = np.isin(keys, wanted)
+        keys = keys[hit]
+        qty = li_g["qty"].to_numpy(np.int64)[hit]
+        px = li_g["px_e4"].to_numpy(np.int64)[hit]
+        uk, inv = np.unique(keys, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, inv, qty)
+        small = 5 * qty * cnt[inv] < tot[inv]
+        return pd.DataFrame({
+            "k": np.zeros(1, dtype=np.int64),
+            "px_e4": np.array([px[small].sum()], dtype=np.int64),
+            "one": np.array([int(small.sum())], dtype=np.int64)})
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    agg = (bucketed_apply(part.union(li), ["key"], per_bucket)
+           .groupby("k")
+           .aggregate(Sum("px_e4", alias_name="price_e4_sum"),
+                      Sum("one", alias_name="n")))
+    return agg.drop_columns(["k"])
+
+
+def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
+    """TPC-H Q22 shape: customers with an above-average (positive)
+    account balance and NO recent orders, rolled up per nation.  The
+    global average is two integers (positive-balance sum + count) from
+    one streaming customer pass — the threshold predicate is then exact
+    integer math (bal_e2*cnt > sum_e2 ⇔ bal > avg, no float division).
+    The "no orders since" test is a tagged-union ANTI-join hash shuffle
+    on custkey (rich customers side 0, recent orders pre-deduped per
+    batch side 1) — the big-big NOT EXISTS never materializes a key set
+    on the driver."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cut = _ts_us(since)
+
+    def bal_partials(batch: pa.Table) -> pa.Table:
+        bal_e2 = (np.sign(batch.column("c_acctbal").to_numpy())
+                  * np.floor(np.abs(batch.column("c_acctbal").to_numpy())
+                             * 100 + 0.5)).astype(np.int64)
+        pos = bal_e2 > 0
+        return pa.table({
+            "k": pa.array(np.zeros(1, dtype=np.int64)),
+            "s": pa.array([int(bal_e2[pos].sum())], pa.int64()),
+            "c": pa.array([int(pos.sum())], pa.int64())})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    stats = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_acctbal"])
+        .map_batches(bal_partials, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("s", alias_name="s"),
+                                Sum("c", alias_name="c"))
+        .take_all())[0]
+    s_e2, cnt = int(stats["s"]), int(stats["c"])
+
+    def cprep(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy()
+        bal_e2 = (np.sign(bal)
+                  * np.floor(np.abs(bal) * 100 + 0.5)).astype(np.int64)
+        keep = bal_e2 * cnt > s_e2
+        sub = batch.filter(pa.array(keep))
+        n = sub.num_rows
+        return pa.table({
+            "key": sub.column("c_custkey").cast(pa.int64()),
+            "c_nationkey": sub.column("c_nationkey").cast(pa.int64()),
+            "bal_e2": pa.array(bal_e2[keep], pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        ck = batch.column("o_custkey").to_numpy()[ts >= cut]
+        ck = np.unique(ck)  # per-batch pre-dedup bounds shuffle rows
+        n = len(ck)
+        return pa.table({
+            "key": pa.array(ck.astype(np.int64), pa.int64()),
+            "c_nationkey": pa.array(np.zeros(n, dtype=np.int64)),
+            "bal_e2": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    cust = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=cust_cols)
+        .map_batches(cprep, batch_format="pyarrow"))
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+        .map_batches(oprep, batch_format="pyarrow"))
+
+    def per_bucket(g):
+        import pandas as pd
+
+        active = g.loc[g["side"] == 1, "key"].to_numpy(np.int64)
+        rich = g[g["side"] == 0]
+        idle = rich[~np.isin(rich["key"].to_numpy(np.int64), active)]
+        out = (idle.groupby("c_nationkey", sort=False)["bal_e2"]
+               .agg(["count", "sum"]).reset_index())
+        return pd.DataFrame({
+            "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+            "numcust": out["count"].to_numpy(np.int64),
+            "tot_e2": out["sum"].to_numpy(np.int64)})
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    return (bucketed_apply(cust.union(orders), ["key"], per_bucket)
+            .groupby("c_nationkey")
+            .aggregate(Sum("numcust", alias_name="numcust"),
+                       Sum("tot_e2", alias_name="totacctbal_e2")))

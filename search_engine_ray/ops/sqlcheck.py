@@ -1764,3 +1764,90 @@ SELECT tot.doc_id, tot.n_tokens,
        coalesce(round(e.ent * 10000), 0)::BIGINT AS entropy_e4
 FROM tot LEFT JOIN e ON tot.doc_id = e.doc_id
 """
+
+
+def q_revenue_delta(sf_dir: str):
+    from search_engine_ray.ops.relational import revenue_delta
+
+    return revenue_delta(sf_dir)
+
+
+SQL_REVENUE_DELTA = """
+SELECT sum(round(l_extendedprice * l_discount * 10000))::BIGINT
+         AS revenue_e4,
+       count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_top_supplier(sf_dir: str):
+    from search_engine_ray.ops.relational import top_supplier
+
+    return top_supplier(sf_dir)
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(round(l_extendedprice * (1 - l_discount) * 10000))::BIGINT
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT rev.s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+ORDER BY rev.s_suppkey
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    from search_engine_ray.ops.relational import small_qty_revenue
+
+    return small_qty_revenue(sf_dir)
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pk AS (SELECT p_partkey FROM part
+            WHERE p_brand = 'Brand#23' AND p_size >= 5),
+st AS (SELECT l_partkey, count(*)::BIGINT AS cnt,
+              sum(l_quantity)::BIGINT AS tot
+       FROM lineitem JOIN pk ON l_partkey = p_partkey
+       GROUP BY 1)
+SELECT coalesce(sum(round(l_extendedprice * 10000))::BIGINT, 0)
+         AS price_e4_sum,
+       count(*)::BIGINT AS n
+FROM lineitem JOIN st ON lineitem.l_partkey = st.l_partkey
+WHERE 5 * l_quantity::BIGINT * cnt < tot
+"""
+
+
+def q_idle_rich_customers(sf_dir: str):
+    from search_engine_ray.ops.relational import idle_rich_customers
+
+    return idle_rich_customers(sf_dir)
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+WITH pos AS (
+  SELECT count(*)::BIGINT AS c,
+         sum(round(c_acctbal * 100))::BIGINT AS s
+  FROM customer WHERE round(c_acctbal * 100) > 0),
+rich AS (
+  SELECT c_custkey, c_nationkey,
+         round(c_acctbal * 100)::BIGINT AS bal_e2
+  FROM customer, pos
+  WHERE round(c_acctbal * 100)::BIGINT * c > s),
+idle AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01'))
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       sum(bal_e2)::BIGINT AS totacctbal_e2
+FROM idle GROUP BY 1
+"""
