@@ -90,6 +90,12 @@ def _kmeans_assign(sf_dir: str):
     return kmeans_assign(sf_dir, k=8, iters=4)
 
 
+def _cms_term_estimates(sf_dir: str):
+    from search_engine_ray.ops.sketches import cms_term_estimates
+
+    return cms_term_estimates(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (adapter
     -> parse -> dict -> sharded postings -> docmeta) and run the BM25
@@ -136,14 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": sq.q_term_df,
         "min_match_candidates": sq.q_min_match,
         "exact_dedup": sq.q_exact_dedup,
-        "lang_counts": sq.q_lang_counts,
-        "events_tumbling_1h": sq.q_tumbling,
         "events_sessionize": sq.q_sessionize,
         "top_terms_per_lang": sq.q_top_terms_per_lang,
         "token_entropy": sq.q_token_entropy,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "knn_cosine_top10": sq.q_knn,
-        "bm25_topk_simple": sq.q_bm25_topk,
         "embedding_near_dups": sq.q_embedding_near_dups,
         "ngram_jaccard_dups": sq.q_ngram_jaccard,
         "near_dup_keep_ids": sq.q_near_dup_keep,
@@ -177,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_plan_512": sq.q_packing_plan,
         "curate_summary": sq.q_curate_summary,
         "latest_event_per_user": sq.q_latest_event,
+        "length_percentile_filter": sq.q_length_percentile_filter,
+        "source_quality_gate": sq.q_source_quality_gate,
+        "longest_docs_top100": sq.q_longest_docs,
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
@@ -188,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_quantiles, promo_revenue (Q14 broadcast semi-join) ~
         # small_qty_revenue (Q17 shuffle semi-join))
         "bpe_token_stats": sq.q_bpe_token_stats,
+        "lang_counts": sq.q_lang_counts,
+        "events_tumbling_1h": sq.q_tumbling,
+        "bm25_topk_simple": sq.q_bm25_topk,
         "winnow_fingerprints": sq.q_winnow_fingerprints,
         "contamination_4gram": sq.q_contamination,
         "source_mix_sample": sq.q_source_mix,
@@ -214,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,
+        "cms_term_estimates": _cms_term_estimates,
     }
 
 
@@ -289,4 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_supplier": sq.SQL_TOP_SUPPLIER,
         "tpch_small_qty_revenue": sq.SQL_SMALL_QTY_REVENUE,
         "tpch_idle_rich_customers": sq.SQL_IDLE_RICH_CUSTOMERS,
+        "length_percentile_filter": sq.SQL_LENGTH_PERCENTILE_FILTER,
+        "source_quality_gate": sq.SQL_SOURCE_QUALITY_GATE,
+        "longest_docs_top100": sq.SQL_LONGEST_DOCS,
     }

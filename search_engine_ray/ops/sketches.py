@@ -229,3 +229,70 @@ def approx_quantiles_hist(sf_dir: str, width: float = 0.5,
         est_e4 = (int(hist["b"].iloc[i]) + 1) * e4_per_bucket
         rows.append({"pct": int(pct), "est_e4": est_e4})
     return pd.DataFrame(rows)
+
+
+_CMS_D, _CMS_W = 4, 4096
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_rows(terms: np.ndarray, d: int = _CMS_D,
+              w: int = _CMS_W) -> np.ndarray:
+    """Row indices (d x n) of each term under the d hash functions —
+    one blake2b per unique term, then d independent multiply-shift
+    mixes (public splitmix-style construction)."""
+    import hashlib
+
+    h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
+                        .digest(), "little") for t in terms),
+        dtype=np.uint64, count=len(terms))
+    rows = np.empty((d, len(terms)), dtype=np.int64)
+    for i in range(d):
+        x = (h * _CMS_SEEDS[i])
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(32)
+        rows[i] = (x % np.uint64(w)).astype(np.int64)
+    return rows
+
+
+def cms_term_estimates(sf_dir: str, probe_min_count: int = 50):
+    """Count-min-sketch term frequencies: per-batch local CMS
+    (d x w int64, ~128 KB regardless of batch size) out of
+    ``map_batches``, merged by elementwise SUM — the canonical
+    fixed-size mergeable frequency sketch for streams too wide to
+    groupby (Cormode & Muthukrishnan 2005).  The returned table probes
+    the merged sketch with the corpus's exact heavy hitters (from the
+    existing two-pass Misra-Gries op) so the estimate column is
+    deterministic and its guarantee (est >= true, est - true <=
+    eps*N w.h.p.) is unit-tested against exact counts."""
+    import ray.data
+
+    def sketch_row(batch: pa.Table) -> pa.Table:
+        terms, counts = _batch_term_counts(batch)
+        cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        if len(terms):
+            rows = _cms_rows(terms)
+            for i in range(_CMS_D):
+                np.add.at(cms[i], rows[i], counts)
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    merged = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for r in ds.map_batches(sketch_row, batch_format="pyarrow").take_all():
+        merged += np.frombuffer(r["cms"], dtype=np.int64).reshape(
+            _CMS_D, _CMS_W)
+
+    exact = heavy_hitters(sf_dir, min_count=probe_min_count).to_pandas()
+    terms = np.asarray(exact["term"].to_numpy(), dtype=object)
+    rows = _cms_rows(terms) if len(terms) else np.empty((_CMS_D, 0),
+                                                        dtype=np.int64)
+    est = merged[np.arange(_CMS_D)[:, None], rows].min(axis=0) \
+        if len(terms) else np.empty(0, dtype=np.int64)
+    return pa.table({
+        "term": pa.array(list(terms), pa.string()),
+        "n_exact": pa.array(exact["n"].to_numpy(np.int64), pa.int64()),
+        "n_est": pa.array(est, pa.int64())})

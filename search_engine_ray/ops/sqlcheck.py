@@ -1851,3 +1851,50 @@ SELECT c_nationkey, count(*)::BIGINT AS numcust,
        sum(bal_e2)::BIGINT AS totacctbal_e2
 FROM idle GROUP BY 1
 """
+
+
+def q_length_percentile_filter(sf_dir: str):
+    from search_engine_ray.ops.textstats import length_percentile_filter
+
+    return length_percentile_filter(sf_dir)
+
+
+SQL_LENGTH_PERCENTILE_FILTER = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+cf AS (SELECT n_chars, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+cum AS (SELECT n_chars,
+               sum(c) OVER (ORDER BY n_chars)::BIGINT AS cum
+        FROM cf),
+t AS (SELECT min(n_chars)::BIGINT AS thr FROM cum, n
+      WHERE cum * 100 >= 90 * n.n)
+SELECT lang, count(*)::BIGINT AS n_kept,
+       (SELECT thr FROM t) AS threshold
+FROM documents WHERE n_chars >= (SELECT thr FROM t)
+GROUP BY lang
+"""
+
+
+def q_longest_docs(sf_dir: str):
+    from search_engine_ray.ops.textstats import longest_docs
+
+    return longest_docs(sf_dir)
+
+
+SQL_LONGEST_DOCS = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 100
+"""
+
+
+def q_source_quality_gate(sf_dir: str):
+    from search_engine_ray.ops.textstats import source_quality_gate
+
+    return source_quality_gate(sf_dir)
+
+
+SQL_SOURCE_QUALITY_GATE = """
+WITH ok AS (SELECT source FROM documents GROUP BY source
+            HAVING sum(n_chars) >= 290 * count(*))
+SELECT doc_id FROM documents
+WHERE source IN (SELECT source FROM ok)
+"""

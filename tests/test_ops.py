@@ -783,3 +783,40 @@ def test_kmeans_improves_over_iterations(ray_session):
     c1 = sse(kmeans_assign(sf, k=4, iters=1).to_pandas())
     c4 = sse(kmeans_assign(sf, k=4, iters=4).to_pandas())
     assert c4 <= c1 + 1e-6
+
+
+def test_cms_bounds_vs_exact(ray_session, tmp_path):
+    """CMS guarantee on a skewed corpus: every estimate >= true count,
+    and overestimation is bounded by the sketch's eps*N (here 2N/w,
+    far looser than the min-of-d expectation)."""
+    from collections import Counter
+
+    from search_engine_ray.ops.sketches import _CMS_W, cms_term_estimates
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    docs = []
+    for i in range(120):
+        # heavy head terms + a long unique tail to force collisions
+        docs.append(f"alpha beta alpha tail{i}a tail{i}b tail{i}c")
+    for i in range(80):
+        docs.append(f"beta gamma tail{i}d tail{i}e")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["t"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    exact = Counter()
+    for d in docs:
+        exact.update(simple_tokenize(d))
+    n_total = sum(exact.values())
+
+    out = cms_term_estimates(str(tmp_path), probe_min_count=80)
+    df = out.to_pandas()
+    assert set(df["term"]) == {"alpha", "beta", "gamma"}
+    for _, r in df.iterrows():
+        assert r["n_exact"] == exact[r["term"]]
+        assert r["n_est"] >= r["n_exact"]          # never underestimates
+        assert r["n_est"] - r["n_exact"] <= 2 * n_total // _CMS_W
