@@ -153,7 +153,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": sq.q_langid_pred,
         "winnow_shared_pairs": sq.q_winnow_shared_pairs,
         "events_asof_join": sq.q_asof_join,
-        "events_range_join_24h": sq.q_range_join,
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
         "tpch_nation_revenue": sq.q_nation_revenue,
@@ -165,13 +164,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_supplier": sq.q_top_supplier,
         "tpch_small_qty_revenue": sq.q_small_qty_revenue,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
+        "tpch_disjunctive_revenue": sq.q_disjunctive_revenue,
+        "doc_salient_term": sq.q_doc_salient_term,
         "label_centroids": sq.q_label_centroids,
         "value_quantiles_per_type": sq.q_value_quantiles,
         "inactive_customers": sq.q_inactive_customers,
         "json_field_stats": sq.q_json_field_stats,
         "tpch_returned_customers": sq.q_returned_customers,
         "pii_scan": sq.q_pii_scan,
-        "repetition_stats": sq.q_repetition_stats,
         "decontaminate_ids": sq.q_decontaminate,
         "user_rolling_sum3": sq.q_user_rolling_sum3,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_quantiles, promo_revenue (Q14 broadcast semi-join) ~
         # small_qty_revenue (Q17 shuffle semi-join))
         "bpe_token_stats": sq.q_bpe_token_stats,
+        "events_range_join_24h": sq.q_range_join,
+        "repetition_stats": sq.q_repetition_stats,
         "lang_counts": sq.q_lang_counts,
         "events_tumbling_1h": sq.q_tumbling,
         "bm25_topk_simple": sq.q_bm25_topk,
@@ -302,4 +304,6 @@ def oracle_sql() -> dict[str, str]:
         "length_percentile_filter": sq.SQL_LENGTH_PERCENTILE_FILTER,
         "source_quality_gate": sq.SQL_SOURCE_QUALITY_GATE,
         "longest_docs_top100": sq.SQL_LONGEST_DOCS,
+        "tpch_disjunctive_revenue": sq.SQL_DISJUNCTIVE_REVENUE,
+        "doc_salient_term": sq.SQL_DOC_SALIENT_TERM,
     }

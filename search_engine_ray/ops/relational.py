@@ -1103,3 +1103,96 @@ def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
             .groupby("c_nationkey")
             .aggregate(Sum("numcust", alias_name="numcust"),
                        Sum("tot_e2", alias_name="totacctbal_e2")))
+
+
+_Q19_CLASSES = (("Brand#12", 1, 5, 1, 11),
+                ("Brand#23", 1, 10, 10, 20),
+                ("Brand#34", 1, 15, 20, 30))
+
+
+def disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from lineitems matching ANY of three
+    (brand, size-range, quantity-range) classes — the disjunctive
+    fact-dimension join predicate.  Parts carry their class id (brands
+    are disjoint, so at most one) through ONE tagged-union partkey
+    shuffle; each bucket maps lineitems to their part's class with a
+    searchsorted gather and applies that class's quantity window, so
+    the OR-of-ANDs never becomes three scans or a part broadcast."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def pprep(batch: pa.Table) -> pa.Table:
+        brand = np.asarray(batch.column("p_brand").to_pylist(),
+                           dtype=object)
+        size = batch.column("p_size").to_numpy()
+        cls = np.full(len(brand), -1, dtype=np.int8)
+        for ci, (b, slo, shi, _, _) in enumerate(_Q19_CLASSES):
+            cls[(brand == b) & (size >= slo) & (size <= shi)] = ci
+        keep = cls >= 0
+        sub = batch.filter(pa.array(keep))
+        n = sub.num_rows
+        return pa.table({
+            "key": sub.column("p_partkey").cast(pa.int64()),
+            "cls": pa.array(cls[keep].astype(np.int64), pa.int64()),
+            "qty": pa.array(np.zeros(n, dtype=np.int64)),
+            "rev_e4": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        px = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table({
+            "key": batch.column("l_partkey").cast(pa.int64()),
+            "cls": pa.array(np.full(n, -1, dtype=np.int64)),
+            "qty": pa.array(batch.column("l_quantity").to_numpy()
+                            .astype(np.int64), pa.int64()),
+            "rev_e4": pa.array(_e4_halfaway(px * (1.0 - disc)),
+                               pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    part = (ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"])
+        .map_batches(pprep, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(lprep, batch_format="pyarrow"))
+
+    qlo = np.array([c[3] for c in _Q19_CLASSES], dtype=np.int64)
+    qhi = np.array([c[4] for c in _Q19_CLASSES], dtype=np.int64)
+
+    def per_bucket(g):
+        import pandas as pd
+
+        p = g[g["side"] == 0]
+        pk = p["key"].to_numpy(np.int64)
+        pcls = p["cls"].to_numpy(np.int64)
+        order = np.argsort(pk)
+        pk, pcls = pk[order], pcls[order]
+        li_g = g[g["side"] == 1]
+        lk = li_g["key"].to_numpy(np.int64)
+        if len(pk):
+            pos = np.searchsorted(pk, lk).clip(0, len(pk) - 1)
+            hit = pk[pos] == lk
+            cls = np.where(hit, pcls[pos], 0)
+        else:
+            hit = np.zeros(len(lk), dtype=bool)
+            cls = np.zeros(len(lk), dtype=np.int64)
+        qty = li_g["qty"].to_numpy(np.int64)
+        rev = li_g["rev_e4"].to_numpy(np.int64)
+        ok = hit & (qty >= qlo[cls]) & (qty <= qhi[cls])
+        return pd.DataFrame({
+            "k": np.zeros(1, dtype=np.int64),
+            "rev_e4": np.array([rev[ok].sum()], dtype=np.int64),
+            "one": np.array([int(ok.sum())], dtype=np.int64)})
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    agg = (bucketed_apply(part.union(li), ["key"], per_bucket)
+           .groupby("k")
+           .aggregate(Sum("rev_e4", alias_name="revenue_e4"),
+                      Sum("one", alias_name="n")))
+    return agg.drop_columns(["k"])

@@ -1898,3 +1898,40 @@ WITH ok AS (SELECT source FROM documents GROUP BY source
 SELECT doc_id FROM documents
 WHERE source IN (SELECT source FROM ok)
 """
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    from search_engine_ray.ops.relational import disjunctive_revenue
+
+    return disjunctive_revenue(sf_dir)
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT coalesce(sum(round(l_extendedprice * (1 - l_discount)
+                          * 10000))::BIGINT, 0) AS revenue_e4,
+       count(*)::BIGINT AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_doc_salient_term(sf_dir: str):
+    from search_engine_ray.ops.textstats import doc_salient_term
+
+    return doc_salient_term(sf_dir)
+
+
+SQL_DOC_SALIENT_TERM = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id, t AS term, tf, df
+FROM tf JOIN df USING (t)
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tf DESC, df ASC, t ASC) = 1
+"""

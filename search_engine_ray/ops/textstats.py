@@ -1158,3 +1158,60 @@ def source_quality_gate(sf_dir: str, min_mean_chars: int = 290):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "n_chars"])
     return bucketed_apply(ds, ["source"], per_bucket)
+
+
+def doc_salient_term(sf_dir: str):
+    """Most DISTINCTIVE token per document — highest tf, rarest-df
+    tie-break, then lexicographic: an integer-only tf-idf proxy (df
+    ordering is idf ordering), so the ranking is exactly reproducible
+    in SQL with no float log.
+
+    Two hash shuffles, both through the bucketed primitive: (1) a
+    TERM-keyed shuffle co-locates each term's (doc, tf) rows so df is a
+    vectorized group size attached in-bucket — corpus-scale term join
+    with no driver vocabulary; (2) a DOC-keyed shuffle picks each doc's
+    winner with one sort + drop_duplicates per bucket."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, txt in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+            toks = simple_tokenize(txt)
+            if not toks:
+                continue
+            uk, counts = np.unique(np.asarray(toks, dtype=object),
+                                   return_counts=True)
+            ids.extend([did] * len(uk))
+            terms.extend(uk)
+            tfs.extend(counts)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(np.asarray(tfs, dtype=np.int64))})
+
+    rows = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow"))
+
+    def attach_df(g):
+        out = g.reset_index(drop=True)
+        # rows are unique (doc, term) by construction, so the term's
+        # group SIZE is its document frequency
+        out["df"] = (out.groupby("term", sort=False)["doc_id"]
+                     .transform("size").astype(np.int64))
+        return out
+
+    with_df = bucketed_apply(rows, ["term"], attach_df)
+
+    def pick_winner(g):
+        out = (g.sort_values(["doc_id", "tf", "df", "term"],
+                             ascending=[True, False, True, True])
+               .drop_duplicates("doc_id").reset_index(drop=True))
+        return out[["doc_id", "term", "tf", "df"]]
+
+    return bucketed_apply(with_df, ["doc_id"], pick_winner)
