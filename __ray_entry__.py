@@ -96,6 +96,12 @@ def _cms_term_estimates(sf_dir: str):
     return cms_term_estimates(sf_dir)
 
 
+def _embedding_pca(sf_dir: str):
+    from search_engine_ray.ops.similarity import embedding_pca_projection
+
+    return embedding_pca_projection(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (adapter
     -> parse -> dict -> sharded postings -> docmeta) and run the BM25
@@ -155,8 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": sq.q_asof_join,
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
-        "tpch_nation_revenue": sq.q_nation_revenue,
         "tpch_nation_pair_volume": sq.q_nation_pair_volume,
+        "tpch_market_share": sq.q_market_share,
         "tpch_late_priority": sq.q_late_priority,
         "tpch_large_orders": sq.q_large_orders,
         "tpch_priority_shipstatus": sq.q_priority_shipstatus,
@@ -194,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_quantiles, promo_revenue (Q14 broadcast semi-join) ~
         # small_qty_revenue (Q17 shuffle semi-join))
         "bpe_token_stats": sq.q_bpe_token_stats,
+        "tpch_nation_revenue": sq.q_nation_revenue,
         "events_range_join_24h": sq.q_range_join,
         "repetition_stats": sq.q_repetition_stats,
         "lang_counts": sq.q_lang_counts,
@@ -226,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,
         "cms_term_estimates": _cms_term_estimates,
+        "embedding_pca_projection": _embedding_pca,
     }
 
 
@@ -306,4 +314,5 @@ def oracle_sql() -> dict[str, str]:
         "longest_docs_top100": sq.SQL_LONGEST_DOCS,
         "tpch_disjunctive_revenue": sq.SQL_DISJUNCTIVE_REVENUE,
         "doc_salient_term": sq.SQL_DOC_SALIENT_TERM,
+        "tpch_market_share": sq.SQL_MARKET_SHARE,
     }

@@ -1196,3 +1196,102 @@ def disjunctive_revenue(sf_dir: str):
            .aggregate(Sum("rev_e4", alias_name="revenue_e4"),
                       Sum("one", alias_name="n")))
     return agg.drop_columns(["k"])
+
+
+def market_share(sf_dir: str, region: str = "AMERICA",
+                 supp_nation: str = "NATION_3",
+                 dstart: str = "1995-01-01", dend: str = "1997-01-01"):
+    """TPC-H Q8 shape: one supplier nation's share of the revenue sold
+    into a region, per order year.  Same two-hop fact chain as Q7
+    (lineitem JOIN orders JOIN customer), with the region's nationkeys
+    and the supplier->nationkey map as tiny broadcasts; the share is
+    returned as exact e4-integer (nation, total) revenue pairs per
+    year — the division happens in the reader, not the shuffle."""
+    import ray
+    import ray.data
+
+    lo, hi = _ts_us(dstart), _ts_us(dend)
+
+    nat = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = ray.data.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"]).to_pandas()
+    rk = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nk = np.sort(nat.loc[nat["n_regionkey"] == rk, "n_nationkey"]
+                        .to_numpy(np.int64))
+    target_nk = int(nat.loc[nat["n_name"] == supp_nation,
+                            "n_nationkey"].iloc[0])
+
+    sup = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    is_target = np.zeros(int(sup["s_suppkey"].max()) + 1, dtype=np.int8)
+    is_target[sup.loc[sup["s_nationkey"] == target_nk, "s_suppkey"]
+              .to_numpy()] = 1
+    tgt_ref = ray.put(is_target)
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        tgt = ray.get(tgt_ref)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        px = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "is_tgt": pa.array(tgt[sk].astype(np.int64), pa.int64()),
+            "rev_e4": pa.array(_e4_halfaway(px * (1.0 - disc)),
+                               pa.int64())})
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+        sub = batch.filter(pa.array((ts >= lo) & (ts < hi)))
+        yrs = pc.year(sub.column("o_orderdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "o_orderkey": sub.column("o_orderkey"),
+            "o_custkey": sub.column("o_custkey"),
+            "o_year": pa.array(yrs, pa.int64())})
+
+    def cprep(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy().astype(np.int64)
+        return (batch.filter(pa.array(np.isin(nk, region_nk)))
+                .select(["c_custkey"]))
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(lprep, batch_format="pyarrow"))
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(oprep, batch_format="pyarrow"))
+    cust = (ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+        .map_batches(cprep, batch_format="pyarrow"))
+
+    j1 = li.join(orders, "inner", num_partitions=_join_partitions(),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j1.join(cust, "inner", num_partitions=_join_partitions(),
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "o_year": batch.column("o_year").to_numpy(),
+            "rev": batch.column("rev_e4").to_numpy(),
+            "tgt_rev": (batch.column("rev_e4").to_numpy()
+                        * batch.column("is_tgt").to_numpy())})
+        g = (df.groupby("o_year", sort=False)[["tgt_rev", "rev"]]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (j2.map_batches(combine, batch_format="pyarrow")
+            .groupby("o_year")
+            .aggregate(Sum("tgt_rev", alias_name="nation_revenue_e4"),
+                       Sum("rev", alias_name="total_revenue_e4")))

@@ -308,3 +308,64 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 4):
                                 pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def embedding_pca_projection(sf_dir: str):
+    """Distributed PCA: project every embedding onto the corpus's top
+    principal component — the linear-algebra reduce a 100-TB embedding
+    table needs (whitening, drift detection, coarse 1-D bucketing).
+
+    Pass 1 streams fixed-size moment partials out of ``map_batches``:
+    per batch ONE row holding (n, Σx_e6, Σ per-row-rounded outer
+    products e6) — d + d² int64s regardless of batch size, merged by
+    integer SUM so the covariance is bit-identical under any reduce
+    order (the same exactness trick as the k-means partials).  The
+    d×d eigendecomposition is driver-side (microscopic); pass 2
+    re-streams the table projecting (x-μ)·v per batch.  Sign is fixed
+    (first nonzero component positive) so the output is deterministic.
+    """
+    import ray.data
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.array([np.asarray(v, dtype=np.float64)
+                      for v in batch.column("embedding").to_pylist()])
+        n, d = x.shape
+        sx = np.rint(x * 1e6).astype(np.int64).sum(axis=0)
+        # per-ROW rounded outer products -> order-proof integer sum
+        outer = np.einsum("ni,nj->nij", x, x)
+        sxx = np.rint(outer * 1e6).astype(np.int64).sum(axis=0)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "sx": pa.array([sx.tobytes()], pa.binary()),
+            "sxx": pa.array([sxx.reshape(-1).tobytes()], pa.binary())})
+
+    ds = _read_embeddings(sf_dir)
+    rows = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    sx = np.zeros(0, dtype=np.int64)
+    sxx = None
+    for r in rows:
+        bx = np.frombuffer(r["sx"], dtype=np.int64)
+        bxx = np.frombuffer(r["sxx"], dtype=np.int64)
+        sx = bx if not len(sx) else sx + bx
+        sxx = bxx if sxx is None else sxx + bxx
+    d = len(sx)
+    mu = sx.astype(np.float64) / (n * 1e6)
+    exx = sxx.reshape(d, d).astype(np.float64) / (n * 1e6)
+    cov = exx - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    pc = v[:, -1]
+    nz = np.flatnonzero(np.abs(pc) > 1e-12)
+    if len(nz) and pc[nz[0]] < 0:
+        pc = -pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = np.array([np.asarray(vv, dtype=np.float64)
+                      for vv in batch.column("embedding").to_pylist()])
+        score = (x - mu) @ pc
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "pc1_e6": pa.array(np.rint(score * 1e6).astype(np.int64),
+                               pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1935,3 +1935,33 @@ FROM tf JOIN df USING (t)
 QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY tf DESC, df ASC, t ASC) = 1
 """
+
+
+def q_market_share(sf_dir: str):
+    from search_engine_ray.ops.relational import market_share
+
+    return market_share(sf_dir)
+
+
+SQL_MARKET_SHARE = """
+WITH rn AS (SELECT n_nationkey FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'),
+tgt AS (SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3')
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM tgt)
+                THEN round(l_extendedprice * (1 - l_discount)
+                           * 10000)::BIGINT
+                ELSE 0 END)::BIGINT AS nation_revenue_e4,
+       sum(round(l_extendedprice * (1 - l_discount)
+                 * 10000))::BIGINT AS total_revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+  AND c_nationkey IN (SELECT n_nationkey FROM rn)
+GROUP BY 1
+"""

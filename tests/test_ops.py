@@ -820,3 +820,34 @@ def test_cms_bounds_vs_exact(ray_session, tmp_path):
         assert r["n_exact"] == exact[r["term"]]
         assert r["n_est"] >= r["n_exact"]          # never underestimates
         assert r["n_est"] - r["n_exact"] <= 2 * n_total // _CMS_W
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Distributed moment-partial PCA equals single-machine numpy PCA on
+    the full table (up to the fixed e6 quantization of the partials)."""
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.ops.similarity import embedding_pca_projection
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_pca_projection(sf).to_pandas().sort_values("vec_id")
+
+    t = pads.dataset(f"{sf}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
+    x = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    pc = v[:, -1]
+    nz = np.flatnonzero(np.abs(pc) > 1e-12)
+    if len(nz) and pc[nz[0]] < 0:
+        pc = -pc
+    ref = (x - mu) @ pc
+
+    got = out["pc1_e6"].to_numpy(np.int64) / 1e6
+    # sign of the whole projection may flip only if the eigvec sign rule
+    # resolved differently under quantization — accept either
+    err = min(np.abs(got - ref).max(), np.abs(got + ref).max())
+    assert err < 1e-3
+    # and it is a real component: projections are not all equal
+    assert got.std() > 1e-3
