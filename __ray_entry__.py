@@ -174,7 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_salient_term": sq.q_doc_salient_term,
         "label_centroids": sq.q_label_centroids,
         "value_quantiles_per_type": sq.q_value_quantiles,
-        "inactive_customers": sq.q_inactive_customers,
+        "tpch_waiting_suppliers": sq.q_waiting_suppliers,
+        "part_supplier_diversity": sq.q_part_supplier_diversity,
+        "bigram_lm_nll": sq.q_bigram_lm_nll,
         "json_field_stats": sq.q_json_field_stats,
         "tpch_returned_customers": sq.q_returned_customers,
         "pii_scan": sq.q_pii_scan,
@@ -185,20 +187,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_freq_score": sq.q_corpus_freq_score,
         "packing_plan_512": sq.q_packing_plan,
         "curate_summary": sq.q_curate_summary,
-        "latest_event_per_user": sq.q_latest_event,
         "length_percentile_filter": sq.q_length_percentile_filter,
         "source_quality_gate": sq.q_source_quality_gate,
-        "longest_docs_top100": sq.q_longest_docs,
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
         # quality_counts, fingerprint_md5/norm_fingerprint/
         # winnow_fingerprints ~ winnow_shared_pairs, hopping/histogram/
-        # daily ~ the in-cap event rows, sample_mod100/source_mix_sample
-        # ~ stratified_sample_20, contamination_4gram ~ decontaminate_ids,
-        # customer_order_counts ~ inactive_customers, approx_quantiles ~
-        # value_quantiles, promo_revenue (Q14 broadcast semi-join) ~
-        # small_qty_revenue (Q17 shuffle semi-join))
+        # daily/latest_event ~ the in-cap event rows, sample_mod100/
+        # source_mix_sample ~ stratified_sample_20, contamination_4gram ~
+        # decontaminate_ids, customer_order_counts/inactive_customers ~
+        # idle_rich_customers (Q22), approx_quantiles ~ value_quantiles,
+        # promo_revenue (Q14 broadcast semi-join) ~ small_qty_revenue
+        # (Q17 shuffle semi-join), longest_docs ~ length_percentile)
+        "inactive_customers": sq.q_inactive_customers,
+        "latest_event_per_user": sq.q_latest_event,
+        "longest_docs_top100": sq.q_longest_docs,
         "bpe_token_stats": sq.q_bpe_token_stats,
         "tpch_nation_revenue": sq.q_nation_revenue,
         "events_range_join_24h": sq.q_range_join,
@@ -315,4 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_disjunctive_revenue": sq.SQL_DISJUNCTIVE_REVENUE,
         "doc_salient_term": sq.SQL_DOC_SALIENT_TERM,
         "tpch_market_share": sq.SQL_MARKET_SHARE,
+        "tpch_waiting_suppliers": sq.SQL_WAITING_SUPPLIERS,
+        "part_supplier_diversity": sq.SQL_PART_SUPPLIER_DIVERSITY,
+        "bigram_lm_nll": sq.SQL_BIGRAM_LM_NLL,
     }

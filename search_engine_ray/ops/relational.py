@@ -1295,3 +1295,180 @@ def market_share(sf_dir: str, region: str = "AMERICA",
             .groupby("o_year")
             .aggregate(Sum("tgt_rev", alias_name="nation_revenue_e4"),
                        Sum("rev", alias_name="total_revenue_e4")))
+
+
+def waiting_suppliers(sf_dir: str, grace_days: int = 60, k: int = 100):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders ('F'), count the late lineitems of suppliers who were the
+    ONLY late supplier on a multi-supplier order — an EXISTS plus a
+    NOT-EXISTS self-semi-join on lineitem, the hardest TPC-H join shape
+    expressible without partsupp.  "Late" is adapted to the tables we
+    have: ``l_shipdate > o_orderdate + grace_days`` (the testdata
+    lineitem carries no commit/receipt dates).
+
+    Plan: ONE tagged-union hash shuffle on orderkey co-partitions every
+    order with all its lineitems; each bucket then vectorizes the whole
+    exists/not-exists logic as two pandas groupbys (per (order,
+    supplier) late/line counts, then per order distinct-supplier and
+    late-supplier counts), emitting only (suppkey, n_late) partials.
+    The supplier->name/nation attach is a broadcast dimension lookup on
+    the tiny aggregated result."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    grace_us = grace_days * 86_400 * _US
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("o_orderstatus"), "F")
+        sub = batch.filter(mask)
+        n = sub.num_rows
+        return pa.table({
+            "key": sub.column("o_orderkey"),
+            "supp": pa.array(np.zeros(n, dtype=np.int64)),
+            "ts_us": sub.column("o_orderdate").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch.column("l_orderkey"),
+            "supp": batch.column("l_suppkey"),
+            "ts_us": batch.column("l_shipdate").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+        .map_batches(oprep, batch_format="pyarrow"))
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(lprep, batch_format="pyarrow"))
+
+    def per_bucket(g):
+        import pandas as pd
+
+        o = (g.loc[g["side"] == 0, ["key", "ts_us"]]
+              .rename(columns={"ts_us": "odate"}))
+        l = g.loc[g["side"] == 1, ["key", "supp", "ts_us"]]
+        m = l.merge(o, on="key", how="inner")
+        if not len(m):
+            return pd.DataFrame({
+                "s_suppkey": np.array([], dtype=np.int64),
+                "n_late": np.array([], dtype=np.int64)})
+        late = (m["ts_us"].to_numpy()
+                > m["odate"].to_numpy() + grace_us).astype(np.int64)
+        per = (pd.DataFrame({"key": m["key"].to_numpy(),
+                             "supp": m["supp"].to_numpy(),
+                             "n_late": late})
+               .groupby(["key", "supp"], sort=False)["n_late"].sum()
+               .reset_index())
+        per["is_late"] = (per["n_late"] > 0).astype(np.int64)
+        po = (per.groupby("key", sort=False)
+                 .agg(n_supp=("supp", "size"),
+                      n_late_supp=("is_late", "sum")).reset_index())
+        ok = po.loc[(po["n_supp"] >= 2) & (po["n_late_supp"] == 1), "key"]
+        hit = per[(per["is_late"] == 1)
+                  & per["key"].isin(set(ok.to_numpy()))]
+        return pd.DataFrame({
+            "s_suppkey": hit["supp"].to_numpy().astype(np.int64),
+            "n_late": hit["n_late"].to_numpy().astype(np.int64)})
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    agg = (bucketed_apply(orders.union(li), ["key"], per_bucket)
+           .groupby("s_suppkey")
+           .aggregate(Sum("n_late", alias_name="numwait"))
+           .to_pandas())  # <= #suppliers rows — a dimension-sized result
+
+    import ray.data as rd
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    sup = sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    out = agg.merge(sup[["s_suppkey", "s_name", "n_name"]], on="s_suppkey")
+    out = (out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).head(k))
+    out["numwait"] = out["numwait"].astype("int64")
+    return pa.Table.from_pandas(out[["s_name", "n_name", "numwait"]],
+                                preserve_index=False)
+
+
+def part_supplier_diversity(sf_dir: str, excl_brand: str = "Brand#13",
+                            excl_type: str = "MEDIUM"):
+    """TPC-H Q16 shape (parts/supplier relationship): per (brand, type,
+    size) of non-excluded parts, how many DISTINCT suppliers shipped
+    them — excluding a supplier blocklist subquery (here: names ending
+    in '7', standing in for Q16's complaint-comment scan).
+
+    Plan: part and the supplier blocklist are tiny dimensions —
+    broadcast once (``ray.put``), vectorized ``np.isin``/searchsorted
+    attach inside ``map_batches``; the distinct-count is per-batch
+    deduped (drop_duplicates bounds shuffle volume by distinct pairs
+    per batch) then ONE bucket shuffle on the group key counts uniques
+    vectorized.  The group-key space is the part-attribute cross
+    product — dimension-sized at any corpus scale."""
+    import ray
+    import ray.data
+    import pandas as pd
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != excl_brand)
+                & (part["p_type"] != excl_type)]
+    order = np.argsort(part["p_partkey"].to_numpy())
+    pkeys = part["p_partkey"].to_numpy().astype(np.int64)[order]
+    pattr = (part["p_brand"].to_numpy()[order],
+             part["p_type"].to_numpy()[order],
+             part["p_size"].to_numpy().astype(np.int64)[order])
+
+    sup = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    bad = np.sort(sup.loc[sup["s_name"].str.endswith("7"),
+                          "s_suppkey"].to_numpy().astype(np.int64))
+    dims = ray.put((pkeys, pattr, bad))
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        keys, attr, badk = ray.get(dims)
+        pk = batch.column("l_partkey").to_numpy().astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        if not len(keys):
+            pk = pk[:0]
+            sk = sk[:0]
+        pos = np.searchsorted(keys, pk).clip(0, max(len(keys) - 1, 0))
+        keep = (keys[pos] == pk) & ~np.isin(sk, badk) \
+            if len(pk) else np.zeros(0, dtype=bool)
+        pos, sk = pos[keep], sk[keep]
+        if not len(pos):
+            # typed empty — a bare pandas empty frame would carry
+            # null/float dtypes and poison the downstream schema union
+            return pa.table({
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "p_brand": attr[0][pos], "p_type": attr[1][pos],
+            "p_size": attr[2][pos], "s": sk}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"])
+        .map_batches(lprep, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["p_brand", "p_type", "p_size"], sort=False)["s"]
+                .nunique().rename("supplier_cnt").reset_index())
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        out["p_size"] = out["p_size"].astype("int64")
+        return out
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    return bucketed_apply(li, ["p_brand", "p_type", "p_size"], per_bucket)

@@ -1965,3 +1965,80 @@ WHERE o_orderdate >= DATE '1995-01-01'
   AND c_nationkey IN (SELECT n_nationkey FROM rn)
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------- round-4 ops (late)
+def q_waiting_suppliers(sf_dir: str):
+    from search_engine_ray.ops.relational import waiting_suppliers
+
+    return waiting_suppliers(sf_dir)
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+o AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F')
+SELECT s_name, n_name, count(*)::BIGINT AS numwait
+FROM supplier s
+JOIN l l1 ON s.s_suppkey = l1.l_suppkey
+JOIN o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_part_supplier_diversity(sf_dir: str):
+    from search_engine_ray.ops.relational import part_supplier_diversity
+
+    return part_supplier_diversity(sf_dir)
+
+
+SQL_PART_SUPPLIER_DIVERSITY = """
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_bigram_lm_nll(sf_dir: str):
+    from search_engine_ray.ops.textstats import bigram_lm_nll
+
+    return bigram_lm_nll(sf_dir)
+
+
+# add-one-smoothed bigram LM NLL; per-token log-probs floor(x*1e6+0.5)
+# to int64 BEFORE summing (args always positive) so both engines sum
+# exact integers — see textstats.bigram_lm_nll
+SQL_BIGRAM_LM_NLL = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS w FROM base),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+v AS (SELECT count(*)::BIGINT AS v FROM uni),
+db AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i + 1] AS g
+       FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+             FROM base)),
+bc AS (SELECT g, count(*)::BIGINT AS c FROM db GROUP BY g),
+lp AS (SELECT d.doc_id,
+              floor(ln(b.c + 1) * 1000000 + 0.5)::BIGINT
+            - floor(ln(u.c + (SELECT v FROM v)) * 1000000 + 0.5)::BIGINT
+              AS l
+       FROM db d JOIN bc b ON d.g = b.g JOIN uni u ON d.w1 = u.w),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               (-sum(l))::BIGINT AS nll_e6 FROM lp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(p.nll_e6, 0)::BIGINT AS nll_e6
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""

@@ -15,6 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from search_engine_ray.text.stopwords import NLTK_ENGLISH_STOPWORDS
 from search_engine_ray.text.tokenizer import simple_tokenize
@@ -1215,3 +1216,156 @@ def doc_salient_term(sf_dir: str):
         return out[["doc_id", "term", "tf", "df"]]
 
     return bucketed_apply(with_df, ["doc_id"], pick_winner)
+
+
+def bigram_lm_nll(sf_dir: str):
+    """Train an add-one-smoothed bigram language model over the corpus
+    and score every document's negative log-likelihood under it — the
+    perplexity-style quality filter of an LLM data pipeline (CCNet-like,
+    with the corpus itself as the LM training set).
+
+    ``p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)`` with V = distinct
+    unigrams; per-token log-probs are scaled to integers BEFORE the sum
+    (``fl6(x) = floor(x*1e6 + 0.5)``, args always positive) so the
+    aggregate is exact int64 math in any reduce order and the DuckDB
+    oracle hashes identically.
+
+    Plan (all corpus-sized sides go through shuffles, nothing
+    corpus-scaled is broadcast):
+    - bigram counts: per-batch Counter pre-combine, then ONE bucketed
+      sum keyed on the gram;
+    - unigram counts: same shape; the vocab-sized result is
+      materialized once (model side, bounded by vocabulary not corpus);
+    - scoring: doc bigram rows attach c(w1 w2) via a gram-keyed
+      tagged-union shuffle, then c(w1) via a w1-keyed one, pre-combining
+      per doc inside the second bucket; a final doc_id-keyed sum
+      finishes.  A per-doc sentinel row (m=0) rides the same shuffles so
+      0/1-token docs appear with n_bigrams = 0 without a left join."""
+    from collections import Counter
+
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id, out_g, out_w1, out_m = [], [], [], []
+        for i, t in zip(ids, texts):
+            out_id.append(int(i))
+            out_g.append("")
+            out_w1.append("")
+            out_m.append(0)
+            ts = simple_tokenize(t)
+            if len(ts) >= 2:
+                for (w1, w2), m in Counter(zip(ts[:-1], ts[1:])).items():
+                    out_id.append(int(i))
+                    out_g.append(w1 + " " + w2)
+                    out_w1.append(w1)
+                    out_m.append(int(m))
+        return pa.table({
+            "g": pa.array(out_g, pa.string()),
+            "w1": pa.array(out_w1, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "m": pa.array(out_m, pa.int64())})
+
+    def read_docs():
+        return ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    rows = read_docs().map_batches(doc_bigrams, batch_format="pyarrow")
+
+    def uni_counts(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(simple_tokenize(t))
+        items = list(c.items())
+        return pa.table({
+            "w1": pa.array([w for w, _ in items], pa.string()),
+            "c": pa.array([n for _, n in items], pa.int64())})
+
+    # model side: vocabulary-bounded, not corpus-bounded — safe to
+    # materialize once and reuse for both V and the attach
+    uni = bucketed_sum(
+        read_docs().map_batches(uni_counts, batch_format="pyarrow"),
+        ["w1"], ["c"]).materialize()
+    v_size = uni.count()
+
+    def bc_prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch.column("m"), 0))
+        return sub.select(["g", "m"])
+
+    bcounts = bucketed_sum(
+        rows.map_batches(bc_prep, batch_format="pyarrow"),
+        ["g"], ["m"], rename={"m": "cnt"})
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "g": batch.column("g"),
+            "w1": pa.array([""] * n, pa.string()),
+            "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "m": pa.array(np.zeros(n, dtype=np.int64)),
+            "cnt": batch.column("cnt").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column(
+            "cnt", pa.array(np.zeros(n, dtype=np.int64))).append_column(
+            "side", pa.array(np.ones(n, dtype=np.int8)))
+
+    union1 = (bcounts.map_batches(tag_counts, batch_format="pyarrow")
+              .union(rows.map_batches(tag_rows, batch_format="pyarrow")))
+
+    def attach_bi(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.loc[g["side"] == 0, ["g", "cnt"]]
+        d = g.loc[g["side"] == 1, ["g", "w1", "doc_id", "m"]]
+        m_ = d.merge(cnt, on="g", how="left", suffixes=("", "_c"))
+        c = m_["cnt"].fillna(0).to_numpy(dtype=np.int64)
+        mm = m_["m"].to_numpy(dtype=np.int64)
+        lp = mm * np.floor(np.log(c + 1) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "w1": m_["w1"].to_numpy(),
+            "doc_id": m_["doc_id"].to_numpy(dtype=np.int64),
+            "m": mm, "lp": lp})
+
+    scored1 = bucketed_apply(union1, ["g"], attach_bi)
+
+    def tag_uni(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "w1": batch.column("w1"),
+            "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "m": pa.array(np.zeros(n, dtype=np.int64)),
+            "lp": pa.array(np.zeros(n, dtype=np.int64)),
+            "cnt": batch.column("c").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def tag_scored(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column(
+            "cnt", pa.array(np.zeros(n, dtype=np.int64))).append_column(
+            "side", pa.array(np.ones(n, dtype=np.int8)))
+
+    union2 = (uni.map_batches(tag_uni, batch_format="pyarrow")
+              .union(scored1.map_batches(tag_scored,
+                                         batch_format="pyarrow")))
+
+    def attach_uni(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.loc[g["side"] == 0, ["w1", "cnt"]]
+        d = g.loc[g["side"] == 1, ["w1", "doc_id", "m", "lp"]]
+        m_ = d.merge(cnt, on="w1", how="left", suffixes=("", "_c"))
+        c = m_["cnt"].fillna(0).to_numpy(dtype=np.int64)
+        mm = m_["m"].to_numpy(dtype=np.int64)
+        lp = (m_["lp"].to_numpy(dtype=np.int64)
+              - mm * np.floor(np.log(c + v_size) * 1e6 + 0.5)
+              .astype(np.int64))
+        out = pd.DataFrame({"doc_id": m_["doc_id"].to_numpy(np.int64),
+                            "n_bigrams": mm, "nll_e6": -lp})
+        return (out.groupby("doc_id", sort=False)[["n_bigrams", "nll_e6"]]
+                .sum().reset_index())
+
+    scored2 = bucketed_apply(union2, ["w1"], attach_uni)
+    return bucketed_sum(scored2, ["doc_id"], ["n_bigrams", "nll_e6"])
