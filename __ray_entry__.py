@@ -96,6 +96,12 @@ def _cms_term_estimates(sf_dir: str):
     return cms_term_estimates(sf_dir)
 
 
+def _knn_pq(sf_dir: str):
+    from search_engine_ray.ops.similarity import knn_pq
+
+    return knn_pq(sf_dir)
+
+
 def _embedding_pca(sf_dir: str):
     from search_engine_ray.ops.similarity import embedding_pca_projection
 
@@ -234,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": lambda sf: minhash_near_dup_pairs(sf),
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
+        "knn_pq_top10": _knn_pq,
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,
         "cms_term_estimates": _cms_term_estimates,

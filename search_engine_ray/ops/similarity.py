@@ -369,3 +369,119 @@ def embedding_pca_projection(sf_dir: str):
                                pa.int64())})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def knn_pq(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
+           m: int = 8, n_codes: int = 16, train_n: int = 2048,
+           rerank: int = 5):
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) and exact re-ranking: train ``m`` per-subspace codebooks of
+    ``n_codes`` centroids on a bounded sample, then score the corpus in
+    ONE streaming pass — each batch encodes its vectors to (m,) code
+    ids, shortlists the per-batch top ``rerank*k`` by ADC lookup, and
+    re-scores ONLY the shortlist with exact L2 (the vectors are in
+    hand, so the re-rank costs R*d flops per batch, not n*d).
+
+    The scale story vs ``knn_brute``: per-vector work drops from d
+    multiplies per query to m table lookups, and the memory footprint
+    of a cached corpus drops 32x (64 floats -> 8 bytes of codes) — the
+    standard billion-vector recipe (coarse ADC prune + exact re-rank).
+    Codebook training on a driver-side sample is bounded (``train_n``
+    rows) at any corpus size; the corpus itself is never materialized.
+
+    Returns (query_id, rank, vec_id, dist) with rank 1..k by (exact L2
+    of the shortlisted candidates asc, vec_id asc).  Approximate by
+    construction (the ADC prune can drop a true neighbor) — gated by a
+    recall-vs-brute unit, not a SQL oracle."""
+    import ray
+    import pyarrow.dataset as pads
+
+    ds = _read_embeddings(sf_dir)
+    sample = ds.take(train_n)
+    X = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(42)
+    nc = min(n_codes, len(X))
+    books = np.zeros((m, nc, sub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=nc, replace=False)].copy()
+        for _ in range(4):
+            dist = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = dist.argmin(1)
+            for c in range(nc):
+                msk = a == c
+                if msk.any():
+                    C[c] = Xs[msk].mean(0)
+        books[s] = C
+
+    qt = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pads.field("vec_id").isin(list(query_vec_ids)),
+        columns=["vec_id", "embedding"])
+    qids = qt.column("vec_id").to_pylist()
+    Q = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    # lut[q, s, c] = ||Q[q, s-chunk] - books[s, c]||^2 — tiny
+    # (nq x m x n_codes), shipped once
+    Qs = Q.reshape(len(Q), m, sub)
+    lut = ((Qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+    ref = ray.put((qids, books, lut))
+
+    q_full = ray.put(Q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        qids_, books_, lut_ = ray.get(ref)
+        Q_ = ray.get(q_full)
+        E = np.asarray(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy()
+        n = len(ids)
+        Es = E.reshape(n, m, sub)
+        # encode: nearest codebook entry per subspace — one broadcast
+        # per subspace keeps peak memory at n x n_codes
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            dist = ((Es[:, s, None, :] - books_[None, s, :, :]) ** 2
+                    ).sum(-1)
+            codes[:, s] = dist.argmin(1)
+        # ADC: A[i, q] = sum_s lut[q, s, codes[i, s]]
+        nq = len(qids_)
+        A = np.zeros((n, nq), dtype=np.float64)
+        for s in range(m):
+            A += lut_[:, s, codes[:, s]].T  # (n, nq)
+        out_q, out_v, out_d = [], [], []
+        kk = min(rerank * k, n)
+        for j, qid in enumerate(qids_):
+            short = np.argpartition(A[:, j], kk - 1)[:kk]
+            exact = ((E[short] - Q_[j]) ** 2).sum(-1)
+            top = short[np.argpartition(exact, min(k, kk) - 1)[:k]] \
+                if kk > k else short
+            out_q.extend([qid] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_d.extend(((E[top] - Q_[j]) ** 2).sum(-1).tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "dist": pa.array(out_d, pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    rows = {"query_id": [], "rank": [], "vec_id": [], "dist": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["dist", "vec_id"],
+                          ascending=[True, True]).head(k)
+        rows["query_id"].extend([int(qid)] * len(g))
+        rows["rank"].extend(range(1, len(g) + 1))
+        rows["vec_id"].extend(g["vec_id"].tolist())
+        rows["dist"].extend(g["dist"].tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "dist": pa.array(rows["dist"], pa.float64())})

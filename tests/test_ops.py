@@ -127,6 +127,32 @@ def test_knn_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.5  # nprobe=4/8 buckets
 
 
+def test_knn_pq_recall(ray_session):
+    """PQ-ADC shortlist + exact re-rank recalls the exact L2 top-10."""
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.similarity import knn_pq
+
+    sf = "/root/testdata/sf0.01"
+    t = pq_.read_table(sf + "/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    E = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    res = knn_pq(sf, (0, 1, 2), k=10).to_pandas()
+    recalls = []
+    for q in (0, 1, 2):
+        qv = E[ids == q][0]
+        d = ((E - qv) ** 2).sum(1)
+        truth = set(ids[np.lexsort((ids, d))[:10]].tolist())
+        got = set(res[res["query_id"] == q]["vec_id"])
+        # re-ranked dists must be the EXACT L2 of the returned ids
+        sub = res[res["query_id"] == q]
+        exact = ((E[np.searchsorted(ids, sub["vec_id"].to_numpy())]
+                  - qv) ** 2).sum(1)
+        assert np.allclose(sub["dist"].to_numpy(), exact)
+        recalls.append(len(truth & got) / 10)
+    assert np.mean(recalls) >= 0.8  # measured 1.0; margin for data drift
+
+
 def test_sessionize_gap_semantics(ray_session, tmp_path_factory):
     from search_engine_ray.ops.events import sessionize
 
