@@ -20,8 +20,10 @@ def _ensure_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # no explicit address: inside `ray job submit` / a cluster this
+        # attaches to the running cluster (RAY_ADDRESS or job context);
+        # standalone it starts a local instance — same code path both ways
+        ray.init(include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
