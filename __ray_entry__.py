@@ -156,7 +156,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": sq.q_exact_dedup,
         "events_sessionize": sq.q_sessionize,
         "top_terms_per_lang": sq.q_top_terms_per_lang,
-        "token_entropy": sq.q_token_entropy,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "knn_cosine_top10": sq.q_knn,
         "embedding_near_dups": sq.q_embedding_near_dups,
@@ -187,7 +186,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_returned_customers": sq.q_returned_customers,
         "pii_scan": sq.q_pii_scan,
         "decontaminate_ids": sq.q_decontaminate,
-        "user_rolling_sum3": sq.q_user_rolling_sum3,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         "stratified_sample_20": sq.q_stratified_sample,
         "corpus_freq_score": sq.q_corpus_freq_score,
@@ -195,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_summary": sq.q_curate_summary,
         "length_percentile_filter": sq.q_length_percentile_filter,
         "source_quality_gate": sq.q_source_quality_gate,
+        "dup_ngram_fraction": sq.q_dup_ngram_fraction,
+        "token_budget_mix": sq.q_token_budget_mix,
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
@@ -205,7 +205,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontaminate_ids, customer_order_counts/inactive_customers ~
         # idle_rich_customers (Q22), approx_quantiles ~ value_quantiles,
         # promo_revenue (Q14 broadcast semi-join) ~ small_qty_revenue
-        # (Q17 shuffle semi-join), longest_docs ~ length_percentile)
+        # (Q17 shuffle semi-join), longest_docs ~ length_percentile,
+        # token_entropy/user_rolling_sum3 ~ in-cap per-doc-score and
+        # event-window siblings)
+        "token_entropy": sq.q_token_entropy,
+        "user_rolling_sum3": sq.q_user_rolling_sum3,
         "inactive_customers": sq.q_inactive_customers,
         "latest_event_per_user": sq.q_latest_event,
         "longest_docs_top100": sq.q_longest_docs,
@@ -329,4 +333,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_waiting_suppliers": sq.SQL_WAITING_SUPPLIERS,
         "part_supplier_diversity": sq.SQL_PART_SUPPLIER_DIVERSITY,
         "bigram_lm_nll": sq.SQL_BIGRAM_LM_NLL,
+        "dup_ngram_fraction": sq.SQL_DUP_NGRAM_FRACTION,
+        "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
     }

@@ -2042,3 +2042,56 @@ SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(p.nll_e6, 0)::BIGINT AS nll_e6
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
+
+
+def q_dup_ngram_fraction(sf_dir: str):
+    from search_engine_ray.ops.textstats import dup_ngram_fraction
+
+    return dup_ngram_fraction(sf_dir)
+
+
+SQL_DUP_NGRAM_FRACTION = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+pos AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - 3),
+                      i -> array_to_string(ts[i:i + 4], ' '))) AS g
+        FROM base),
+df AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS df FROM pos GROUP BY g),
+per AS (SELECT p.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM pos p JOIN df ON p.g = df.g GROUP BY p.doc_id)
+SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(per.n_dup, 0)::BIGINT AS n_dup
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+def q_token_budget_mix(sf_dir: str):
+    from search_engine_ray.ops.textstats import token_budget_mix
+
+    return token_budget_mix(sf_dir)
+
+
+def _token_budget_sql() -> str:
+    from search_engine_ray.ops.textstats import (
+        TOKEN_BUDGET_DEFAULT,
+        TOKEN_BUDGETS,
+    )
+
+    cases = " ".join(f"WHEN '{s}' THEN {b}"
+                     for s, b in sorted(TOKEN_BUDGETS.items()))
+    return f"""
+WITH base AS (SELECT doc_id, source,
+                     len({_TOKS_SQL})::BIGINT AS n_tokens,
+                     md5_number_lower(text) % 1000000 AS h
+              FROM documents),
+w AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base)
+SELECT doc_id, source, n_tokens FROM w
+WHERE cum <= CASE source {cases} ELSE {TOKEN_BUDGET_DEFAULT} END
+"""
+
+
+SQL_TOKEN_BUDGET_MIX = _token_budget_sql()

@@ -1369,3 +1369,172 @@ def bigram_lm_nll(sf_dir: str):
 
     scored2 = bucketed_apply(union2, ["w1"], attach_uni)
     return bucketed_sum(scored2, ["doc_id"], ["n_bigrams", "nll_e6"])
+
+
+def dup_ngram_fraction(sf_dir: str, n: int = 5):
+    """Duplicated-text fraction per document (the RefinedWeb/Gopher
+    curation signal): how many of a doc's ``n``-gram positions occur in
+    at least one OTHER document.  Cross-doc df is computed corpus-wide,
+    so boilerplate shared across pages is caught even when no pair of
+    docs is a near-dup.
+
+    Plan: one scan emits per-doc distinct grams with their position
+    multiplicities (plus an m=0 sentinel per doc so gram-less docs
+    survive without a left join); gram df is ONE bucketed count (rows
+    are already unique per (doc, gram)); df rides back onto the doc
+    rows via a gram-keyed tagged-union shuffle whose buckets pre-combine
+    per doc; a final doc_id-keyed sum finishes.  Never broadcasts
+    anything corpus-scaled."""
+    from collections import Counter
+
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id, out_g, out_m = [], [], []
+        for i, t in zip(ids, texts):
+            out_id.append(int(i))
+            out_g.append("")
+            out_m.append(0)
+            ts = simple_tokenize(t)
+            if len(ts) >= n:
+                grams = Counter(" ".join(ts[j:j + n])
+                                for j in range(len(ts) - n + 1))
+                for g, m in grams.items():
+                    out_id.append(int(i))
+                    out_g.append(g)
+                    out_m.append(int(m))
+        return pa.table({
+            "g": pa.array(out_g, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "m": pa.array(out_m, pa.int64())})
+
+    rows = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(doc_grams, batch_format="pyarrow"))
+
+    def df_prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch.column("m"), 0))
+        return pa.table({
+            "g": sub.column("g"),
+            "one": pa.array(np.ones(sub.num_rows, dtype=np.int64))})
+
+    # (doc, gram) rows are unique by construction -> df = row count
+    dfs = bucketed_sum(rows.map_batches(df_prep, batch_format="pyarrow"),
+                       ["g"], ["one"], rename={"one": "df"})
+
+    def tag_df(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        return pa.table({
+            "g": batch.column("g"),
+            "doc_id": pa.array(np.zeros(nr, dtype=np.int64)),
+            "m": pa.array(np.zeros(nr, dtype=np.int64)),
+            "df": batch.column("df").cast(pa.int64()),
+            "side": pa.array(np.zeros(nr, dtype=np.int8))})
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        return batch.append_column(
+            "df", pa.array(np.zeros(nr, dtype=np.int64))).append_column(
+            "side", pa.array(np.ones(nr, dtype=np.int8)))
+
+    union = (dfs.map_batches(tag_df, batch_format="pyarrow")
+             .union(rows.map_batches(tag_rows, batch_format="pyarrow")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.loc[g["side"] == 0, ["g", "df"]]
+        d = g.loc[g["side"] == 1, ["g", "doc_id", "m"]]
+        m_ = d.merge(cnt, on="g", how="left", suffixes=("", "_c"))
+        mm = m_["m"].to_numpy(dtype=np.int64)
+        df_ = m_["df_c" if "df_c" in m_ else "df"]
+        dup = mm * (df_.fillna(0).to_numpy(dtype=np.int64) >= 2)
+        out = pd.DataFrame({"doc_id": m_["doc_id"].to_numpy(np.int64),
+                            "n_grams": mm, "n_dup": dup})
+        return (out.groupby("doc_id", sort=False)[["n_grams", "n_dup"]]
+                .sum().reset_index())
+
+    per = bucketed_apply(union, ["g"], attach)
+    return bucketed_sum(per, ["doc_id"], ["n_grams", "n_dup"])
+
+
+# per-source TOKEN budgets for budgeted corpus mixing — the single
+# source of truth; the SQL oracle's CASE expression is generated from it
+TOKEN_BUDGETS = {f"src{i}": 400 + 61 * i for i in range(20)}
+TOKEN_BUDGET_DEFAULT = 800
+
+
+def token_budget_mix(sf_dir: str):
+    """Token-budgeted corpus mixing (the data-mixture step when targets
+    are TOKENS per source, not doc keep-rates): within each source,
+    admit docs in a deterministic content-hash order until the source's
+    token budget is exhausted.  Reproducible at any cluster size — the
+    admission order is (md5(text) residue, doc_id), not arrival order.
+
+    Distributed as a two-phase EXCLUSIVE PREFIX SCAN over hash-ordered
+    range buckets (the ``packing_plan`` pattern applied across docs of a
+    source instead of positions of a stream): phase 1 reduces per
+    (source, range-bucket) token totals — sources x 256 rows to the
+    driver at ANY corpus size; phase 2 re-scans with the broadcast
+    bucket offsets and keeps docs whose inclusive running total fits
+    the budget, sorting only within each (source, bucket) group."""
+    import hashlib as _h
+
+    import ray
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    _MOD = 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        h = np.array(
+            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
+                            "little") % _MOD for t in texts],
+            dtype=np.int64)
+        nt = np.array([len(simple_tokenize(t)) for t in texts],
+                      dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+            "h": pa.array(h, pa.int64()),
+            "hb": pa.array(h * 256 // _MOD, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64())})
+
+    base = (ray.data.read_parquet(path,
+                                  columns=["doc_id", "source", "text"])
+            .map_batches(prep, batch_format="pyarrow"))
+
+    totals = (bucketed_sum(base, ["source", "hb"], ["n_tokens"],
+                           rename={"n_tokens": "tot"})
+              .to_pandas().sort_values(["source", "hb"]))
+    offs = {}
+    for src, grp in totals.groupby("source", sort=False):
+        run = 0
+        for hb, tot in zip(grp["hb"], grp["tot"]):
+            offs[(src, int(hb))] = run
+            run += int(tot)
+    off_ref = ray.put(offs)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)
+        g = g.sort_values(["source", "hb", "h", "doc_id"]).reset_index(
+            drop=True)
+        cum = g.groupby(["source", "hb"], sort=False)["n_tokens"].cumsum()
+        start = np.array([o.get((s, int(b)), 0)
+                          for s, b in zip(g["source"], g["hb"])],
+                         dtype=np.int64)
+        budget = np.array([TOKEN_BUDGETS.get(s, TOKEN_BUDGET_DEFAULT)
+                           for s in g["source"]], dtype=np.int64)
+        keep = (start + cum.to_numpy()) <= budget
+        out = g.loc[keep, ["doc_id", "source", "n_tokens"]]
+        return out.reset_index(drop=True)
+
+    return bucketed_apply(base, ["source", "hb"], per_bucket)
