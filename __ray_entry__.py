@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Q17 shuffle semi-join), longest_docs ~ length_percentile,
         # token_entropy/user_rolling_sum3 ~ in-cap per-doc-score and
         # event-window siblings)
+        "retention_cohorts": sq.q_retention_cohorts,
         "token_entropy": sq.q_token_entropy,
         "user_rolling_sum3": sq.q_user_rolling_sum3,
         "inactive_customers": sq.q_inactive_customers,
@@ -335,4 +336,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_nll": sq.SQL_BIGRAM_LM_NLL,
         "dup_ngram_fraction": sq.SQL_DUP_NGRAM_FRACTION,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
+        "retention_cohorts": sq.SQL_RETENTION_COHORTS,
     }

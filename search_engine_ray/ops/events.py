@@ -352,3 +352,44 @@ def latest_event_per_user(sf_dir: str):
     return bucketed_apply(
         ds.map_batches(partial_latest, batch_format="pyarrow"),
         ["user_id"], final_latest)
+
+
+def retention_cohorts(sf_dir: str, max_k: int = 3):
+    """Weekly retention cohorts: users grouped by their first-activity
+    week (the cohort), counted as retained in week ``cohort + k`` for
+    k = 0..``max_k`` — the standard product-analytics retention matrix.
+
+    Plan: one scan pre-dedups (user, week) pairs per batch, ONE
+    user-keyed bucket shuffle computes each user's cohort (min week)
+    and emits its distinct (cohort, k) memberships, and a final tiny
+    sum finishes — per-user state never leaves its bucket, and the
+    result is bounded by weeks x max_k regardless of corpus size."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+
+    week_us = 7 * 86_400 * 1_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(),
+            "w": ts // week_us}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "w"])
+        cohort = g.groupby("user_id", sort=False)["w"].transform("min")
+        k = (g["w"] - cohort).to_numpy(dtype=np.int64)
+        keep = k <= max_k
+        return pd.DataFrame({
+            "cohort_week": cohort.to_numpy(dtype=np.int64)[keep],
+            "k": k[keep],
+            "one": np.ones(int(keep.sum()), dtype=np.int64)})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    per = bucketed_apply(ds.map_batches(pairs, batch_format="pyarrow"),
+                         ["user_id"], per_user)
+    return bucketed_sum(per, ["cohort_week", "k"], ["one"],
+                        rename={"one": "n_users"})

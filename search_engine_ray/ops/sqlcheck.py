@@ -2095,3 +2095,22 @@ WHERE cum <= CASE source {cases} ELSE {TOKEN_BUDGET_DEFAULT} END
 
 
 SQL_TOKEN_BUDGET_MIX = _token_budget_sql()
+
+
+def q_retention_cohorts(sf_dir: str):
+    from search_engine_ray.ops.events import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
+SQL_RETENTION_COHORTS = """
+WITH uw AS (SELECT DISTINCT user_id,
+                   (epoch_us(ts) // (7 * 86400 * 1000000::BIGINT))::BIGINT AS w
+            FROM events),
+c AS (SELECT user_id, min(w) AS cohort FROM uw GROUP BY user_id)
+SELECT c.cohort AS cohort_week, (uw.w - c.cohort)::BIGINT AS k,
+       count(DISTINCT uw.user_id)::BIGINT AS n_users
+FROM uw JOIN c USING (user_id)
+WHERE uw.w - c.cohort <= 3
+GROUP BY 1, 2
+"""
