@@ -96,6 +96,12 @@ def _cms_term_estimates(sf_dir: str):
     return cms_term_estimates(sf_dir)
 
 
+def _bpe_train(sf_dir: str):
+    from search_engine_ray.ops.textstats import bpe_train_merges
+
+    return bpe_train_merges(sf_dir)
+
+
 def _knn_pq(sf_dir: str):
     from search_engine_ray.ops.similarity import knn_pq
 
@@ -246,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
         "knn_pq_top10": _knn_pq,
+        "bpe_train_merges": _bpe_train,
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,
         "cms_term_estimates": _cms_term_estimates,

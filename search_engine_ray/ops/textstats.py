@@ -1538,3 +1538,109 @@ def token_budget_mix(sf_dir: str):
         return out.reset_index(drop=True)
 
     return bucketed_apply(base, ["source", "hb"], per_bucket)
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = 12):
+    """Distributed BPE tokenizer TRAINING (Sennrich-style): learn the
+    top ``n_merges`` merge rules from the corpus — the step that
+    produces a tokenizer, not just applies one.
+
+    The standard vocabulary compression makes this tractable at any
+    corpus size: the corpus collapses to a (word, count) table via ONE
+    bucketed sum (vocabulary-bounded, not corpus-bounded), and every
+    merge iteration then runs over that small table — per-batch
+    weighted pair counting pre-combined before a bucketed sum, a
+    driver-side argmax over the pair-count table (symbol-pair-space
+    sized), and a vectorizable merge application map.  Each iteration
+    materializes the updated vocab table (vocab-bounded — the
+    documented exception to no-mid-pipeline-materialize, since lazy
+    re-execution would replay all prior merges every round).
+
+    Ties break by (count desc, left asc, right asc) so the learned
+    sequence is deterministic at any cluster size.  Returns
+    (rank, left, right, pair_count).  Gated by exact parity with a
+    single-process reference trainer (tests), not a SQL oracle —
+    iterative argmax training is not SQL-expressible."""
+    from collections import Counter
+
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(simple_tokenize(t))
+        items = list(c.items())
+        return pa.table({
+            "word": pa.array([w for w, _ in items], pa.string()),
+            "c": pa.array([n for _, n in items], pa.int64())})
+
+    vocab = bucketed_sum(
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(word_counts, batch_format="pyarrow"),
+        ["word"], ["c"])
+
+    _SEP = "\x00"  # symbol separator inside the evolving word encoding
+
+    def to_syms(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        return pa.table({
+            "syms": pa.array([_SEP.join(w) for w in words], pa.string()),
+            "c": batch.column("c")})
+
+    cur = vocab.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    merges = []
+    for rank in range(n_merges):
+        def pair_counts(batch: pa.Table) -> pa.Table:
+            pc_ = Counter()
+            for syms, c in zip(batch.column("syms").to_pylist(),
+                               batch.column("c").to_numpy()):
+                parts = syms.split(_SEP)
+                for a, b in zip(parts[:-1], parts[1:]):
+                    pc_[(a, b)] += int(c)
+            items = list(pc_.items())
+            return pa.table({
+                "left": pa.array([a for (a, _), _ in items], pa.string()),
+                "right": pa.array([b for (_, b), _ in items], pa.string()),
+                "n": pa.array([n for _, n in items], pa.int64())})
+
+        pairs = bucketed_sum(
+            cur.map_batches(pair_counts, batch_format="pyarrow"),
+            ["left", "right"], ["n"]).to_pandas()
+        if not len(pairs):
+            break
+        # deterministic argmax: count desc, then (left, right) asc
+        pairs = pairs.sort_values(["n", "left", "right"],
+                                  ascending=[False, True, True])
+        best = pairs.iloc[0]
+        left, right, cnt = str(best["left"]), str(best["right"]), \
+            int(best["n"])
+        merges.append((rank, left, right, cnt))
+        # boundary-guarded: (left, right) must each be WHOLE symbols —
+        # lookarounds anchor both ends to string edge or the \x00
+        # separator, so e.g. merging (b, c) cannot fire inside
+        # ["ab", "c"]; re.sub's left-to-right non-overlap mirrors the
+        # reference trainer's scan order
+        pat = re.compile("(?<![^\x00])" + re.escape(left) + _SEP
+                         + re.escape(right) + "(?![^\x00])")
+
+        def apply_merge(batch: pa.Table, pat=pat,
+                        repl=left + right) -> pa.Table:
+            syms = batch.column("syms").to_pylist()
+            return pa.table({
+                "syms": pa.array([pat.sub(repl, s) for s in syms],
+                                 pa.string()),
+                "c": batch.column("c")})
+
+        cur = cur.map_batches(apply_merge,
+                              batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64())})

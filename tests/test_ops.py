@@ -153,6 +153,51 @@ def test_knn_pq_recall(ray_session):
     assert np.mean(recalls) >= 0.8  # measured 1.0; margin for data drift
 
 
+def test_bpe_train_merges_parity(ray_session):
+    """Distributed BPE training learns the exact same merge sequence as
+    a single-process reference trainer (same tie-breaks)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.textstats import bpe_train_merges
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_train_merges(sf, n_merges=10).to_pandas()
+
+    words = Counter()
+    for t in pq_.read_table(sf + "/documents.parquet",
+                            columns=["text"]).column("text").to_pylist():
+        words.update(simple_tokenize(t))
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for rank in range(10):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms[:-1], syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        expect.append((rank, l, r, cnt))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    assert [tuple(x) for x in got.itertuples(index=False)] == expect
+
+
 def test_sessionize_gap_semantics(ray_session, tmp_path_factory):
     from search_engine_ray.ops.events import sessionize
 
