@@ -190,11 +190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_nll": sq.q_bigram_lm_nll,
         "json_field_stats": sq.q_json_field_stats,
         "tpch_returned_customers": sq.q_returned_customers,
-        "pii_scan": sq.q_pii_scan,
+        "dataset_profile": sq.q_dataset_profile,
         "decontaminate_ids": sq.q_decontaminate,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         "stratified_sample_20": sq.q_stratified_sample,
-        "corpus_freq_score": sq.q_corpus_freq_score,
+        "snapshot_diff": sq.q_snapshot_diff,
         "packing_plan_512": sq.q_packing_plan,
         "curate_summary": sq.q_curate_summary,
         "length_percentile_filter": sq.q_length_percentile_filter,
@@ -213,8 +213,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # promo_revenue (Q14 broadcast semi-join) ~ small_qty_revenue
         # (Q17 shuffle semi-join), longest_docs ~ length_percentile,
         # token_entropy/user_rolling_sum3 ~ in-cap per-doc-score and
-        # event-window siblings)
+        # event-window siblings, pii_scan ~ quality_counts per-doc map
+        # shape, corpus_freq_score ~ bigram_lm_nll train+score shape)
         "retention_cohorts": sq.q_retention_cohorts,
+        "pii_scan": sq.q_pii_scan,
+        "corpus_freq_score": sq.q_corpus_freq_score,
         "token_entropy": sq.q_token_entropy,
         "user_rolling_sum3": sq.q_user_rolling_sum3,
         "inactive_customers": sq.q_inactive_customers,
@@ -344,4 +347,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": sq.SQL_DUP_NGRAM_FRACTION,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,
+        "dataset_profile": sq.SQL_DATASET_PROFILE,
+        "snapshot_diff": sq.SQL_SNAPSHOT_DIFF,
     }

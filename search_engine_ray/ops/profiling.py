@@ -1,0 +1,164 @@
+"""Table utilities every production engine ships: column profiling and
+snapshot diffing (CDC), both as single-shuffle Dataset pipelines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value")
+
+
+def dataset_profile(sf_dir: str, table: str = "events",
+                    columns=_PROFILE_COLS):
+    """Per-column profile of a table: row count, null count, exact
+    distinct count — the schema-discovery step before any pipeline
+    touches unfamiliar data.
+
+    Plan: ONE scan emits, per column, a per-batch partial (rows, nulls)
+    row plus the batch's DISTINCT canonical values keyed (column,
+    value); one bucket shuffle then counts uniques per column
+    vectorized and a driver-side merge of the two tiny aggregates
+    finishes.  Canonical value encoding is exact (float64 hex, int
+    repr), so the distinct count is the true one, not a sketch — use
+    ``hll_distinct`` when an estimate is enough."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    columns = list(columns)
+
+    def canon(col: pa.ChunkedArray | pa.Array) -> list:
+        vals = col.to_pylist()
+        out = []
+        for v in vals:
+            if v is None:
+                continue
+            if isinstance(v, float):
+                out.append(np.float64(v).hex())
+            else:
+                out.append(str(v))
+        return out
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols, kinds, vals, ns = [], [], [], []
+        for c in columns:
+            arr = batch.column(c)
+            # partial (rows, nulls) as two tagged count rows
+            cols.extend([c, c])
+            kinds.extend(["rows", "nulls"])
+            vals.extend(["", ""])
+            ns.extend([batch.num_rows, arr.null_count])
+            for v in set(canon(arr)):
+                cols.append(c)
+                kinds.append("val")
+                vals.append(v)
+                ns.append(1)
+        return pa.table({
+            "col_name": pa.array(cols, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "v": pa.array(vals, pa.string()),
+            "n": pa.array(np.asarray(ns, dtype=np.int64))})
+
+    rows = (ray.data.read_parquet(path, columns=columns)
+            .map_batches(prep, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (g[g["kind"] != "val"]
+                  .groupby(["col_name", "kind"], sort=False)["n"].sum()
+                  .reset_index())
+        dv = g[g["kind"] == "val"].drop_duplicates(["col_name", "v"])
+        dvc = (dv.groupby("col_name", sort=False).size()
+               .rename("n").reset_index())
+        dvc["kind"] = "distinct"
+        out = pd.concat([counts, dvc[["col_name", "kind", "n"]]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    # (col, v) pairs co-locate because v="" for the count rows rides
+    # the same key space; per-bucket dedup is exact since the shuffle
+    # key includes v
+    agg = (bucketed_apply(rows, ["col_name", "v"], per_bucket)
+           .to_pandas())  # <= 3 rows per column — dimension-sized
+    piv = (agg.groupby(["col_name", "kind"])["n"].sum().unstack()
+           .fillna(0).astype("int64"))
+    piv = piv.reindex(columns)
+    return pa.table({
+        "col_name": pa.array(list(piv.index), pa.string()),
+        "n_rows": pa.array(piv["rows"].to_numpy(), pa.int64()),
+        "n_null": pa.array(piv["nulls"].to_numpy(), pa.int64()),
+        "n_distinct": pa.array(piv["distinct"].to_numpy(), pa.int64())})
+
+
+def snapshot_diff(sf_dir: str):
+    """CDC-style diff of two corpus snapshots (added / removed /
+    changed doc ids).  The "new" snapshot is derived deterministically
+    from the documents table so the op is oracle-checkable: docs with
+    ``doc_id % 13 == 0`` are deleted, ``% 7 == 0`` have edited text,
+    and ``% 11 == 0`` are re-inserted under ``doc_id + 1_000_000``.
+
+    Plan: both snapshots reduce to (doc_id, content-hash) rows in the
+    scan, and ONE tagged-union doc_id shuffle compares sides per
+    bucket — the textbook two-snapshot reconciliation, no driver sets.
+    At 100 TB the same shape holds because only ids + 32-byte hashes
+    ride the shuffle, never text."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def _h(t: str) -> str:
+        return hashlib.md5(t.encode("utf-8")).hexdigest()
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        hs = [_h(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "h": pa.array(hs, pa.string()),
+            "side": pa.array(np.zeros(len(ids), dtype=np.int8))})
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_id, out_h = [], []
+        for i, t in zip(ids, texts):
+            if i % 13 != 0:
+                out_id.append(int(i))
+                out_h.append(_h(t + " v2" if i % 7 == 0 else t))
+            if i % 11 == 0:
+                out_id.append(int(i) + 1_000_000)
+                out_h.append(_h(t))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "h": pa.array(out_h, pa.string()),
+            "side": pa.array(np.ones(len(out_id), dtype=np.int8))})
+
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    union = (ds.map_batches(old_side, batch_format="pyarrow")
+             .union(ds.map_batches(new_side, batch_format="pyarrow")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["side"] == 0, ["doc_id", "h"]]
+        n = g.loc[g["side"] == 1, ["doc_id", "h"]]
+        m = o.merge(n, on="doc_id", how="outer",
+                    suffixes=("_o", "_n"), indicator=True)
+        status = np.where(m["_merge"] == "right_only", "added",
+                          np.where(m["_merge"] == "left_only", "removed",
+                                   "changed"))
+        keep = (m["_merge"] != "both") | (m["h_o"] != m["h_n"])
+        out = pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(dtype=np.int64)[
+                keep.to_numpy()],
+            "status": status[keep.to_numpy()]})
+        return out
+
+    return bucketed_apply(union, ["doc_id"], per_bucket)

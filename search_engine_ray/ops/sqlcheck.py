@@ -2114,3 +2114,44 @@ FROM uw JOIN c USING (user_id)
 WHERE uw.w - c.cohort <= 3
 GROUP BY 1, 2
 """
+
+
+def q_dataset_profile(sf_dir: str):
+    from search_engine_ray.ops.profiling import dataset_profile
+
+    return dataset_profile(sf_dir)
+
+
+def _profile_col_sql(c: str) -> str:
+    return (f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct FROM events")
+
+
+SQL_DATASET_PROFILE = " UNION ALL ".join(
+    _profile_col_sql(c)
+    for c in ("event_id", "user_id", "event_type", "value"))
+
+
+def q_snapshot_diff(sf_dir: str):
+    from search_engine_ray.ops.profiling import snapshot_diff
+
+    return snapshot_diff(sf_dir)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+           AS h
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 11 = 0)
+SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+"""
