@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-window siblings, pii_scan ~ quality_counts per-doc map
         # shape, corpus_freq_score ~ bigram_lm_nll train+score shape)
         "retention_cohorts": sq.q_retention_cohorts,
+        "funnel_conversion": sq.q_funnel_conversion,
         "pii_scan": sq.q_pii_scan,
         "corpus_freq_score": sq.q_corpus_freq_score,
         "token_entropy": sq.q_token_entropy,
@@ -349,4 +350,5 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,
         "dataset_profile": sq.SQL_DATASET_PROFILE,
         "snapshot_diff": sq.SQL_SNAPSHOT_DIFF,
+        "funnel_conversion": sq.SQL_FUNNEL_CONVERSION,
     }

@@ -393,3 +393,60 @@ def retention_cohorts(sf_dir: str, max_k: int = 3):
                          ["user_id"], per_user)
     return bucketed_sum(per, ["cohort_week", "k"], ["one"],
                         rename={"one": "n_users"})
+
+
+def funnel_conversion(sf_dir: str,
+                      steps=("view", "click", "purchase"),
+                      within_s: int = 86_400):
+    """Ordered funnel conversion: how many users complete each prefix
+    of ``steps``, where every step must happen strictly after the
+    previous qualifying step and within ``within_s`` of it (greedy
+    earliest-completion semantics, the standard analytics definition).
+
+    Plan: the scan keeps only funnel-typed events, ONE user-keyed
+    bucket shuffle co-locates each user's events, and each bucket runs
+    the whole funnel VECTORIZED (per-step merge + filter + groupby-min
+    across all users at once — no per-user Python loop); per-bucket
+    (step, n) partials then sum to len(steps) rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    within_us = within_s * 1_000_000
+    steps = list(steps)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        keep = np.array([e in steps for e in et], dtype=bool)
+        sub = batch.filter(pa.array(keep))
+        return pa.table({
+            "user_id": sub.column("user_id"),
+            "event_type": sub.column("event_type"),
+            "ts_us": sub.column("ts").cast(pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (g[g["event_type"] == steps[0]]
+               .groupby("user_id", sort=False)["ts_us"].min()
+               .rename("t").reset_index())
+        out_step, out_n = [1], [np.int64(len(cur))]
+        for i, st in enumerate(steps[1:], start=2):
+            nxt = g.loc[g["event_type"] == st, ["user_id", "ts_us"]]
+            m = nxt.merge(cur, on="user_id", how="inner")
+            ok = ((m["ts_us"] > m["t"])
+                  & (m["ts_us"] <= m["t"] + within_us))
+            cur = (m.loc[ok].groupby("user_id", sort=False)["ts_us"]
+                   .min().rename("t").reset_index())
+            out_step.append(i)
+            out_n.append(np.int64(len(cur)))
+        return pd.DataFrame({
+            "step": np.asarray(out_step, dtype=np.int64),
+            "step_type": steps,
+            "n_users": np.asarray(out_n, dtype=np.int64)})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type", "ts"])
+    per = bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["user_id"], per_bucket)
+    return (per.groupby(["step", "step_type"])
+            .aggregate(Sum("n_users", alias_name="n_users")))

@@ -2155,3 +2155,26 @@ SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id,
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
 """
+
+
+def q_funnel_conversion(sf_dir: str):
+    from search_engine_ray.ops.events import funnel_conversion
+
+    return funnel_conversion(sf_dir)
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+s1 AS (SELECT user_id, min(t) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND t > t1
+         AND t <= t1 + 86400 * 1000000::BIGINT GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND t > t2
+         AND t <= t2 + 86400 * 1000000::BIGINT GROUP BY e.user_id)
+SELECT 1::BIGINT AS step, 'view' AS step_type,
+       count(*)::BIGINT AS n_users FROM s1
+UNION ALL SELECT 2, 'click', count(*) FROM s2
+UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+"""
