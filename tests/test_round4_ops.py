@@ -1,0 +1,141 @@
+"""Non-default-parameter and invariant tests for the late round-4 ops
+(the driver/mirror gate only exercises default arguments)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture()
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_waiting_suppliers_nondefault_grace(ray_session, ddb):
+    from search_engine_ray.ops.relational import waiting_suppliers
+
+    got = _norm(waiting_suppliers(SF, grace_days=30).to_pandas())
+    want = _norm(ddb.execute("""
+WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+o AS (SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderstatus = 'F')
+SELECT s_name, n_name, count(*)::BIGINT AS numwait
+FROM supplier s
+JOIN l l1 ON s.s_suppkey = l1.l_suppkey
+JOIN o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name, n_name ORDER BY numwait DESC, s_name LIMIT 100
+""").df())
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_part_supplier_diversity_nondefault_excl(ray_session, ddb):
+    from search_engine_ray.ops.relational import part_supplier_diversity
+
+    got = _norm(part_supplier_diversity(
+        SF, excl_brand="Brand#5", excl_type="SMALL").to_pandas())
+    want = _norm(ddb.execute("""
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'SMALL'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY 1, 2, 3
+""").df())
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_token_budget_mix_invariants(ray_session):
+    import os
+
+    from search_engine_ray.ops.textstats import (
+        TOKEN_BUDGET_DEFAULT,
+        TOKEN_BUDGETS,
+        token_budget_mix,
+    )
+
+    kept = token_budget_mix(SF01).to_pandas()
+    sums = kept.groupby("source")["n_tokens"].sum()
+    for src, tot in sums.items():
+        assert tot <= TOKEN_BUDGETS.get(src, TOKEN_BUDGET_DEFAULT)
+    # determinism across shuffle widths (cluster-size independence)
+    os.environ["SE_RAY_N_BUCKETS"] = "17"
+    try:
+        kept2 = token_budget_mix(SF01).to_pandas()
+    finally:
+        del os.environ["SE_RAY_N_BUCKETS"]
+    a = kept.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = kept2.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert a[["doc_id", "source", "n_tokens"]].equals(
+        b[["doc_id", "source", "n_tokens"]])
+
+
+def test_funnel_monotone_and_retention_cohort_total(ray_session):
+    from search_engine_ray.ops.events import (
+        funnel_conversion,
+        retention_cohorts,
+    )
+
+    f = funnel_conversion(SF01).to_pandas().sort_values("step")
+    n = f["n_users"].to_numpy()
+    assert (np.diff(n) <= 0).all()  # each funnel step can only shrink
+
+    r = retention_cohorts(SF01).to_pandas()
+    week0 = int(r.loc[r["k"] == 0, "n_users"].sum())
+    import duckdb as d
+
+    total = d.sql(f"SELECT count(DISTINCT user_id) FROM "
+                  f"read_parquet('{SF01}/events.parquet')").fetchone()[0]
+    assert week0 == total  # every user is in their own cohort at k=0
+
+
+def test_dup_ngram_fraction_planted_pair(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.textstats import dup_ngram_fraction
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu")
+    uniq = "one two three four five six seven eight nine ten"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, base, uniq], pa.string()),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(base), len(base), len(uniq)],
+                            pa.int64())})
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = dup_ngram_fraction(str(d)).to_pandas().set_index("doc_id")
+    # the two identical docs share every 5-gram; the unique doc none
+    assert out.loc[1, "n_dup"] == out.loc[1, "n_grams"] > 0
+    assert out.loc[2, "n_dup"] == out.loc[2, "n_grams"]
+    assert out.loc[3, "n_dup"] == 0 and out.loc[3, "n_grams"] > 0
