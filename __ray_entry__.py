@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shape, corpus_freq_score ~ bigram_lm_nll train+score shape)
         "retention_cohorts": sq.q_retention_cohorts,
         "funnel_conversion": sq.q_funnel_conversion,
+        "weighted_sample_50": sq.q_weighted_sample,
         "pii_scan": sq.q_pii_scan,
         "corpus_freq_score": sq.q_corpus_freq_score,
         "token_entropy": sq.q_token_entropy,
@@ -351,4 +352,5 @@ def oracle_sql() -> dict[str, str]:
         "dataset_profile": sq.SQL_DATASET_PROFILE,
         "snapshot_diff": sq.SQL_SNAPSHOT_DIFF,
         "funnel_conversion": sq.SQL_FUNNEL_CONVERSION,
+        "weighted_sample_50": sq.SQL_WEIGHTED_SAMPLE,
     }

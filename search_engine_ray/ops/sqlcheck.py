@@ -2178,3 +2178,18 @@ SELECT 1::BIGINT AS step, 'view' AS step_type,
 UNION ALL SELECT 2, 'click', count(*) FROM s2
 UNION ALL SELECT 3, 'purchase', count(*) FROM s3
 """
+
+
+def q_weighted_sample(sf_dir: str):
+    from search_engine_ray.ops.textstats import weighted_sample_topk
+
+    return weighted_sample_topk(sf_dir)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((md5_number_lower(text) % 1000000 + 1) / 1000001.0)
+           / n_chars AS k
+  FROM documents ORDER BY k DESC, doc_id LIMIT 50)
+"""

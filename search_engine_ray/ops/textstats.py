@@ -1644,3 +1644,54 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 12):
         "left": pa.array([m[1] for m in merges], pa.string()),
         "right": pa.array([m[2] for m in merges], pa.string()),
         "pair_count": pa.array([m[3] for m in merges], pa.int64())})
+
+
+def weighted_sample_topk(sf_dir: str, k: int = 50):
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): each doc gets priority ``ln(u) / w`` with a
+    deterministic hash-derived u in (0,1) and weight w = n_chars; the
+    global top-``k`` priorities ARE a weighted sample — the standard
+    one-pass, coordination-free way to draw a weighted subset from a
+    stream that no single node can hold.
+
+    Plan: the priority is computed vectorized per batch and only a
+    per-batch top-``k`` survives to the driver merge (k rows per batch,
+    never the corpus).  Deterministic u makes the draw reproducible at
+    any cluster size and lets a DuckDB oracle verify the exact selected
+    set (ties broken by doc_id on both sides)."""
+    import hashlib as _h
+
+    import ray.data
+
+    _MOD = 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        w = batch.column("n_chars").to_numpy().astype(np.float64)
+        u = (np.array(
+            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
+                            "little") % _MOD
+             for t in batch.column("text").to_pylist()],
+            dtype=np.float64) + 1.0) / (_MOD + 1.0)
+        key = np.log(u) / w
+        kk = min(k, len(ids))
+        if kk < len(ids):
+            top = np.argpartition(-key, kk - 1)[:kk]
+        else:
+            top = np.arange(len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids[top], pa.int64()),
+            "n_chars": pa.array(w[top].astype(np.int64), pa.int64()),
+            "key": pa.array(key[top], pa.float64())})
+
+    parts = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas())  # <= k rows per batch
+    parts = parts.sort_values(["key", "doc_id"],
+                              ascending=[False, True]).head(k)
+    return pa.table({
+        "doc_id": pa.array(parts["doc_id"].to_numpy(np.int64), pa.int64()),
+        "n_chars": pa.array(parts["n_chars"].to_numpy(np.int64),
+                            pa.int64())})
