@@ -193,9 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_profile": sq.q_dataset_profile,
         "decontaminate_ids": sq.q_decontaminate,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
-        "stratified_sample_20": sq.q_stratified_sample,
+        "funnel_conversion": sq.q_funnel_conversion,
         "snapshot_diff": sq.q_snapshot_diff,
-        "packing_plan_512": sq.q_packing_plan,
+        "weighted_sample_50": sq.q_weighted_sample,
         "curate_summary": sq.q_curate_summary,
         "length_percentile_filter": sq.q_length_percentile_filter,
         "source_quality_gate": sq.q_source_quality_gate,
@@ -214,10 +214,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (Q17 shuffle semi-join), longest_docs ~ length_percentile,
         # token_entropy/user_rolling_sum3 ~ in-cap per-doc-score and
         # event-window siblings, pii_scan ~ quality_counts per-doc map
-        # shape, corpus_freq_score ~ bigram_lm_nll train+score shape)
+        # shape, corpus_freq_score ~ bigram_lm_nll train+score shape,
+        # stratified_sample ~ weighted_sample hash-order sampling,
+        # packing_plan ~ token_budget_mix two-phase prefix scan;
+        # retention_cohorts rides the mirror gate with the in-cap event
+        # rows covering its shuffle shape)
         "retention_cohorts": sq.q_retention_cohorts,
-        "funnel_conversion": sq.q_funnel_conversion,
-        "weighted_sample_50": sq.q_weighted_sample,
+        "stratified_sample_20": sq.q_stratified_sample,
+        "packing_plan_512": sq.q_packing_plan,
         "pii_scan": sq.q_pii_scan,
         "corpus_freq_score": sq.q_corpus_freq_score,
         "token_entropy": sq.q_token_entropy,

@@ -93,8 +93,14 @@ PARSED_SCHEMA = pa.schema([
 ])
 
 # reserved dictionary keys carrying corpus stats through the dict shuffle
-NDOCS_KEY = "\x00__ndocs__"
-SUMDL_KEY = "\x00__sumdl__"
+# \x01 prefix, NOT \x00: pandas' khash-based string factorization
+# (groupby / pd.util.hash_array) treats object strings as C strings and
+# stops hashing/comparing at a NUL byte, so two distinct "\x00..."-keys
+# GROUP AS EQUAL — with both stats keys in one dict bucket (always true
+# at term_buckets=1) their partial sums silently merged.  \x01 is just
+# as unreachable by real tokens and survives pandas grouping intact.
+NDOCS_KEY = "\x01__ndocs__"
+SUMDL_KEY = "\x01__sumdl__"
 
 _RUN_FIELDS = [
     ("tbucket", pa.int32()),  # shuffle partition: hash(term) % term_buckets
@@ -276,7 +282,7 @@ def dict_partial_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
     vc = pc.list_flatten(batch.column("terms")).value_counts()
     sub(vc.field("values"), df=vc.field("counts"))
 
-    # corpus stats ride the same shuffle as reserved "\x00" keys — saves a
+    # corpus stats ride the same shuffle as reserved "\x01" keys — saves a
     # separate full-scan aggregate execution (n_docs / sum(doc_length))
     sub(pa.array([NDOCS_KEY, SUMDL_KEY], pa.string()),
         df=pa.array([batch.num_rows,
@@ -307,8 +313,8 @@ def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
     import pandas as pd
 
     df = batch.to_pandas()
-    stats = df[df["key"].str.startswith("\x00")]
-    df = df[~df["key"].str.startswith("\x00")]
+    stats = df[df["key"].str.startswith("\x01")]
+    df = df[~df["key"].str.startswith("\x01")]
     df = df[df["df"].notna() & (df["df"] > 0)]
     # entity<2 prune: posting term string equals an entity-chunk string
     # with doc-count < 2  (case mismatch makes this near-dead; as-written)
@@ -318,6 +324,20 @@ def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
     df = df[keep]
     rewritten = df["caps"].astype("float64").fillna(0.0).astype(int) == 1
     final = df["key"].where(~rewritten, df["key"].str.upper())
+    # str.upper() is not injective ('straße'/'strasse' -> 'STRASSE'):
+    # when two orig keys in this bucket share a final term, the
+    # reference's sorted-order merge overwrite keeps the GREATEST orig
+    # key's entry (indexer.py:161-166; oracle.finalize mirrors it) — the
+    # lesser key's row is dropped here, which also prunes its postings
+    # (no verdict -> FinalizeBucket skips them), exactly last-wins.
+    if final.duplicated().any():
+        win = (pd.DataFrame({"f": final.to_numpy(),
+                             "k": df["key"].to_numpy()})
+               .sort_values("k").groupby("f")["k"].last())
+        keepm = df["key"].to_numpy() == win.loc[final.to_numpy()].to_numpy()
+        df = df[keepm]
+        rewritten = rewritten[keepm]
+        final = final[keepm]
     return pa.table({
         "term": pa.array(final.tolist() + stats["key"].tolist(), pa.string()),
         "orig_term": pa.array(df["key"].tolist() + stats["key"].tolist(),
@@ -572,6 +592,7 @@ class FinalizeBucket:
         from search_engine_ray.ids import term_bucket as _tb
 
         out = {k: [] for k in self._OUT_COLS}
+        out_orig: list = []
         for k in range(len(seg_starts)):
             term = uniques[seg_term[seg_starts[k]]]
             verdict = term_map.get(term)
@@ -597,6 +618,22 @@ class FinalizeBucket:
             out["blk_max"].append(blk_max32[fb:fb + nb].tobytes())
             out["blk_doc_off"].append(blk_doc_all[fb:fb + nb].tobytes())
             out["blk_tf_off"].append(blk_tf_all[fb:fb + nb].tobytes())
+            out_orig.append(term)
+        # the capitals UPPER rewrite is not injective (two distinct orig
+        # terms — e.g. 'straße' and 'strasse' — can share a final UPPER
+        # term and, with 1/term_buckets probability, this partition).
+        # The reference's merge overwrites the dict entry as it walks
+        # terms in sorted order (indexer.py:161-166), i.e. the
+        # lexicographically GREATEST orig term wins; oracle.finalize
+        # mirrors that, and so must we — keep that row, drop the rest.
+        if len(set(out["term"])) != len(out["term"]):
+            best: dict[str, int] = {}
+            for i, ft in enumerate(out["term"]):
+                j = best.get(ft)
+                if j is None or out_orig[i] > out_orig[j]:
+                    best[ft] = i
+            keep = sorted(best.values())
+            out = {k: [v[i] for i in keep] for k, v in out.items()}
         types = {"shard": pa.int32(), "tbucket": pa.int32(),
                  "term": pa.string(), "df_global": pa.int64(),
                  "n": pa.int64()}
@@ -607,9 +644,10 @@ class FinalizeBucket:
         # INVARIANT the query engine's footer-stats bisect relies on
         # (engine.py _read_term_groups): each posting file holds at most
         # ONE row per term — true because every reduce partition is a
-        # single shard of one tbucket.  Assert it here so a future
-        # multi-row-per-term writer fails loudly at BUILD time instead
-        # of silently dropping postings at query time.
+        # single shard of one tbucket and rewrite collisions were deduped
+        # above.  Assert it so a future multi-row-per-term writer fails
+        # loudly at BUILD time instead of silently dropping postings at
+        # query time.
         terms = tbl.column("term").to_pylist()
         if len(terms) != len(set(terms)):
             raise AssertionError(
@@ -865,7 +903,7 @@ def _reduce_postings_part(part_dir: str, dict_part_path: str,
     sh = int(shpart.rsplit("sshard=", 1)[1])
     dt = pq.read_table(dict_part_path, columns=["orig_term", "term", "df"])
     dt = dt.filter(pc.invert(pc.starts_with(dt.column("orig_term"),
-                                            "\x00")))  # reserved stats rows
+                                            "\x01")))  # reserved stats rows
     term_map = dict(zip(dt.column("orig_term").to_pylist(),
                         zip(dt.column("term").to_pylist(),
                             dt.column("df").to_pylist())))
@@ -1216,7 +1254,7 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         _mark("spill")
 
         # ---- stage 2 phase B: term dictionary (corpus stats ride the same
-        # shuffle as reserved "\x00" keys).  Each tbucket's sshard=-1 spill
+        # shuffle as reserved "\x01" keys).  Each tbucket's sshard=-1 spill
         # partition aggregates + applies the merge rules independently.
         if not dict_complete:
             done = mf.committed_parts(out_dir, "dict", input_fp, cfg_fp)
@@ -1245,11 +1283,17 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
         # corpus stats from the dict stage's reserved rows
         import pyarrow.dataset as pads
 
+        # legacy \x00-prefixed keys accepted too: a resumed dict stage
+        # written before the \x01 rename still carries them
         stats_t = pads.dataset(dict_dir).to_table(
-            filter=pads.field("term").isin([NDOCS_KEY, SUMDL_KEY]),
+            filter=pads.field("term").isin(
+                [NDOCS_KEY, SUMDL_KEY,
+                 "\x00__ndocs__", "\x00__sumdl__"]),
             columns=["term", "df"])
-        stats_map = dict(zip(stats_t.column("term").to_pylist(),
-                             stats_t.column("df").to_pylist()))
+        stats_map = dict(zip(
+            [t.replace("\x00", "\x01", 1)
+             for t in stats_t.column("term").to_pylist()],
+            stats_t.column("df").to_pylist()))
         n_docs = int(stats_map.get(NDOCS_KEY, 0))
         sum_dl = int(stats_map.get(SUMDL_KEY, 0))
         avg_dl = sum_dl / n_docs if n_docs else 0.0

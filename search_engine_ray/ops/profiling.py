@@ -41,7 +41,9 @@ def dataset_profile(sf_dir: str, table: str = "events",
             if v is None:
                 continue
             if isinstance(v, float):
-                out.append(np.float64(v).hex())
+                # +0.0 so -0.0 canonicalizes to +0.0 — SQL's DISTINCT
+                # treats them equal and so must we
+                out.append(np.float64(v + 0.0).hex())
             else:
                 out.append(str(v))
         return out
@@ -89,7 +91,10 @@ def dataset_profile(sf_dir: str, table: str = "events",
            .to_pandas())  # <= 3 rows per column — dimension-sized
     piv = (agg.groupby(["col_name", "kind"])["n"].sum().unstack()
            .fillna(0).astype("int64"))
-    piv = piv.reindex(columns)
+    # degenerate inputs (empty table, all-null columns) drop whole
+    # kinds from the pivot — reindex both axes so they report zeros
+    piv = piv.reindex(index=columns,
+                      columns=["rows", "nulls", "distinct"], fill_value=0)
     return pa.table({
         "col_name": pa.array(list(piv.index), pa.string()),
         "n_rows": pa.array(piv["rows"].to_numpy(), pa.int64()),

@@ -1676,7 +1676,12 @@ def weighted_sample_topk(sf_dir: str, k: int = 50):
         key = np.log(u) / w
         kk = min(k, len(ids))
         if kk < len(ids):
-            top = np.argpartition(-key, kk - 1)[:kk]
+            # keep ALL boundary ties (duplicate docs share u and w, so
+            # equal keys are expected): an argpartition cut would pick
+            # an arbitrary tied doc and the global (key, doc_id) merge
+            # could no longer recover the one the oracle selects
+            thresh = -np.partition(-key, kk - 1)[kk - 1]
+            top = np.flatnonzero(key >= thresh)
         else:
             top = np.arange(len(ids))
         return pa.table({

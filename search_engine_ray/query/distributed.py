@@ -255,7 +255,7 @@ class DistributedSearchEngine:
             self.df_map = {
                 t: d for t, d in zip(dt.column("term").to_pylist(),
                                      dt.column("df").to_pylist())
-                if not t.startswith("\x00")}  # reserved stats rows
+                if not t.startswith(("\x00", "\x01"))}  # reserved stats rows (\x01 current, \x00 legacy)
         else:
             self.df_map = {}  # zero-doc / fully-pruned index
         S = self.cfg.num_shards

@@ -63,7 +63,7 @@ class SearchEngine:
             self.df_map = {
                 t: d for t, d in zip(dt.column("term").to_pylist(),
                                      dt.column("df").to_pylist())
-                if not t.startswith("\x00")}  # reserved stats rows
+                if not t.startswith(("\x00", "\x01"))}  # reserved stats rows (\x01 current, \x00 legacy)
         else:
             self.df_map = {}  # zero-doc / fully-pruned index
 
@@ -172,11 +172,14 @@ class SearchEngine:
                 if r >= 0 and maxs[r] >= t:
                     hits.setdefault(f, set()).add(r)
                     # parquet writers may TRUNCATE long string min stats
-                    # (stored min <= true min), so a term equal to the
-                    # stored boundary could really live one group left;
-                    # the extra group costs one coalesced read, never a
-                    # wrong answer (the is_in filter below is exact)
-                    if r > 0 and mins[r] == t and maxs[r - 1] >= t:
+                    # (stored min <= true min), so a term that sorts at
+                    # or past group r's stored min could really live one
+                    # group left; stored MAX stats truncate UPWARD
+                    # (stored >= true), so `maxs[r-1] >= t` alone is the
+                    # complete safe test — the extra group costs one
+                    # coalesced read, never a wrong answer (the is_in
+                    # filter below is exact)
+                    if r > 0 and maxs[r - 1] >= t:
                         hits[f].add(r - 1)
         # ONE coalesced read per file (read_row_groups merges adjacent
         # groups into a single IO plan), and the per-file reads run on a

@@ -139,3 +139,77 @@ def test_dup_ngram_fraction_planted_pair(ray_session, tmp_path):
     assert out.loc[1, "n_dup"] == out.loc[1, "n_grams"] > 0
     assert out.loc[2, "n_dup"] == out.loc[2, "n_grams"]
     assert out.loc[3, "n_dup"] == 0 and out.loc[3, "n_grams"] > 0
+
+
+def _pages_table(texts):
+    import pyarrow as pa
+
+    from search_engine_ray.fixtures import wrap_html
+
+    urls = [f"https://ex.com/{i}" for i in range(len(texts))]
+    ts = [1_700_000_000_000_000 + i for i in range(len(texts))]
+    return urls, ts, pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array([wrap_html(x, f"t{i}")
+                          for i, x in enumerate(texts)], pa.binary()),
+        "text": pa.array(texts),
+        "lang": pa.array(["de"] * len(texts))})
+
+
+def _build_and_engine(tmp_path, table, cfg):
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    idx = tmp_path / "idx"
+    pq_.write_table(table, os.path.join(d, "p.parquet"))
+    man = build_index(str(d), str(idx), cfg, overwrite=True)
+    return man, SearchEngine(str(idx))
+
+
+def test_capitals_rewrite_collision_matches_oracle(ray_session, tmp_path):
+    """'Straße'/'Strasse' both caps-rewrite to 'STRASSE'; with ONE term
+    bucket they collide in the same dict/postings partition.  The build
+    must survive and serve the oracle's last-sorted-orig-wins result
+    (reference indexer.py:161-166), not raise."""
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.oracle import OracleIndex
+
+    texts = ["Die Strasse ist lang und breit heute",
+             "Die Straße ist kurz und schmal heute",
+             "Eine Straße und eine Strasse treffen sich hier"]
+    cfg = EngineConfig(term_buckets=1, num_shards=1)
+    urls, ts, table = _pages_table(texts)
+    man, eng = _build_and_engine(tmp_path, table, cfg)
+    o = OracleIndex(cfg).build(zip(urls, ts, texts))
+    assert dict(eng.df_map) == dict(o.df)
+    for q in ["Straße", "Strasse", "heute", "und"]:
+        a = [(round(s, 9), d) for s, d, _ in eng.search(q, k=5,
+                                                        mode="bm25")]
+        b = [(round(s, 9), d) for s, d, _ in o.search(q, k=5,
+                                                      mode="bm25")]
+        assert a == b, q
+
+
+def test_reserved_stats_keys_survive_single_bucket(ray_session, tmp_path):
+    """With term_buckets=1 both reserved corpus-stat keys land in ONE
+    dict partition; pandas' khash string grouping truncates object
+    strings at NUL bytes, so the old \\x00-prefixed keys silently merged
+    (n_docs absorbed sum_dl).  The \\x01 keys must survive."""
+    from search_engine_ray.config import EngineConfig
+
+    texts = ["the quick brown fox jumps high today",
+             "the slow green turtle walks low today",
+             "a fox and a turtle meet right here"]
+    cfg = EngineConfig(term_buckets=1, num_shards=1)
+    _, _, table = _pages_table(texts)
+    man, eng = _build_and_engine(tmp_path, table, cfg)
+    assert man["n_docs"] == 3
+    assert man["avg_doc_length"] > 0
+    assert eng.avg_dl == man["avg_doc_length"]
