@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retention_cohorts rides the mirror gate with the in-cap event
         # rows covering its shuffle shape)
         "retention_cohorts": sq.q_retention_cohorts,
+        "phrase_match": sq.q_phrase_match,
+        "proximity_match": sq.q_proximity_match,
         "stratified_sample_20": sq.q_stratified_sample,
         "packing_plan_512": sq.q_packing_plan,
         "pii_scan": sq.q_pii_scan,
@@ -357,4 +359,6 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": sq.SQL_SNAPSHOT_DIFF,
         "funnel_conversion": sq.SQL_FUNNEL_CONVERSION,
         "weighted_sample_50": sq.SQL_WEIGHTED_SAMPLE,
+        "phrase_match": sq.SQL_PHRASE_MATCH,
+        "proximity_match": sq.SQL_PROXIMITY_MATCH,
     }

@@ -2193,3 +2193,37 @@ SELECT doc_id, n_chars FROM (
            / n_chars AS k
   FROM documents ORDER BY k DESC, doc_id LIMIT 50)
 """
+
+
+def q_phrase_match(sf_dir: str):
+    from search_engine_ray.ops.matching import phrase_match_docs
+
+    return phrase_match_docs(sf_dir)
+
+
+SQL_PHRASE_MATCH = f"""
+SELECT doc_id FROM documents
+WHERE position(' query scan ' IN
+               ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ') > 0
+"""
+
+
+def q_proximity_match(sf_dir: str):
+    from search_engine_ray.ops.matching import proximity_match_docs
+
+    return proximity_match_docs(sf_dir)
+
+
+SQL_PROXIMITY_MATCH = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+p1 AS (SELECT doc_id, unnest(list_filter(range(1, len(ts) + 1),
+                                         i -> ts[i] = 'query')) AS i
+       FROM base),
+p2 AS (SELECT doc_id, unnest(list_filter(range(1, len(ts) + 1),
+                                         i -> ts[i] = 'scan')) AS i
+       FROM base)
+SELECT doc_id, min_gap FROM (
+  SELECT p1.doc_id, min(abs(p1.i - p2.i))::BIGINT AS min_gap
+  FROM p1 JOIN p2 USING (doc_id) GROUP BY p1.doc_id)
+WHERE min_gap <= 3
+"""
