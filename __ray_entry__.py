@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows covering its shuffle shape)
         "retention_cohorts": sq.q_retention_cohorts,
         "phrase_match": sq.q_phrase_match,
+        "source_quality_centroids": sq.q_source_quality_centroids,
         "proximity_match": sq.q_proximity_match,
         "stratified_sample_20": sq.q_stratified_sample,
         "packing_plan_512": sq.q_packing_plan,
@@ -361,4 +362,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_50": sq.SQL_WEIGHTED_SAMPLE,
         "phrase_match": sq.SQL_PHRASE_MATCH,
         "proximity_match": sq.SQL_PROXIMITY_MATCH,
+        "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
     }

@@ -485,3 +485,83 @@ def knn_pq(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
         "rank": pa.array(rows["rank"], pa.int64()),
         "vec_id": pa.array(rows["vec_id"], pa.int64()),
         "dist": pa.array(rows["dist"], pa.float64())})
+
+
+def source_quality_centroid_sums(sf_dir: str, min_tokens: int = 55):
+    """Cross-modal join: per SOURCE, the e4-scaled integer embedding
+    sums (centroid numerators) of quality-gated documents — text-side
+    predicate, vector-side aggregate, joined on doc identity.  The
+    shape every curation pipeline needs when filters live on text
+    features but downstream consumers want embedding statistics.
+
+    Plan: documents reduce to (doc_id, source, keep) and embeddings to
+    (vec_id, packed e4 vector) rows; ONE tagged-union id shuffle joins
+    them, and each bucket unrolls ONLY the kept vectors into (source,
+    dim) partials via a factorize + np.add.at scatter — vectors cross
+    the wire packed (one row each), dims unroll after the gate."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    def dprep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        keep = np.array(
+            [len(simple_tokenize(t)) >= min_tokens
+             for t in batch.column("text").to_pylist()], dtype=np.int8)
+        n = len(ids)
+        return pa.table({
+            "key": pa.array(ids, pa.int64()),
+            "source": batch.column("source"),
+            "keep": pa.array(keep, pa.int8()),
+            "vec": pa.array([b""] * n, pa.binary()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def eprep(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch.column("embedding").to_pylist(),
+                         dtype=np.float64)
+        e4 = (np.sign(emb) * np.floor(np.abs(emb) * 10000 + 0.5)
+              ).astype(np.int64)
+        n = len(e4)
+        return pa.table({
+            "key": batch.column("vec_id").cast(pa.int64()),
+            "source": pa.array([""] * n, pa.string()),
+            "keep": pa.array(np.zeros(n, dtype=np.int8)),
+            "vec": pa.array([row.tobytes() for row in e4], pa.binary()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    docs = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"])
+        .map_batches(dprep, batch_format="pyarrow"))
+    embs = (ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+        .map_batches(eprep, batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[(g["side"] == 0) & (g["keep"] == 1), ["key", "source"]]
+        e = g.loc[g["side"] == 1, ["key", "vec"]]
+        m = e.merge(d, on="key", how="inner")
+        if not len(m):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "dim": np.array([], dtype=np.int64),
+                "sum_e4": np.array([], dtype=np.int64),
+                "n": np.array([], dtype=np.int64)})
+        vecs = np.stack([np.frombuffer(b, dtype=np.int64)
+                         for b in m["vec"]])
+        dim = vecs.shape[1]
+        codes, uniq = pd.factorize(m["source"].to_numpy())
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, codes, vecs)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({
+            "source": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+            "sum_e4": sums.reshape(-1),
+            "n": np.repeat(counts, dim)})
+
+    per = bucketed_apply(docs.union(embs), ["key"], per_bucket)
+    return bucketed_sum(per, ["source", "dim"], ["sum_e4", "n"])

@@ -2227,3 +2227,22 @@ SELECT doc_id, min_gap FROM (
   FROM p1 JOIN p2 USING (doc_id) GROUP BY p1.doc_id)
 WHERE min_gap <= 3
 """
+
+
+def q_source_quality_centroids(sf_dir: str):
+    from search_engine_ray.ops.similarity import source_quality_centroid_sums
+
+    return source_quality_centroid_sums(sf_dir)
+
+
+SQL_SOURCE_QUALITY_CENTROIDS = f"""
+WITH keep AS (SELECT doc_id, source FROM documents
+              WHERE len({_TOKS_SQL}) >= 55)
+SELECT k.source, d.dim::BIGINT AS dim,
+       sum(round(e.embedding[d.dim + 1] * 10000)::BIGINT)::BIGINT
+         AS sum_e4,
+       count(*) AS n
+FROM keep k JOIN embeddings e ON k.doc_id = e.vec_id
+CROSS JOIN (SELECT unnest(range(64)) AS dim) d
+GROUP BY 1, 2
+"""
