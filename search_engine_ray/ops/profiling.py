@@ -167,3 +167,34 @@ def snapshot_diff(sf_dir: str):
         return out
 
     return bucketed_apply(union, ["doc_id"], per_bucket)
+
+
+def compact_parquet(src_dir: str, dst_dir: str,
+                    target_rows_per_file: int = 250_000):
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_rows_per_file`` rows (the maintenance op that keeps a
+    landing zone readable after many small incremental writes).
+
+    Plan: a streaming read + ``repartition`` sized from the dataset's
+    OWN metadata row count (no data pass to count), then a parquet
+    write — Ray's repartition is the only shuffle and it moves each row
+    once.  Returns (n_files_in, n_files_out, n_rows); content equality
+    is the caller's/test's check."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    files_in = glob.glob(os.path.join(src_dir, "**", "*.parquet"),
+                         recursive=True) or glob.glob(
+        os.path.join(src_dir, "*.parquet"))
+    n_rows = sum(pads.dataset(f).count_rows() for f in files_in)
+    n_out = max(1, -(-n_rows // target_rows_per_file))
+    ds = ray.data.read_parquet(src_dir)
+    ds.repartition(n_out).write_parquet(dst_dir)
+    files_out = glob.glob(os.path.join(dst_dir, "**", "*.parquet"),
+                          recursive=True)
+    return pa.table({
+        "n_files_in": pa.array([len(files_in)], pa.int64()),
+        "n_files_out": pa.array([len(files_out)], pa.int64()),
+        "n_rows": pa.array([n_rows], pa.int64())})

@@ -213,3 +213,31 @@ def test_reserved_stats_keys_survive_single_bucket(ray_session, tmp_path):
     assert man["n_docs"] == 3
     assert man["avg_doc_length"] > 0
     assert eng.avg_dl == man["avg_doc_length"]
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    """Compaction merges many small files into few and preserves every
+    row exactly."""
+    import duckdb as d
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.profiling import compact_parquet
+
+    src = tmp_path / "small"
+    dst = tmp_path / "compact"
+    src.mkdir()
+    for i in range(8):
+        t = pa.table({
+            "a": pa.array(range(i * 10, i * 10 + 10), pa.int64()),
+            "b": pa.array([f"v{j}" for j in range(10)], pa.string())})
+        pq_.write_table(t, src / f"part{i}.parquet")
+    info = compact_parquet(str(src), str(dst),
+                          target_rows_per_file=40).to_pandas()
+    assert info.loc[0, "n_files_in"] == 8
+    assert info.loc[0, "n_files_out"] <= 2
+    assert info.loc[0, "n_rows"] == 80
+    q = ("SELECT * FROM read_parquet('{}/**/*.parquet') ORDER BY a")
+    a = d.sql(q.format(src)).df()
+    b = d.sql(q.format(dst)).df()
+    assert a.equals(b)
