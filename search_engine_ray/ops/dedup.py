@@ -46,12 +46,6 @@ def _hash64(data: bytes, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
-def _empty_pairs(value_col: str, value_type=pa.float64()) -> pa.Table:
-    return pa.table({"a": pa.array([], pa.int64()),
-                     "b": pa.array([], pa.int64()),
-                     value_col: pa.array([], value_type)})
-
-
 # ----------------------------------------------------------------- exact
 def exact_dedup_ids(sf_dir: str):
     """Surviving doc_ids of exact text dedup (min doc_id per distinct
@@ -171,8 +165,10 @@ class MinHasher:
         injective-whp map of the token-hash tuple — so distinct grams
         get distinct hashes with the same odds as hashing the joined
         string, at a fraction of the cost.  Docs shorter than ``ngram``
-        compose all their tokens (one gram), matching the string plan's
-        single ' '.join(toks) gram."""
+        get an EMPTY gram set — exactly what the exact backbone's
+        ``range(len(toks) - ngram + 1)`` and the SQL closure's
+        pos+1/pos+2 joins produce — so the two backbones and the oracle
+        agree that token-poor docs never pair."""
         tok_lists = [simple_tokenize(t) for t in texts]
         lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
         flat = [x for ts in tok_lists for x in ts]
@@ -206,21 +202,13 @@ class MinHasher:
             ends = np.append(starts[1:], len(gd))
             for s, e in zip(starts, ends):
                 out[int(gd[s])] = g[s:e]
-        # docs shorter than ngram compose ALL their tokens (one gram,
-        # matching the string plan's single ' '.join(toks) gram); rare,
-        # so the per-doc chain here is off the hot path
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        for i, k in enumerate(lens):
-            if out[i] is not None:
-                continue
-            if k == 0:
+        # docs shorter than ngram have NO grams (empty set) — the exact
+        # backbone and the SQL closure both emit zero windows for them,
+        # so a whole-doc fallback gram here would pair short docs the
+        # oracle never pairs
+        for i in range(len(texts)):
+            if out[i] is None:
                 out[i] = empty
-            else:
-                hs = codes[offs[i]:offs[i] + k]
-                a = self._mix64(hs[:1].copy())
-                for j in range(1, int(k)):
-                    a = self._mix64(a ^ hs[j:j + 1])
-                out[i] = a
         return out
 
     def shingles(self, text: str) -> np.ndarray:
@@ -246,9 +234,10 @@ class MinHasher:
         """(n_docs, num_perm) uint64 signature matrix for a batch: all
         docs' shingles concatenated, ONE vectorized mix per permutation
         set, per-doc minima via minimum.reduceat — no per-doc Python
-        loop in the hash/min math.  Empty docs get all-zero rows (they
-        bucket together, and the verify stage scores them jaccard=1,
-        same as the per-doc plan)."""
+        loop in the hash/min math.  Gram-less docs (empty or shorter
+        than ngram) get all-zero rows — they bucket together, and the
+        verify stage scores them jaccard=0, so they never pair (same
+        as the exact backbone and the SQL closure)."""
         P = len(self.a)
         sh_list = [
             (s & np.uint64(0xFFFF_FFFF))
@@ -455,7 +444,9 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6):
             sb = np.frombuffer(bb or b"", dtype=np.int64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
-            jac[i] = 1.0 if union == 0 else inter / union
+            # gram-less docs (shorter than ngram) never pair — the
+            # exact backbone and the SQL closure have no rows for them
+            jac[i] = 0.0 if union == 0 else inter / union
         t = pa.table({"a": pa.array(a, pa.int64()),
                       "b": pa.array(b, pa.int64()),
                       "jaccard": pa.array(jac, pa.float64())})

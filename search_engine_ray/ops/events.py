@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from search_engine_ray.ops.rounding import e4_halfaway
+
 
 def tumbling_window_agg(sf_dir: str, window_s: int = 3600):
     """Per (event_type, hour-bucket): count + sum(value).  Pre-aggregated
@@ -56,22 +58,29 @@ def hopping_window_agg(sf_dir: str, window_s: int = 3600,
     import ray.data
     from ray.data.aggregate import Sum
 
-    k = window_s // hop_s  # windows containing each event
+    # ceil, not floor: with non-divisible window/hop an event can fall
+    # in one more window than window_s // hop_s (e.g. 3600/1000: ts=3500
+    # is inside the window starting at 0); the mask below drops the
+    # candidates past the window edge, so divisible arguments behave
+    # exactly as before
+    k = -(-window_s // hop_s)
 
     def partials(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy() // 1_000_000
         # window starts: floor(ts/hop)*hop - i*hop for i in 0..k-1, kept
-        # when ts < start + window_s (always true for i < k)
+        # when ts < start + window_s
         base = (ts // hop_s) * hop_s
         starts = (np.repeat(base, k)
                   - np.tile(np.arange(k, dtype=np.int64) * hop_s,
                             len(ts)))
+        inside = np.repeat(ts, k) < starts + window_s
         df = pd.DataFrame({
             "event_type": np.repeat(
                 np.asarray(batch.column("event_type").to_pylist(),
-                           dtype=object), k),
-            "window_start_s": starts,
-            "value": np.repeat(batch.column("value").to_numpy(), k),
+                           dtype=object), k)[inside],
+            "window_start_s": starts[inside],
+            "value": np.repeat(batch.column("value").to_numpy(),
+                               k)[inside],
         })
         g = df.groupby(["event_type", "window_start_s"], sort=False).agg(
             n_part=("value", "size"),
@@ -175,9 +184,16 @@ class JsonFieldStats:
         self.loads = json.loads
 
     def _extract(self, s: str) -> int | None:
-        m = self.pat.search(s)
-        if m:
-            return int(m.group(1))
+        # regex fast path ONLY for provably-flat objects: with no
+        # backslash, no quoted string can contain a '"' char, and with
+        # a single '{' there is no nested object — so every `"field":`
+        # occurrence is a real top-level key and the regex agrees with
+        # json.loads / SQL json_extract('$.field').  Anything else
+        # (nesting, escapes, arrays) takes the exact parse.
+        if "\\" not in s and s.count("{") == 1:
+            m = self.pat.search(s)
+            if m:
+                return int(m.group(1))
         try:
             v = self.loads(s).get(self.field)
             return int(v) if isinstance(v, (int, float)) else None
@@ -230,8 +246,7 @@ def value_histogram(sf_dir: str, width: float = 5.0):
     def partials(batch: pa.Table) -> pa.Table:
         v = batch.column("value").to_numpy()
         bucket = np.floor(v / width).astype(np.int64)
-        e4 = (np.sign(v) * np.floor(np.abs(v) * 10000 + 0.5)).astype(
-            np.int64)
+        e4 = e4_halfaway(v)
         df = pd.DataFrame({"bucket": bucket, "e4": e4})
         g = df.groupby("bucket", sort=False).agg(
             n_part=("e4", "size"),
@@ -303,8 +318,7 @@ def user_rolling_sum3(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         v = batch.column("value").to_numpy()
-        e4 = (np.sign(v) * np.floor(np.abs(v) * 10000 + 0.5)).astype(
-            np.int64)
+        e4 = e4_halfaway(v)
         return pa.table({
             "user_id": batch.column("user_id"),
             "event_id": batch.column("event_id"),

@@ -188,7 +188,9 @@ def compact_parquet(src_dir: str, dst_dir: str,
     files_in = glob.glob(os.path.join(src_dir, "**", "*.parquet"),
                          recursive=True) or glob.glob(
         os.path.join(src_dir, "*.parquet"))
-    n_rows = sum(pads.dataset(f).count_rows() for f in files_in)
+    # ONE dataset over the whole file list: footer-metadata count with
+    # batched IO, not a per-file discovery loop on the driver
+    n_rows = pads.dataset(files_in).count_rows()
     n_out = max(1, -(-n_rows // target_rows_per_file))
     ds = ray.data.read_parquet(src_dir)
     ds.repartition(n_out).write_parquet(dst_dir)

@@ -34,8 +34,7 @@ def _ts_us(date: str) -> int:
     return int(d.timestamp()) * _US
 
 
-def _e4_halfaway(x: np.ndarray) -> np.ndarray:
-    return (np.sign(x) * np.floor(np.abs(x) * 10000 + 0.5)).astype(np.int64)
+from search_engine_ray.ops.rounding import e4_halfaway as _e4_halfaway  # noqa: E402
 
 
 def _join_partitions() -> int:

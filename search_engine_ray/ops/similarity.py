@@ -16,11 +16,32 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from search_engine_ray.ops.rounding import e4_halfaway
+
 
 def _read_embeddings(sf_dir: str):
     import ray.data
 
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _merge_topk(parts, value_col: str, ascending: bool, k: int) -> pa.Table:
+    """Driver-side per-query merge of per-batch partial top-k rows:
+    rank 1..k by (value, vec_id) — shared by every kNN variant so the
+    tie-break lives in ONE place."""
+    rows = {"query_id": [], "rank": [], "vec_id": [], value_col: []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values([value_col, "vec_id"],
+                          ascending=[ascending, True]).head(k)
+        rows["query_id"].extend([int(qid)] * len(g))
+        rows["rank"].extend(range(1, len(g) + 1))
+        rows["vec_id"].extend(g["vec_id"].tolist())
+        rows[value_col].extend(g[value_col].tolist())
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        value_col: pa.array(rows[value_col], pa.float64())})
 
 
 def knn_brute(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
@@ -67,20 +88,7 @@ def knn_brute(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
 
     parts = _read_embeddings(sf_dir).map_batches(
         partial_topk, batch_format="pyarrow").to_pandas()
-    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cosine", "vec_id"],
-                          ascending=[False, True]).head(k)
-        rows["query_id"].extend([qid] * len(g))
-        rows["rank"].extend(range(1, len(g) + 1))
-        rows["vec_id"].extend(g["vec_id"].tolist())
-        rows["cosine"].extend(g["cosine"].tolist())
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "vec_id": pa.array(rows["vec_id"], pa.int64()),
-        "cosine": pa.array(rows["cosine"], pa.float64()),
-    })
+    return _merge_topk(parts, "cosine", ascending=False, k=k)
 
 
 def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
@@ -176,20 +184,7 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
 
     parts = probed.map_batches(partial_topk,
                                batch_format="pyarrow").to_pandas()
-    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["cosine", "vec_id"],
-                          ascending=[False, True]).head(k)
-        rows["query_id"].extend([qid] * len(g))
-        rows["rank"].extend(range(1, len(g) + 1))
-        rows["vec_id"].extend(g["vec_id"].tolist())
-        rows["cosine"].extend(g["cosine"].tolist())
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "vec_id": pa.array(rows["vec_id"], pa.int64()),
-        "cosine": pa.array(rows["cosine"], pa.float64()),
-    })
+    return _merge_topk(parts, "cosine", ascending=False, k=k)
 
 
 def label_centroid_sums(sf_dir: str):
@@ -212,8 +207,7 @@ def label_centroid_sums(sf_dir: str):
                          dtype=np.float64)
         labels = batch.column("label").to_numpy()
         n, d = emb.shape
-        e4 = (np.sign(emb) * np.floor(np.abs(emb) * 10000 + 0.5)
-              ).astype(np.int64)
+        e4 = e4_halfaway(emb)
         df = pd.DataFrame({
             "label": np.repeat(labels.astype(np.int64), d),
             "dim": np.tile(np.arange(d, dtype=np.int64), n),
@@ -259,6 +253,9 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 4):
              .to_pandas().sort_values("vec_id").head(k))
     cent = np.array([np.asarray(v, dtype=np.float64)
                      for v in seeds["embedding"]])
+    # fewer vectors than clusters: every vector is its own centroid
+    # (the tot_n/tot_s accumulators below are sized to the REAL k)
+    k = min(k, len(cent))
     dim = cent.shape[1]
 
     def _emb_mat(batch: pa.Table) -> np.ndarray:
@@ -472,19 +469,7 @@ def knn_pq(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
             "dist": pa.array(out_d, pa.float64())})
 
     parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    rows = {"query_id": [], "rank": [], "vec_id": [], "dist": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["dist", "vec_id"],
-                          ascending=[True, True]).head(k)
-        rows["query_id"].extend([int(qid)] * len(g))
-        rows["rank"].extend(range(1, len(g) + 1))
-        rows["vec_id"].extend(g["vec_id"].tolist())
-        rows["dist"].extend(g["dist"].tolist())
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "vec_id": pa.array(rows["vec_id"], pa.int64()),
-        "dist": pa.array(rows["dist"], pa.float64())})
+    return _merge_topk(parts, "dist", ascending=True, k=k)
 
 
 def source_quality_centroid_sums(sf_dir: str, min_tokens: int = 55):
@@ -521,8 +506,7 @@ def source_quality_centroid_sums(sf_dir: str, min_tokens: int = 55):
     def eprep(batch: pa.Table) -> pa.Table:
         emb = np.asarray(batch.column("embedding").to_pylist(),
                          dtype=np.float64)
-        e4 = (np.sign(emb) * np.floor(np.abs(emb) * 10000 + 0.5)
-              ).astype(np.int64)
+        e4 = e4_halfaway(emb)
         n = len(e4)
         return pa.table({
             "key": batch.column("vec_id").cast(pa.int64()),

@@ -218,12 +218,20 @@ def approx_quantiles_hist(sf_dir: str, width: float = 0.5,
                                   columns=["value"])
             .map_batches(partials, batch_format="pyarrow")
             .groupby("b").aggregate(Sum("c", alias_name="n"))
-            .to_pandas().sort_values("b").reset_index(drop=True))
+            .to_pandas())
+    if "b" not in hist.columns:   # empty input: Ray's empty aggregate
+        hist = pd.DataFrame({"b": [], "n": []})  # loses the key column
+    hist = hist.sort_values("b").reset_index(drop=True)
     cum = hist["n"].cumsum().to_numpy()
     total = int(cum[-1]) if len(cum) else 0
     e4_per_bucket = int(round(width * 10000))
     rows = []
     for pct in pcts:
+        if total == 0:
+            # empty input: no histogram bucket to index — report 0
+            # instead of raising on hist.iloc[0]
+            rows.append({"pct": int(pct), "est_e4": 0})
+            continue
         target = (pct * total + 99) // 100
         i = int(np.searchsorted(cum, target))
         est_e4 = (int(hist["b"].iloc[i]) + 1) * e4_per_bucket

@@ -241,3 +241,126 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
     a = d.sql(q.format(src)).df()
     b = d.sql(q.format(dst)).df()
     assert a.equals(b)
+
+
+def test_lsh_short_docs_never_pair(ray_session, tmp_path):
+    """Docs shorter than the shingle n have NO grams in the exact
+    backbone and the SQL closure; the LSH backbone must agree (it used
+    to give them a whole-doc gram and jaccard 1.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["foo bar", "foo bar", long_a, long_a, ""],
+                         pa.string()),
+        "lang": pa.array(["en"] * 5), "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([7, 7, len(long_a), len(long_a), 0],
+                            pa.int64())})
+    d = tmp_path / "short"
+    d.mkdir()
+    pq_.write_table(t, d / "documents.parquet")
+    lsh = minhash_near_dup_pairs(str(d)).to_pandas()
+    exact = ngram_jaccard_pairs(str(d)).to_pandas()
+    lsh_pairs = set(zip(lsh["a"], lsh["b"]))
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    assert (1, 2) not in lsh_pairs and (1, 2) not in exact_pairs
+    assert (3, 4) in lsh_pairs and (3, 4) in exact_pairs
+    assert not any(5 in p for p in lsh_pairs | exact_pairs)
+
+
+def test_kmeans_fewer_vectors_than_clusters(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.similarity import kmeans_assign
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[float(i)] * 64 for i in range(3)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 2], pa.int32())})
+    d = tmp_path / "tiny_emb"
+    d.mkdir()
+    pq_.write_table(t, d / "embeddings.parquet")
+    out = kmeans_assign(str(d), k=8, iters=2).to_pandas()
+    assert len(out) == 3  # no IndexError; every vector assigned
+
+
+def test_hopping_non_divisible_window(ray_session):
+    """window_s not divisible by hop_s: every event still lands in all
+    its windows (ceil fan-out + edge mask), verified against a
+    brute-force oracle."""
+    import duckdb as d
+
+    from search_engine_ray.ops.events import hopping_window_agg
+
+    got = (hopping_window_agg(SF, window_s=3600, hop_s=1000)
+           .to_pandas())
+    ev = d.sql(f"SELECT epoch_us(ts) // 1000000 AS s, event_type, value "
+               f"FROM read_parquet('{SF}/events.parquet')").df()
+    import collections
+    n = collections.Counter()
+    for s, et in zip(ev["s"], ev["event_type"]):
+        start = (int(s) // 1000) * 1000
+        while start > s - 3600:
+            n[(et, start)] += 1
+            start -= 1000
+    want = {(et, ws): c for (et, ws), c in n.items()}
+    gotmap = {(r.event_type, int(r.window_start_s)): int(r.n)
+              for r in got.itertuples()}
+    assert gotmap == want
+
+
+def test_json_field_stats_nested_props(ray_session, tmp_path):
+    """A nested object's key must not shadow (or fabricate) the
+    top-level field — parity with json_extract('$.k')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.events import json_field_stats
+
+    rows = [
+        ('{"a": {"k": 5}, "k": 7}', "x"),   # top-level k = 7, not 5
+        ('{"a": {"k": 5}}', "x"),           # no top-level k -> excluded
+        ('{"k": 3}', "x"),                  # flat fast path
+    ]
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([0.0] * 3, pa.float64()),
+        "props": pa.array([r[0] for r in rows], pa.string())})
+    dd = tmp_path / "nested_ev"
+    dd.mkdir()
+    pq_.write_table(t, dd / "events.parquet")
+    out = json_field_stats(str(dd)).to_pandas()
+    row = out[out["event_type"] == "x"].iloc[0]
+    assert int(row["n"]) == 2          # rows 1 and 3 only
+    assert int(row["sum_k"]) == 10     # 7 + 3, NOT 5 + 3
+    assert int(row["min_k"]) == 3 and int(row["max_k"]) == 7
+
+
+def test_approx_quantiles_empty_table(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.sketches import approx_quantiles_hist
+
+    t = pa.table({"value": pa.array([], pa.float64()),
+                  "ts": pa.array([], pa.timestamp("us")),
+                  "event_type": pa.array([], pa.string())})
+    dd = tmp_path / "empty_ev"
+    dd.mkdir()
+    pq_.write_table(t, dd / "events.parquet")
+    out = approx_quantiles_hist(str(dd))
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert (out["est_e4"] == 0).all()
