@@ -338,7 +338,7 @@ def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
         df = df[keepm]
         rewritten = rewritten[keepm]
         final = final[keepm]
-    return pa.table({
+    out = pa.table({
         "term": pa.array(final.tolist() + stats["key"].tolist(), pa.string()),
         "orig_term": pa.array(df["key"].tolist() + stats["key"].tolist(),
                               pa.string()),
@@ -347,6 +347,11 @@ def apply_dict_rules(batch: pa.Table, prune_df1: bool) -> pa.Table:
         "rewritten": pa.array(rewritten.tolist() + [False] * len(stats),
                               pa.bool_()),
     })
+    # sorted output => dict bytes are a pure function of the partition's
+    # row multiset (spill read order varies across resumed runs; the
+    # byte-identical-resume guarantee needs this sort to be REAL, not
+    # just claimed by the reduce docstring)
+    return out.sort_by([("term", "ascending"), ("orig_term", "ascending")])
 
 
 # Per-worker-process caches: stateless TASK UDFs reuse Ray worker

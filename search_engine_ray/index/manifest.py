@@ -130,13 +130,29 @@ def clear_stage(out_dir: str, stage: str) -> None:
 
 
 def input_fingerprint(paths) -> str:
-    """Fingerprint of the input file set (path + size + mtime)."""
+    """Fingerprint of the input file set — gates whether a stage is
+    resumed as complete, so it must rotate on ANY content change:
+    path + size + st_mtime_ns (whole seconds miss same-second
+    rewrites) + the parquet footer tail (copied-over files with
+    preserved mtime still digest differently: the footer encodes
+    row-group layout and column statistics)."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=8)
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        try:
+            with open(p, "rb") as f:
+                # last 8 bytes: <footer_len><'PAR1'>; digest the footer
+                f.seek(max(0, st.st_size - 8))
+                tail = f.read(8)
+                if len(tail) == 8 and tail[4:] == b"PAR1":
+                    flen = int.from_bytes(tail[:4], "little")
+                    f.seek(max(0, st.st_size - 8 - flen))
+                    h.update(f.read())
+        except OSError:
+            pass  # stat already contributed; unreadable tail is no worse
     return h.hexdigest()
 
 
@@ -150,3 +166,37 @@ def write_manifest(out_dir: str, payload: dict) -> None:
 def read_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+def load_df_map(out_dir: str) -> dict:
+    """The query-time dictionary: final term -> global df, shared by the
+    in-process and distributed engines (ONE loader so a reserved-key or
+    collision-rule change can never diverge between them).
+
+    Reserved corpus-stat rows (\x01 current, \x00 legacy) are dropped.
+    Duplicate FINAL terms can exist across bucket files when the
+    capitals UPPER rewrite collides across term buckets (distinct orig
+    terms, same final term — e.g. 'straße'/'strasse'); the reference's
+    sorted-merge overwrite keeps the lexicographically GREATEST orig
+    term's entry (indexer.py:161-166), so ties resolve by max
+    orig_term here — deterministic regardless of file read order."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    ddir = stage_dir(out_dir, "dict")
+    if not glob.glob(os.path.join(ddir, "**", "*.parquet"),
+                     recursive=True):
+        return {}  # zero-doc / fully-pruned index
+    dt = pads.dataset(ddir).to_table(columns=["term", "orig_term", "df"])
+    out: dict = {}
+    best_orig: dict = {}
+    for t, o, d in zip(dt.column("term").to_pylist(),
+                       dt.column("orig_term").to_pylist(),
+                       dt.column("df").to_pylist()):
+        if t.startswith(("\x00", "\x01")):
+            continue
+        if t not in out or o > best_orig[t]:
+            out[t] = d
+            best_orig[t] = o
+    return out

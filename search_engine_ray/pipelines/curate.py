@@ -33,19 +33,13 @@ def _ids_only(ds, col: str = "doc_id"):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
-def curate_summary(sf_dir: str):
-    """Per-lang curation summary: docs_in, docs_kept (surviving ALL five
-    rules), tokens_kept.  Rules (identical constants to the standalone
-    ops): quality gate (>=30 simple tokens, mean token length >= 4),
-    exact dedup (keep min doc_id per byte-identical text), near-dup
-    removal (3-gram Jaccard >= 0.6 connected components, keep min id),
-    benchmark decontamination (drop docs sharing any 4-gram with the
-    doc_id%97==0 benchmark slice, and the slice itself), source-weighted
-    mixing (MIX_WEIGHTS hash-residue rule)."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
+def _kept_ids(sf_dir: str):
+    """The five-rule keep set (ids surviving ALL rules): ONE
+    tagged-union hash shuffle on doc_id counting rule votes — shared by
+    ``curate_summary`` and ``curate_write`` so the summary counts and
+    the written corpus can never desynchronize."""
     from search_engine_ray.ops.dedup import exact_dedup_ids, near_dup_keep_ids
+    from search_engine_ray.ops.shuffle import bucketed_apply
     from search_engine_ray.ops.textstats import (
         decontaminate_ids,
         quality_filter_ids,
@@ -61,14 +55,29 @@ def curate_summary(sf_dir: str):
     ]
     tagged = sets[0].union(*sets[1:])
 
-    from search_engine_ray.ops.shuffle import bucketed_apply
-
     def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
         cnt = g.groupby("doc_id", sort=False).size()
         return pd.DataFrame({
             "doc_id": cnt[cnt >= N_KEEP_RULES].index.to_numpy(np.int64)})
 
-    kept = bucketed_apply(tagged, ["doc_id"], keep_if_all)
+    return bucketed_apply(tagged, ["doc_id"], keep_if_all)
+
+
+def curate_summary(sf_dir: str):
+    """Per-lang curation summary: docs_in, docs_kept (surviving ALL five
+    rules), tokens_kept.  Rules (identical constants to the standalone
+    ops): quality gate (>=30 simple tokens, mean token length >= 4),
+    exact dedup (keep min doc_id per byte-identical text), near-dup
+    removal (3-gram Jaccard >= 0.6 connected components, keep min id),
+    benchmark decontamination (drop docs sharing any 4-gram with the
+    doc_id%97==0 benchmark slice, and the slice itself), source-weighted
+    mixing (MIX_WEIGHTS hash-residue rule)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    kept = _kept_ids(sf_dir)
 
     # attach (lang, n_tokens) through one more doc_id shuffle
     from search_engine_ray.text.tokenizer import simple_tokenize
@@ -134,37 +143,26 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
     hash shuffle on doc_id — the same intersection shape as
     ``curate_summary`` — and the kept rows stream straight from that
     shuffle into a hive-partitioned write (``pk = doc_id %
-    write_partitions``: a failed run reruns only missing partition
-    dirs; size write_partitions with the cluster).  The only driver
+    write_partitions``; size write_partitions with the cluster — the
+    partition dirs bound per-file size and make the output scannable
+    per key range; a RERUN wipes and rewrites the whole output, since
+    parquet appends cannot be deduplicated post-hoc).  The only driver
     state is ``packing_plan``'s per-group offsets table (one row per
     ``group_size`` docs, documented bounded in textstats.py)."""
+    import shutil
+
     import ray.data
 
-    from search_engine_ray.ops.dedup import exact_dedup_ids, near_dup_keep_ids
-    from search_engine_ray.ops.textstats import (
-        decontaminate_ids,
-        packing_plan,
-        quality_filter_ids,
-        source_mix_sample,
-    )
-
-    sets = [
-        quality_filter_ids(sf_dir).select_columns(["doc_id"]),
-        exact_dedup_ids(sf_dir),
-        near_dup_keep_ids(sf_dir),
-        decontaminate_ids(sf_dir),
-        _ids_only(source_mix_sample(sf_dir)),
-    ]
-    tagged = sets[0].union(*sets[1:])
-
     from search_engine_ray.ops.shuffle import bucketed_apply
+    from search_engine_ray.ops.textstats import packing_plan
 
-    def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = g.groupby("doc_id", sort=False).size()
-        return pd.DataFrame({
-            "doc_id": cnt[cnt >= N_KEEP_RULES].index.to_numpy(np.int64)})
+    # clean slate: Ray's write_parquet APPENDS uniquely-named files, so
+    # rerunning into a half-written or previously-written out_dir would
+    # silently double rows — a rerun is a full rewrite
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
 
-    kept = bucketed_apply(tagged, ["doc_id"], keep_if_all)
+    kept = _kept_ids(sf_dir)
 
     # --- tagged union on doc_id: side 0 = corpus row (payload), side 1 =
     # kept marker, side 2 = packing-plan row (chunk id); the groupby

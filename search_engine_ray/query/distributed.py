@@ -138,6 +138,7 @@ class QueryShardActor:
             df = df_map.get(t)
             return math.log10(self.n_docs / df) if df else 0.0
 
+        meta_pos = None
         if mode == "bm25":
             id_parts, contrib = [], []
             for t in terms:
@@ -212,7 +213,8 @@ class QueryShardActor:
                 1 - cfg.bm25_b + cfg.bm25_b * dl[:, None] / self.avg_dl)
             bm25 = ((qidf[None, :] * dtf * (cfg.bm25_k1 + 1))
                     / denom).sum(axis=1)
-            pos, found = meta_positions(self._meta_ids, cand)
+            meta_pos = meta_positions(self._meta_ids, cand)
+            pos, found = meta_pos
             gmat = self._meta_glove[pos] * found[:, None]
             gnum = gmat @ qg
             gden = np.linalg.norm(gmat, axis=1) * np.linalg.norm(qg)
@@ -223,7 +225,10 @@ class QueryShardActor:
         else:
             raise ValueError(mode)
 
-        pos, found = meta_positions(self._meta_ids, cand)
+        # reference mode already did this lookup for the glove cosine —
+        # reuse it instead of a second identical searchsorted pass
+        pos, found = (meta_pos if meta_pos is not None
+                      else meta_positions(self._meta_ids, cand))
         ts = self._meta_ts[pos] * found
         order = np.lexsort((cand, ts, scores))
         order = order[-k:] if k <= len(order) else order
@@ -246,18 +251,7 @@ class DistributedSearchEngine:
             harvest_page_url=self.cfg.harvest_page_url)
         import pyarrow.dataset as pads
 
-        import glob
-        import os
-
-        ddir = mf.stage_dir(out_dir, "dict")
-        if glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True):
-            dt = pads.dataset(ddir).to_table(columns=["term", "df"])
-            self.df_map = {
-                t: d for t, d in zip(dt.column("term").to_pylist(),
-                                     dt.column("df").to_pylist())
-                if not t.startswith(("\x00", "\x01"))}  # reserved stats rows (\x01 current, \x00 legacy)
-        else:
-            self.df_map = {}  # zero-doc / fully-pruned index
+        self.df_map = mf.load_df_map(out_dir)
         S = self.cfg.num_shards
         num_actors = min(num_actors, S)
         assignment = [list(range(i, S, num_actors))

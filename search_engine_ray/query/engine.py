@@ -54,18 +54,9 @@ class SearchEngine:
             harvest_page_url=self.cfg.harvest_page_url)
         self.glove = GloveCache(self.cfg.glove_path, self.cfg.glove_dim)
 
-        import glob as _glob
         import os
 
-        ddir = mf.stage_dir(out_dir, "dict")
-        if _glob.glob(os.path.join(ddir, "**", "*.parquet"), recursive=True):
-            dt = pads.dataset(ddir).to_table(columns=["term", "df"])
-            self.df_map = {
-                t: d for t, d in zip(dt.column("term").to_pylist(),
-                                     dt.column("df").to_pylist())
-                if not t.startswith(("\x00", "\x01"))}  # reserved stats rows (\x01 current, \x00 legacy)
-        else:
-            self.df_map = {}  # zero-doc / fully-pruned index
+        self.df_map = mf.load_df_map(out_dir)
 
         def _maybe_dataset(stage):
             # a stage dir may hold zero parquet files (e.g. every term
@@ -173,14 +164,20 @@ class SearchEngine:
                     hits.setdefault(f, set()).add(r)
                     # parquet writers may TRUNCATE long string min stats
                     # (stored min <= true min), so a term that sorts at
-                    # or past group r's stored min could really live one
-                    # group left; stored MAX stats truncate UPWARD
-                    # (stored >= true), so `maxs[r-1] >= t` alone is the
-                    # complete safe test — the extra group costs one
+                    # or past group r's stored min could really live in
+                    # an EARLIER group — and a run of consecutive
+                    # truncated mins can push the true group several
+                    # steps left.  Stored MAX stats truncate UPWARD
+                    # (stored >= true), so walking left while
+                    # `maxs[r'] >= t` visits every group that can
+                    # contain t; with exact stats the walk stops after
+                    # zero or one step, and extra groups only cost a
                     # coalesced read, never a wrong answer (the is_in
                     # filter below is exact)
-                    if r > 0 and maxs[r - 1] >= t:
-                        hits[f].add(r - 1)
+                    rr = r - 1
+                    while rr >= 0 and maxs[rr] >= t:
+                        hits[f].add(rr)
+                        rr -= 1
         # ONE coalesced read per file (read_row_groups merges adjacent
         # groups into a single IO plan), and the per-file reads run on a
         # small thread pool — pyarrow releases the GIL, and a multi-term

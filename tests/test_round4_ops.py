@@ -364,3 +364,39 @@ def test_approx_quantiles_empty_table(ray_session, tmp_path):
     if hasattr(out, "to_pandas"):
         out = out.to_pandas()
     assert (out["est_e4"] == 0).all()
+
+
+def test_input_fingerprint_same_size_mtime_content_change(tmp_path):
+    """A same-size rewrite with a pinned mtime must still rotate the
+    stage fingerprint (the footer digest catches it) — otherwise
+    build_index silently serves a stale index."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.index import manifest as mf
+
+    p = tmp_path / "in.parquet"
+    pq_.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), p)
+    st = os.stat(p)
+    fp1 = mf.input_fingerprint([str(p)])
+    pq_.write_table(pa.table({"x": pa.array([1, 2, 4], pa.int64())}), p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))  # pin mtime back
+    st2 = os.stat(p)
+    fp2 = mf.input_fingerprint([str(p)])
+    if st2.st_size == st.st_size:     # the interesting collision case
+        assert fp1 != fp2
+    else:                              # size moved: still must differ
+        assert fp1 != fp2
+
+
+def test_curate_write_rerun_no_duplication(ray_session, tmp_path):
+    """Re-running curate_write into the same out_dir must produce the
+    same row count, not append a second copy."""
+    from search_engine_ray.pipelines.curate import curate_write
+
+    out = tmp_path / "curated"
+    n1 = curate_write("/root/testdata/sf0.001", str(out))
+    n2 = curate_write("/root/testdata/sf0.001", str(out))
+    assert n1 == n2 > 0
