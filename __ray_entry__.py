@@ -48,6 +48,12 @@ def _built_index(sf_dir: str) -> str:
     pages = os.path.join(base, "pages")
     index = os.path.join(base, "index")
     if not os.path.exists(os.path.join(pages, "_DONE")):
+        # clean slate: the adapter's ray.data path APPENDS uuid-named
+        # files, so a crash between a partial write and the _DONE
+        # marker would otherwise leave duplicates a rerun builds over
+        import shutil
+
+        shutil.rmtree(pages, ignore_errors=True)
         documents_to_pages_parquet(sf_dir, pages)
         open(os.path.join(pages, "_DONE"), "w").close()
     build_index(pages, index, EngineConfig())  # resumes if complete

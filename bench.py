@@ -213,7 +213,9 @@ def run_bench() -> dict:
         return len(qset) / dt, dt
 
     scale_lo, scale_hi = 2, 8
-    conc = max(2, NUM_CPUS)
+    # never request more 1-CPU actors than the session can host:
+    # a wider pool deadlocks pool.run (see the hazard note below)
+    conc = NUM_CPUS if NUM_CPUS < 2 else max(2, NUM_CPUS)
     # each worker is a num_cpus=1 actor: a pool wider than the session's
     # CPUs can never fully schedule (pool.run would wait forever on the
     # unplaced actors), so the 2->8 scaling pair is only measured when
@@ -332,7 +334,7 @@ def run_scaling() -> dict:
         "batch_qps_scaling": round(qps_eff, 3),
         "all_pair_efficiencies": [round(pair_eff(p), 3) for p in pairs],
         "bench_docs": out[hi]["bench_docs"],
-        "sf": SF_DIR,
+        "sf": sf,
     }
 
 

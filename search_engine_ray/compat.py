@@ -54,7 +54,11 @@ def main(corpus_path=None, output_path: str = "", stemming: bool = False,
     out: list[list[tuple]] = []
     for query in handle_queries(queries):
         res = eng.search(query, k=num_docs_to_retrieve, mode="reference")
-        ranked = [(score, doc_id) for score, doc_id, _ts in reversed(res)]
+        # ASCENDING, exactly like the reference's print loop: main()
+        # iterates retrieve_top_k's (score, ts, id)-sorted list as-is
+        # (search_engine.py:109-112 over ranker.py:63), so the worst of
+        # the top-k prints first
+        ranked = [(score, doc_id) for score, doc_id, _ts in res]
         for score, doc_id in ranked:
             print(f"tweet id: {doc_id}, score: {score}")
         out.append(ranked)

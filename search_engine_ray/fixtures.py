@@ -176,3 +176,47 @@ def gen_tweets(n: int, seed: int = 43) -> pa.Table:
         rows["quote_text"].append("quoted text here" if i % 5 == 0 else None)
         rows["quote_url"].append("{}")
     return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+def gen_tweets_wide(n: int, seed: int = 44) -> pa.Table:
+    """F2b: the reference's FULL-corpus 13-column positional shape
+    (parser_module.py:110-141): url dicts at positions 3/6/9/12 and
+    quote_text at position 8 — the layout where URL harvesting and the
+    quote-text concat (parser.py:177-178) actually fire.  The bundled
+    8-column sample shape (``gen_tweets``) never reaches index 8, so
+    this variant is the only coverage of those paths."""
+    import json
+
+    pages = gen_pages(n, seed=seed)
+    texts = pages.column("text").to_pylist()
+    days = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+    cols = ["tweet_id", "tweet_date", "full_text", "url", "c4", "c5",
+            "retweet_url", "c7", "quote_text", "quote_url", "c10",
+            "c11", "retweet_quoted_url"]
+    rows: dict[str, list] = {k: [] for k in cols}
+    for i in range(n):
+        rows["tweet_id"].append(str(1289_000_000_000_000_000 + i))
+        day = days[i % 7]
+        rows["tweet_date"].append(
+            f"{day} Jul {27 + (i % 3):02d} {i % 24:02d}:{i % 60:02d}:"
+            f"{(i * 7) % 60:02d} +0000 2020")
+        rows["full_text"].append(texts[i])
+        rows["url"].append(json.dumps({"short": _URLS[i % len(_URLS)]})
+                           if i % 3 == 0 else "{}")
+        rows["c4"].append("")
+        rows["c5"].append("")
+        rows["retweet_url"].append(
+            json.dumps({"s": _URLS[(i + 1) % len(_URLS)]})
+            if i % 4 == 0 else "{}")
+        rows["c7"].append("")
+        rows["quote_text"].append(f"quoted passage {i % 7}"
+                                  if i % 5 == 0 else None)
+        rows["quote_url"].append(
+            json.dumps({"q": _URLS[(i + 2) % len(_URLS)]})
+            if i % 6 == 0 else "{}")
+        rows["c10"].append("")
+        rows["c11"].append("")
+        rows["retweet_quoted_url"].append(
+            json.dumps({"r": _URLS[(i + 3) % len(_URLS)]})
+            if i % 7 == 0 else "{}")
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})

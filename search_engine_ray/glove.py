@@ -51,6 +51,15 @@ def load_glove_snapshot(path: str, dim: int | None = None) -> dict:
     disagreement fails loudly instead of mis-shaping centroids."""
     cached = _SNAPSHOT_CACHE.get(path)
     if cached is not None:
+        # the cache hit must STILL validate dim: a second GloveCache in
+        # the same process with a different configured dim would
+        # otherwise silently receive mismatched vectors
+        if dim is not None and cached:
+            v0 = next(iter(cached.values()))
+            if len(v0) != dim:
+                raise ValueError(
+                    f"glove snapshot {path!r}: cached dim {len(v0)}, "
+                    f"config expects {dim}")
         return cached
     vecs: dict[str, np.ndarray] = {}
     if path.endswith(".parquet"):

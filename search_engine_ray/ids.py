@@ -17,20 +17,12 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
-
 
 def doc_id_for_url(url: str) -> int:
     """63-bit stable id (positive int64) from a url."""
     h = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
     return int.from_bytes(h, "little") & 0x7FFF_FFFF_FFFF_FFFF
 
-
-def doc_ids_for_urls(urls) -> np.ndarray:
-    """Vectorized-ish batch variant; returns int64 ndarray."""
-    return np.fromiter(
-        (doc_id_for_url(u) for u in urls), dtype=np.int64, count=len(urls)
-    )
 
 
 def shard_of(doc_id: int, num_shards: int) -> int:

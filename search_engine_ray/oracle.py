@@ -147,8 +147,12 @@ class OracleIndex:
     def search(self, query_text: str, k: int = 10, mode: str = "reference"):
         """Returns list of (score, doc_id, ts_us) ascending (score, ts, id),
         last-k — the reference's exact output order (ranker.py:51-63)."""
-        if k <= 0:
+        if k < 0:
             return []
+        if k == 0:
+            # the reference's retrieve_top_k list[-0:] quirk: k=0 means
+            # the FULL ranked candidate list (ranker.py:63)
+            k = max(self.n_docs, 1)
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []

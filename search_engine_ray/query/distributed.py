@@ -244,6 +244,7 @@ class DistributedSearchEngine:
 
         man = mf.read_manifest(out_dir)
         self.cfg = EngineConfig(**man["config"])
+        self.n_docs = man["n_docs"]
         from search_engine_ray.text.parser import Parser
 
         self.parser = Parser(
@@ -260,8 +261,12 @@ class DistributedSearchEngine:
                        for sh in assignment]
 
     def search(self, query_text: str, k: int = 10, mode: str = "bm25"):
-        if k <= 0:
+        if k < 0:
             return []
+        if k == 0:
+            # the reference's retrieve_top_k list[-0:] quirk: k=0 means
+            # the FULL ranked candidate list (ranker.py:63)
+            k = max(self.n_docs, 1)
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []

@@ -303,8 +303,12 @@ class SearchEngine:
 
     # ------------------------------------------------------------ search
     def search(self, query_text: str, k: int = 10, mode: str = "reference"):
-        if k <= 0:
+        if k < 0:
             return []
+        if k == 0:
+            # the reference's retrieve_top_k list[-0:] quirk: k=0 means
+            # the FULL ranked candidate list (ranker.py:63)
+            k = max(self.n_docs, 1)
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []

@@ -70,7 +70,7 @@ _CONTRACTIONS_WORD = [
     re.compile(r"(?i)\b(gon)(na)\b"),
     re.compile(r"(?i)\b(got)(ta)\b"),
     re.compile(r"(?i)\b(lem)(me)\b"),
-    re.compile(r"(?i)\b(more)('n)\b"),
+    re.compile(r"(?i)\b(mor)('n)\b"),  # NLTK MacIntyre: mor'n, not more'n
     re.compile(r"(?i)\b(wan)(na)\s"),
 ]
 _CONTRACTIONS_TIS = [
@@ -82,7 +82,7 @@ _CONTRACTIONS_TIS = [
 # alternation scan here) skip them for the ~99% of docs containing none
 # of these rare words
 _CONTRACTION_SUBSTR = ("cannot", "gimme", "gonna", "gotta", "lemme",
-                       "more'n", "d'ye", "wanna", "'tis", "'twas")
+                       "mor'n", "d'ye", "wanna", "'tis", "'twas")
 
 
 def _has_contraction(text: str) -> bool:

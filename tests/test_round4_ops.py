@@ -400,3 +400,23 @@ def test_curate_write_rerun_no_duplication(ray_session, tmp_path):
     n1 = curate_write("/root/testdata/sf0.001", str(out))
     n2 = curate_write("/root/testdata/sf0.001", str(out))
     assert n1 == n2 > 0
+
+
+def test_k_zero_returns_full_list_quirk(ray_session, tmp_path):
+    """The reference's retrieve_top_k(docs, 0) returns the FULL ranked
+    list (list[-0:] quirk, ranker.py:63); oracle and engine mirror it."""
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.oracle import OracleIndex
+
+    texts = ["the quick brown fox jumps high today",
+             "the slow green turtle walks low today",
+             "a fox and a turtle meet right here"]
+    cfg = EngineConfig(term_buckets=4, num_shards=2)
+    urls, ts, table = _pages_table(texts)
+    _, eng = _build_and_engine(tmp_path, table, cfg)
+    o = OracleIndex(cfg).build(zip(urls, ts, texts))
+    ro = o.search("fox turtle", k=0)
+    re_ = eng.search("fox turtle", k=0)
+    assert len(ro) == len(re_) > 1          # full candidate list
+    assert [d for _, d, _ in ro] == [d for _, d, _ in re_]
+    assert o.search("fox", k=-1) == [] and eng.search("fox", k=-1) == []

@@ -97,7 +97,39 @@ def test_reference_main_signature(ray_session, tmp_path_factory, capsys):
     total = sum(len(r) for r in res)
     assert total > 0
     assert captured.count("tweet id: ") == total
-    # best-first within each query
+    # ASCENDING within each query — the reference prints
+    # retrieve_top_k's (score, ts, id)-sorted list as-is, worst of the
+    # top-k first (search_engine.py:109-112, ranker.py:63)
     for r in res:
         scores = [s for s, _ in r]
-        assert scores == sorted(scores, reverse=True)
+        assert scores == sorted(scores)
+
+
+def test_wide_tweets_quote_concat_and_parity(ray_session,
+                                             tmp_path_factory):
+    """The 13-column full-corpus shape (FIXTURES.md F2b): quote_text at
+    position 8 must be concatenated into the body (parser quote path),
+    url dicts at 3/6/9/12 must be harvested — and the distributed build
+    must match the oracle on the result."""
+    from search_engine_ray.fixtures import gen_tweets_wide
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+
+    t = gen_tweets_wide(200)
+    data_dir = tmp_path_factory.mktemp("wide_tweets")
+    out_dir = str(tmp_path_factory.mktemp("wide_tweets_index"))
+    pq.write_table(t, str(data_dir / "tweets.parquet"))
+    cfg = EngineConfig(num_shards=4, term_buckets=8, parser_concurrency=2)
+    build_index(str(data_dir), out_dir, cfg, input_format="tweets")
+    oracle = OracleIndex(cfg).build_tweets(
+        zip(*(t.column(i).to_pylist() for i in range(t.num_columns))))
+    eng = SearchEngine(out_dir)
+    assert eng.n_docs == oracle.n_docs
+    assert set(eng.df_map) == set(oracle.df)
+    # the quote-concat terms exist and are searchable identically
+    assert any("quoted" in k for k in eng.df_map)
+    for q in ["quoted passage", "passage 3"]:
+        ro = oracle.search(q, k=10)
+        re_ = eng.search(q, k=10)
+        assert [(d, ts) for _, d, ts in ro] == \
+            [(d, ts) for _, d, ts in re_], q
