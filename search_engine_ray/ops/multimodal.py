@@ -89,23 +89,7 @@ class MediaDecoder:
     def _pnm_features(self, payload: bytes) -> np.ndarray:
         """(width, height, channels, mean, std, min, max) from binary
         PPM(P6)/PGM(P5) — manual header parse, no image libs."""
-        tokens: list[bytes] = []
-        i = 2  # past magic
-        while len(tokens) < 3:
-            while i < len(payload) and payload[i:i + 1].isspace():
-                i += 1
-            if payload[i:i + 1] == b"#":  # comment to end of line
-                while i < len(payload) and payload[i:i + 1] != b"\n":
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j:j + 1].isspace():
-                j += 1
-            tokens.append(payload[i:j])
-            i = j
-        i += 1  # single whitespace after maxval
-        w, h, maxval = (int(t) for t in tokens)
-        ch = 3 if payload[:2] == b"P6" else 1
+        w, h, maxval, ch, i = _pnm_header(payload)
         if maxval > 255:
             raise NotImplementedError("16-bit PNM")
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
@@ -303,17 +287,19 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
             + pixels.astype(np.uint8).tobytes())
 
 
-def _pnm_frame_size(payload: bytes, off: int) -> int:
-    """Byte length of the PPM/PGM frame starting at ``off`` (header parse
-    only — no pixel decode)."""
+def _pnm_header(payload: bytes, off: int = 0):
+    """Walk a binary PPM(P6)/PGM(P5) header starting at ``off``:
+    returns (w, h, maxval, channels, data_off).  ONE implementation —
+    the features, frame-size and resize decoders all parse the same
+    whitespace/comment grammar, so a header fix lands everywhere."""
     if payload[off:off + 2] not in (b"P6", b"P5"):
         raise NotImplementedError("not a binary PNM frame")
-    i = off + 2
     tokens: list[bytes] = []
+    i = off + 2
     while len(tokens) < 3:
         while i < len(payload) and payload[i:i + 1].isspace():
             i += 1
-        if payload[i:i + 1] == b"#":
+        if payload[i:i + 1] == b"#":  # comment to end of line
             while i < len(payload) and payload[i:i + 1] != b"\n":
                 i += 1
             continue
@@ -322,9 +308,16 @@ def _pnm_frame_size(payload: bytes, off: int) -> int:
             j += 1
         tokens.append(payload[i:j])
         i = j
-    i += 1
-    w, h, _ = (int(t) for t in tokens)
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
     ch = 3 if payload[off:off + 2] == b"P6" else 1
+    return w, h, maxval, ch, i
+
+
+def _pnm_frame_size(payload: bytes, off: int) -> int:
+    """Byte length of the PPM/PGM frame starting at ``off`` (header parse
+    only — no pixel decode)."""
+    w, h, _maxval, ch, i = _pnm_header(payload, off)
     return (i - off) + w * h * ch
 
 
@@ -418,23 +411,7 @@ class ImageResizer:
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
         if payload[:2] in (b"P6", b"P5"):
-            # same header walk as _pnm_features, keeping (w, h, offset)
-            tokens, i = [], 2
-            while len(tokens) < 3:
-                while i < len(payload) and payload[i:i + 1].isspace():
-                    i += 1
-                if payload[i:i + 1] == b"#":
-                    while i < len(payload) and payload[i:i + 1] != b"\n":
-                        i += 1
-                    continue
-                j = i
-                while j < len(payload) and not payload[j:j + 1].isspace():
-                    j += 1
-                tokens.append(payload[i:j])
-                i = j
-            i += 1
-            w, h, _ = (int(t) for t in tokens)
-            ch = 3 if payload[:2] == b"P6" else 1
+            w, h, _maxval, ch, i = _pnm_header(payload)
             px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
                                offset=i)
             return px.reshape(h, w, ch)
