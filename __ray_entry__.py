@@ -102,6 +102,12 @@ def _cms_term_estimates(sf_dir: str):
     return cms_term_estimates(sf_dir)
 
 
+def _bloom_membership(sf_dir: str):
+    from search_engine_ray.ops.sketches import bloom_doc_membership
+
+    return bloom_doc_membership(sf_dir)
+
+
 def _bpe_train(sf_dir: str):
     from search_engine_ray.ops.textstats import bpe_train_merges
 
@@ -226,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retention_cohorts rides the mirror gate with the in-cap event
         # rows covering its shuffle shape)
         "retention_cohorts": sq.q_retention_cohorts,
+        "customer_order_ranks": sq.q_customer_order_ranks,
+        "term_cooccurrence_pmi": sq.q_term_cooccurrence_pmi,
         "phrase_match": sq.q_phrase_match,
         "source_quality_centroids": sq.q_source_quality_centroids,
         "proximity_match": sq.q_proximity_match,
@@ -271,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
         "knn_pq_top10": _knn_pq,
         "bpe_train_merges": _bpe_train,
+        "bloom_doc_membership": _bloom_membership,
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,
         "cms_term_estimates": _cms_term_estimates,
@@ -369,4 +378,6 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": sq.SQL_PHRASE_MATCH,
         "proximity_match": sq.SQL_PROXIMITY_MATCH,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
+        "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
+        "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,
     }

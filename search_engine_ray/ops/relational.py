@@ -1471,3 +1471,43 @@ def part_supplier_diversity(sf_dir: str, excl_brand: str = "Brand#13",
     from search_engine_ray.ops.shuffle import bucketed_apply
 
     return bucketed_apply(li, ["p_brand", "p_type", "p_size"], per_bucket)
+
+
+def customer_order_ranks(sf_dir: str):
+    """Distributed WINDOW FUNCTION at fact scale: every order ranked
+    within its customer by (totalprice desc, orderkey) — the
+    `row_number() OVER (PARTITION BY ... ORDER BY ...)` shape, emitted
+    for ALL rows (not just a per-group winner).
+
+    Plan: ONE bucket shuffle on custkey; each bucket ranks all its
+    customers vectorized (one sort + one groupby-cumcount — no per-key
+    dispatch).  Money is e4-int BEFORE ranking so ties break exactly
+    like the SQL mirror."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "totalprice_e4": pa.array(
+                _e4_halfaway(batch.column("o_totalprice").to_numpy()),
+                pa.int64())})
+
+    ds = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"))
+
+    def per_bucket(g):
+        import pandas as pd
+
+        g = g.sort_values(["o_custkey", "totalprice_e4", "o_orderkey"],
+                          ascending=[True, False, True]).reset_index(
+            drop=True)
+        g["rnk"] = (g.groupby("o_custkey", sort=False).cumcount()
+                    + 1).astype("int64")
+        return g[["o_custkey", "o_orderkey", "totalprice_e4", "rnk"]]
+
+    return bucketed_apply(ds, ["o_custkey"], per_bucket)

@@ -304,3 +304,78 @@ def cms_term_estimates(sf_dir: str, probe_min_count: int = 50):
         "term": pa.array(list(terms), pa.string()),
         "n_exact": pa.array(exact["n"].to_numpy(np.int64), pa.int64()),
         "n_est": pa.array(est, pa.int64())})
+
+
+_BLOOM_M = 1 << 16  # bits
+_BLOOM_K = 4
+
+
+def _bloom_positions(fps: np.ndarray, m: int = _BLOOM_M,
+                     k: int = _BLOOM_K) -> np.ndarray:
+    """k bit positions per 64-bit fingerprint (splitmix-style double
+    hashing h1 + i*h2 — the standard Kirsch-Mitzenmacher scheme)."""
+    x = fps.astype(np.uint64)
+    z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h1 = z ^ (z >> np.uint64(31))
+    h2 = (x * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    ii = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + ii[None, :] * h2[:, None])
+            % np.uint64(m)).astype(np.int64)
+
+
+def bloom_doc_membership(sf_dir: str, n_absent: int = 200):
+    """Bloom filter over the corpus' content fingerprints, built
+    DISTRIBUTED the same way the CMS/HLL summaries are: each batch
+    emits its DISTINCT set-bit positions, one bucketed count dedups
+    them, and the driver materializes the m-bit filter (8 KB at any
+    corpus size).  Probes every corpus doc (must all hit — Bloom
+    filters have no false negatives) plus ``n_absent`` synthetic
+    strings (false-positive-rate specimen).
+
+    Returns one row per probe class: (probe_kind, n_probes, n_hits).
+    Gated by a no-false-negative + FPR-bound unit, not SQL (the filter
+    is probabilistic by design)."""
+    import hashlib as _h
+
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def _fp(texts: list) -> np.ndarray:
+        return np.array(
+            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
+                            "little") for t in texts], dtype=np.uint64)
+
+    def bit_rows(batch: pa.Table) -> pa.Table:
+        pos = np.unique(_bloom_positions(
+            _fp(batch.column("text").to_pylist())))
+        return pa.table({
+            "pos": pa.array(pos, pa.int64()),
+            "one": pa.array(np.ones(len(pos), dtype=np.int64))})
+
+    bits_t = bucketed_sum(
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(bit_rows, batch_format="pyarrow"),
+        ["pos"], ["one"]).to_pandas()  # <= m rows, any corpus size
+    filt = np.zeros(_BLOOM_M, dtype=bool)
+    filt[bits_t["pos"].to_numpy(dtype=np.int64)] = True
+
+    import pyarrow.parquet as pq_
+
+    present = _fp(pq_.read_table(path, columns=["text"])
+                  .column("text").to_pylist())
+    absent = _fp([f"synthetic absent probe #{i}"
+                  for i in range(n_absent)])
+
+    def hits(fps: np.ndarray) -> int:
+        if not len(fps):
+            return 0
+        return int(filt[_bloom_positions(fps)].all(axis=1).sum())
+
+    return pa.table({
+        "probe_kind": pa.array(["present", "absent"], pa.string()),
+        "n_probes": pa.array([len(present), len(absent)], pa.int64()),
+        "n_hits": pa.array([hits(present), hits(absent)], pa.int64())})

@@ -2246,3 +2246,44 @@ FROM keep k JOIN embeddings e ON k.doc_id = e.vec_id
 CROSS JOIN (SELECT unnest(range(64)) AS dim) d
 GROUP BY 1, 2
 """
+
+
+def q_customer_order_ranks(sf_dir: str):
+    from search_engine_ray.ops.relational import customer_order_ranks
+
+    return customer_order_ranks(sf_dir)
+
+
+SQL_CUSTOMER_ORDER_RANKS = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice * 10000)::BIGINT AS totalprice_e4,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY round(o_totalprice * 10000)::BIGINT
+                                   DESC, o_orderkey)::BIGINT AS rnk
+FROM orders
+"""
+
+
+def q_term_cooccurrence_pmi(sf_dir: str):
+    from search_engine_ray.ops.textstats import term_cooccurrence_pmi
+
+    return term_cooccurrence_pmi(sf_dir)
+
+
+SQL_TERM_COOCCURRENCE_PMI = f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS t
+            FROM documents),
+tdc AS (SELECT t, count(*)::BIGINT AS n FROM dt GROUP BY t),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+voc AS (SELECT t, n FROM tdc ORDER BY n DESC, t LIMIT 24),
+pr AS (SELECT x.t AS a, y.t AS b, count(*)::BIGINT AS n_ab
+       FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.t < y.t
+       WHERE x.t IN (SELECT t FROM voc) AND y.t IN (SELECT t FROM voc)
+       GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT a, b, n_ab,
+       (floor(ln(n_ab) * 1000000 + 0.5)::BIGINT
+        + floor(ln((SELECT n_docs FROM nd)) * 1000000 + 0.5)::BIGINT
+        - floor(ln(va.n) * 1000000 + 0.5)::BIGINT
+        - floor(ln(vb.n) * 1000000 + 0.5)::BIGINT) AS pmi_e6
+FROM pr JOIN voc va ON pr.a = va.t JOIN voc vb ON pr.b = vb.t
+"""

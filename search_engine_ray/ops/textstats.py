@@ -1700,3 +1700,80 @@ def weighted_sample_topk(sf_dir: str, k: int = 50):
         "doc_id": pa.array(parts["doc_id"].to_numpy(np.int64), pa.int64()),
         "n_chars": pa.array(parts["n_chars"].to_numpy(np.int64),
                             pa.int64())})
+
+
+def term_cooccurrence_pmi(sf_dir: str, vocab_k: int = 24,
+                          min_pairs: int = 5):
+    """Pointwise mutual information for term PAIRS co-occurring in the
+    same document, over the corpus-frequency top-``vocab_k`` vocabulary
+    — the classic collocation/corpus-analysis statistic.
+
+    ``pmi = ln(n_ab * n_docs / (n_a * n_b))`` over DOC counts; the ln
+    terms are e6-int rounded per factor (the bigram-LM parity recipe)
+    so both engines sum exact integers.  Plan: the top-V vocab is a
+    broadcast (vocab_k rows); each batch emits its docs' distinct
+    in-vocab pairs (k^2/2 bounded per doc), ONE bucketed count per
+    pair, per-term doc counts ride the same scan; the driver assembles
+    the <= V^2/2 result rows."""
+    import itertools
+
+    import ray
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def term_doc_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(simple_tokenize(t)))
+        items = list(c.items())
+        return pa.table({
+            "t": pa.array([w for w, _ in items], pa.string()),
+            "n": pa.array([x for _, x in items], pa.int64())})
+
+    tdc = bucketed_sum(
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(term_doc_counts, batch_format="pyarrow"),
+        ["t"], ["n"]).to_pandas()
+    n_docs = int(ray.data.read_parquet(path, columns=["doc_id"]).count())
+    top = (tdc.sort_values(["n", "t"], ascending=[False, True])
+           .head(vocab_k))
+    vocab = dict(zip(top["t"], top["n"].astype(int)))
+    v_ref = ray.put(frozenset(vocab))
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        voc = ray.get(v_ref)
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            present = sorted(set(simple_tokenize(t)) & voc)
+            for a, b in itertools.combinations(present, 2):
+                c[(a, b)] += 1
+        items = list(c.items())
+        return pa.table({
+            "a": pa.array([p[0] for p, _ in items], pa.string()),
+            "b": pa.array([p[1] for p, _ in items], pa.string()),
+            "n_ab": pa.array([x for _, x in items], pa.int64())})
+
+    pairs = bucketed_sum(
+        ray.data.read_parquet(path, columns=["text"])
+        .map_batches(pair_rows, batch_format="pyarrow"),
+        ["a", "b"], ["n_ab"]).to_pandas()  # <= vocab_k^2/2 rows
+    pairs = pairs[pairs["n_ab"] >= min_pairs].copy()
+
+    def fl6(x):
+        return np.floor(np.log(x) * 1e6 + 0.5).astype(np.int64)
+
+    n_ab = pairs["n_ab"].to_numpy(dtype=np.int64)
+    n_a = pairs["a"].map(vocab).to_numpy(dtype=np.int64)
+    n_b = pairs["b"].map(vocab).to_numpy(dtype=np.int64)
+    pairs["pmi_e6"] = (fl6(n_ab) + fl6(np.full(len(pairs), n_docs))
+                       - fl6(n_a) - fl6(n_b))
+    pairs["n_ab"] = n_ab
+    return pa.Table.from_pandas(
+        pairs[["a", "b", "n_ab", "pmi_e6"]], preserve_index=False)

@@ -420,3 +420,23 @@ def test_k_zero_returns_full_list_quirk(ray_session, tmp_path):
     assert len(ro) == len(re_) > 1          # full candidate list
     assert [d for _, d, _ in ro] == [d for _, d, _ in re_]
     assert o.search("fox", k=-1) == [] and eng.search("fox", k=-1) == []
+
+
+def test_bloom_membership_bounds(ray_session):
+    """Bloom filters never false-negative; false positives stay within
+    a loose multiple of the theoretical (1 - e^{-kn/m})^k bound."""
+    import numpy as np
+
+    from search_engine_ray.ops.sketches import (
+        _BLOOM_K,
+        _BLOOM_M,
+        bloom_doc_membership,
+    )
+
+    out = bloom_doc_membership(SF01, n_absent=500).to_pandas()
+    row = out.set_index("probe_kind")
+    assert row.loc["present", "n_hits"] == row.loc["present", "n_probes"]
+    n = int(row.loc["present", "n_probes"])
+    fpr_bound = (1 - np.exp(-_BLOOM_K * n / _BLOOM_M)) ** _BLOOM_K
+    fpr = row.loc["absent", "n_hits"] / row.loc["absent", "n_probes"]
+    assert fpr <= max(3 * fpr_bound, 0.02)
