@@ -502,14 +502,14 @@ class FinalizeBucket:
         self.avg_dl = avg_dl
         self.cfg = config
 
-    _OUT_COLS = ("shard", "tbucket", "term", "df_global", "n",
+    _OUT_COLS = ("shard", "tbucket", "term", "orig", "df_global", "n",
                  "docids_vb", "tf_vb", "dl_vb", "mtf_vb", "uniq_vb",
                  "blk_last", "blk_max", "blk_doc_off", "blk_tf_off")
 
     def _empty(self) -> pa.Table:
         types = {"shard": pa.int32(), "tbucket": pa.int32(),
-                 "term": pa.string(), "df_global": pa.int64(),
-                 "n": pa.int64()}
+                 "term": pa.string(), "orig": pa.string(),
+                 "df_global": pa.int64(), "n": pa.int64()}
         return pa.table({k: pa.array([], type=types.get(k, pa.binary()))
                          for k in self._OUT_COLS})
 
@@ -597,7 +597,6 @@ class FinalizeBucket:
         from search_engine_ray.ids import term_bucket as _tb
 
         out = {k: [] for k in self._OUT_COLS}
-        out_orig: list = []
         for k in range(len(seg_starts)):
             term = uniques[seg_term[seg_starts[k]]]
             verdict = term_map.get(term)
@@ -612,6 +611,13 @@ class FinalizeBucket:
                 tbucket if verdict[0] == term
                 else _tb(verdict[0], self.cfg.term_buckets))
             out["term"].append(verdict[0])
+            # orig rides along so the READ side can resolve capitals
+            # collisions that span partitions: two orig terms in
+            # DIFFERENT tbuckets can rewrite to the same final term, and
+            # their rows land in separate files of the same final-tbucket
+            # dir — prefetch keeps only the max-orig rows (mirroring
+            # load_df_map / reference indexer.py:161-166)
+            out["orig"].append(term)
             out["df_global"].append(int(verdict[1]))
             out["n"].append(int(e - s))
             out["docids_vb"].append(doc_buf[doc_off[s]:doc_off[e]])
@@ -623,7 +629,6 @@ class FinalizeBucket:
             out["blk_max"].append(blk_max32[fb:fb + nb].tobytes())
             out["blk_doc_off"].append(blk_doc_all[fb:fb + nb].tobytes())
             out["blk_tf_off"].append(blk_tf_all[fb:fb + nb].tobytes())
-            out_orig.append(term)
         # the capitals UPPER rewrite is not injective (two distinct orig
         # terms — e.g. 'straße' and 'strasse' — can share a final UPPER
         # term and, with 1/term_buckets probability, this partition).
@@ -635,13 +640,13 @@ class FinalizeBucket:
             best: dict[str, int] = {}
             for i, ft in enumerate(out["term"]):
                 j = best.get(ft)
-                if j is None or out_orig[i] > out_orig[j]:
+                if j is None or out["orig"][i] > out["orig"][j]:
                     best[ft] = i
             keep = sorted(best.values())
             out = {k: [v[i] for i in keep] for k, v in out.items()}
         types = {"shard": pa.int32(), "tbucket": pa.int32(),
-                 "term": pa.string(), "df_global": pa.int64(),
-                 "n": pa.int64()}
+                 "term": pa.string(), "orig": pa.string(),
+                 "df_global": pa.int64(), "n": pa.int64()}
         tbl = pa.table({k: pa.array(v, type=types.get(k, pa.binary()))
                         for k, v in out.items()})
         # term-sorted rows => tight parquet row-group min/max stats =>

@@ -169,17 +169,32 @@ def read_manifest(out_dir: str) -> dict:
 
 
 def load_df_map(out_dir: str) -> dict:
-    """The query-time dictionary: final term -> global df, shared by the
-    in-process and distributed engines (ONE loader so a reserved-key or
-    collision-rule change can never diverge between them).
+    """The query-time dictionary: final term -> global df (see
+    load_df_and_orig for the collision rule)."""
+    return load_df_and_orig(out_dir)[0]
+
+
+def load_df_and_orig(out_dir: str) -> tuple[dict, dict]:
+    """The query-time dictionary plus the capitals-collision winner map,
+    shared by the in-process and distributed engines (ONE loader so a
+    reserved-key or collision-rule change can never diverge between
+    them).  Returns ``(df_map, caps_orig)``:
+
+    - ``df_map``: final term -> global df.
+    - ``caps_orig``: final term -> the WINNING orig term, only for final
+      terms whose dict entry saw more than one orig term (capitals UPPER
+      rewrite collisions, e.g. 'straße'/'strasse' -> 'STRASSE').  The
+      posting readers use it to serve exactly the winner's rows — the
+      losers' posting rows exist on disk (written by other reduce tasks,
+      possibly in other tbuckets) and must be skipped.
 
     Reserved corpus-stat rows (\x01 current, \x00 legacy) are dropped.
     Duplicate FINAL terms can exist across bucket files when the
     capitals UPPER rewrite collides across term buckets (distinct orig
-    terms, same final term — e.g. 'straße'/'strasse'); the reference's
-    sorted-merge overwrite keeps the lexicographically GREATEST orig
-    term's entry (indexer.py:161-166), so ties resolve by max
-    orig_term here — deterministic regardless of file read order."""
+    terms, same final term); the reference's sorted-merge overwrite
+    keeps the lexicographically GREATEST orig term's entry
+    (indexer.py:161-166), so ties resolve by max orig_term here —
+    deterministic regardless of file read order."""
     import glob
 
     import pyarrow.dataset as pads
@@ -187,16 +202,23 @@ def load_df_map(out_dir: str) -> dict:
     ddir = stage_dir(out_dir, "dict")
     if not glob.glob(os.path.join(ddir, "**", "*.parquet"),
                      recursive=True):
-        return {}  # zero-doc / fully-pruned index
+        return {}, {}  # zero-doc / fully-pruned index
     dt = pads.dataset(ddir).to_table(columns=["term", "orig_term", "df"])
     out: dict = {}
     best_orig: dict = {}
+    dups: set = set()
     for t, o, d in zip(dt.column("term").to_pylist(),
                        dt.column("orig_term").to_pylist(),
                        dt.column("df").to_pylist()):
         if t.startswith(("\x00", "\x01")):
             continue
-        if t not in out or o > best_orig[t]:
+        if t in out:
+            if best_orig[t] != o:
+                dups.add(t)
+            if o > best_orig[t]:
+                out[t] = d
+                best_orig[t] = o
+        else:
             out[t] = d
             best_orig[t] = o
-    return out
+    return out, {t: best_orig[t] for t in dups}

@@ -82,7 +82,8 @@ class QueryShardActor:
             len(ids), self.cfg.glove_dim)
         self._meta_glove = glove[order]
 
-    def _postings(self, terms: list[str], df_map: dict):
+    def _postings(self, terms: list[str], df_map: dict,
+                  caps_orig: dict | None = None):
         import pyarrow.dataset as pads
 
         from search_engine_ray.ids import term_bucket
@@ -102,14 +103,24 @@ class QueryShardActor:
                         & pads.field("shard").isin(list(self.shards))))
             by_term = {x: [] for x in need}
             term_col = t.column("term").to_pylist()
+            orig_col = t.column("orig").to_pylist()
             cols = {k: t.column(k).to_pylist()
                     for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
                               "uniq_vb", "blk_last", "blk_max",
                               "blk_doc_off", "blk_tf_off")}
             for i, term in enumerate(term_col):
                 by_term[term].append(
-                    decode_postings({k: cols[k][i] for k in cols}))
-            for term, parts in by_term.items():
+                    (orig_col[i],
+                     decode_postings({k: cols[k][i] for k in cols})))
+            for term, tagged in by_term.items():
+                # capitals collisions: keep only the GLOBAL winning
+                # orig's rows (the winner is decided by the whole dict —
+                # a per-shard max would wrongly serve a loser whose
+                # winner has no docs in this actor's shards); mirrors
+                # load_df_and_orig / engine.prefetch
+                win = (caps_orig or {}).get(term)
+                parts = [p for o, p in tagged
+                         if win is None or o == win]
                 if not parts:
                     self._pcache[term] = None
                     continue
@@ -125,14 +136,15 @@ class QueryShardActor:
         return {t: self._pcache.get(t) for t in terms}
 
     def search_local(self, query: list[str], k: int, mode: str,
-                     df_map: dict[str, int]):
+                     df_map: dict[str, int],
+                     caps_orig: dict | None = None):
         """Local top-k over this actor's shards; returns (score, ts, id)
         tuples (at most k)."""
         from search_engine_ray.index.encoding import tf_norm
 
         cfg = self.cfg
         terms = list(dict.fromkeys(query))
-        plists = self._postings(terms, df_map)
+        plists = self._postings(terms, df_map, caps_orig)
 
         def idf(t):
             df = df_map.get(t)
@@ -252,7 +264,7 @@ class DistributedSearchEngine:
             harvest_page_url=self.cfg.harvest_page_url)
         import pyarrow.dataset as pads
 
-        self.df_map = mf.load_df_map(out_dir)
+        self.df_map, self._caps_orig = mf.load_df_and_orig(out_dir)
         S = self.cfg.num_shards
         num_actors = min(num_actors, S)
         assignment = [list(range(i, S, num_actors))
@@ -273,7 +285,10 @@ class DistributedSearchEngine:
         # ship only the df entries the query needs (tiny broadcast)
         df_small = {t: self.df_map[t] for t in set(query)
                     if t in self.df_map}
-        futures = [a.search_local.remote(query, k, mode, df_small)
+        orig_small = {t: self._caps_orig[t] for t in set(query)
+                      if t in self._caps_orig}
+        futures = [a.search_local.remote(query, k, mode, df_small,
+                                         orig_small)
                    for a in self.actors]
         merged = [t for part in ray.get(futures) for t in part]
         merged.sort(key=lambda t: (t[0], t[1], t[2]))  # (score, ts, id)

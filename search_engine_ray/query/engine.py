@@ -56,7 +56,7 @@ class SearchEngine:
 
         import os
 
-        self.df_map = mf.load_df_map(out_dir)
+        self.df_map, self._caps_orig = mf.load_df_and_orig(out_dir)
 
         def _maybe_dataset(stage):
             # a stage dir may hold zero parquet files (e.g. every term
@@ -147,7 +147,8 @@ class SearchEngine:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        cols = ["term", "n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb"]
+        cols = ["term", "orig", "n", "docids_vb", "tf_vb", "dl_vb",
+                "mtf_vb"]
         from search_engine_ray.ids import term_bucket
 
         hits: dict[str, set[int]] = {}
@@ -229,6 +230,7 @@ class SearchEngine:
             return
         by_term: dict[str, list] = {x: [] for x in need}
         term_col = t.column("term").to_pylist()
+        orig_col = t.column("orig").to_pylist()
         cols = {k: t.column(k).to_pylist()
                 for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb")}
         for i, term in enumerate(term_col):
@@ -237,6 +239,19 @@ class SearchEngine:
             if not idxs:
                 self._pcache[term] = None
                 continue
+            # capitals-rewrite collisions produce rows for the SAME final
+            # term from DIFFERENT orig terms (separate reduce tasks /
+            # files, possibly separate tbuckets); the dictionary keeps
+            # only the lexicographically greatest orig (load_df_and_orig,
+            # mirroring reference indexer.py:161-166) — serve exactly
+            # that orig's rows (a legit orig still spans several
+            # doc-shard rows)
+            win = self._caps_orig.get(term)
+            if win is not None:
+                idxs = [i for i in idxs if orig_col[i] == win]
+                if not idxs:
+                    self._pcache[term] = None
+                    continue
             # decode each stream ONCE over the concatenated shard buffers
             # (not per shard row) — delta resets at shard-run starts are
             # undone with a per-segment cumsum-offset correction

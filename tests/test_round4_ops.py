@@ -197,6 +197,60 @@ def test_capitals_rewrite_collision_matches_oracle(ray_session, tmp_path):
         assert a == b, q
 
 
+def test_capitals_collision_across_buckets_matches_oracle(
+        ray_session, tmp_path):
+    """'straße' and 'strasse' hash to DIFFERENT term buckets at
+    term_buckets=2, so their caps-rewritten 'STRASSE' rows are written by
+    separate reduce tasks into separate files of the final tbucket dir.
+    The read side must keep only the greatest orig term's postings
+    (mirroring load_df_map / reference indexer.py:161-166) — serving
+    both rows double-counts the term and breaks parity."""
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.ids import term_bucket
+    from search_engine_ray.oracle import OracleIndex
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    assert term_bucket("straße", 2) != term_bucket("strasse", 2)
+    texts = ["Die Strasse ist lang und breit heute",
+             "Die Straße ist kurz und schmal heute",
+             "Eine Straße und eine Strasse treffen sich hier",
+             "Die Strasse bleibt frei morgen"]
+    cfg = EngineConfig(term_buckets=2, num_shards=2)
+    urls, ts, table = _pages_table(texts)
+    man, eng = _build_and_engine(tmp_path, table, cfg)
+    o = OracleIndex(cfg).build(zip(urls, ts, texts))
+    assert dict(eng.df_map) == dict(o.df)
+    # the query parse lowercases (matching the reference searcher, which
+    # also can't reach capitals-rewritten terms by text), so the bug
+    # shows through the postings/df agreement, not search():
+    # pre-fix, prefetch merged BOTH origs' rows → 4 doc ids vs df 2
+    oracle_ids = sorted(t[0] for t in o.postings["STRASSE"])
+    p = eng.postings("STRASSE")
+    assert sorted(int(x) for x in p["doc_ids"]) == oracle_ids
+    assert len(p["doc_ids"]) == eng.df_map["STRASSE"] == 2
+    for q in ["heute", "und", "ist"]:
+        a = [(round(s, 9), d) for s, d, _ in eng.search(q, k=5,
+                                                        mode="bm25")]
+        b = [(round(s, 9), d) for s, d, _ in o.search(q, k=5,
+                                                      mode="bm25")]
+        assert a == b, q
+    # distributed read path applies the same max-orig rule per shard
+    import ray
+
+    dist = DistributedSearchEngine(str(tmp_path / "idx"), num_actors=2)
+    df_small = {"STRASSE": eng.df_map["STRASSE"]}
+    assert dist._caps_orig == {"STRASSE": "straße"}
+    parts = ray.get([a._postings.remote(["STRASSE"], df_small,
+                                        dist._caps_orig)
+                     for a in dist.actors])
+    got = []
+    for part in parts:
+        pp = part.get("STRASSE")
+        if pp is not None:
+            got.extend(int(x) for x in pp["doc_ids"])
+    assert sorted(got) == oracle_ids
+
+
 def test_reserved_stats_keys_survive_single_bucket(ray_session, tmp_path):
     """With term_buckets=1 both reserved corpus-stat keys land in ONE
     dict partition; pandas' khash string grouping truncates object
