@@ -11,4 +11,5 @@ import sys
 
 from search_engine_ray.cli import main
 
-sys.exit(main())
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,7 +59,6 @@ def proximity_match_docs(sf_dir: str, t1: str = "query", t2: str = "scan",
             if not len(p1) or not len(p2):
                 continue
             j = np.searchsorted(p2, p1)
-            best = np.inf
             lo = np.clip(j - 1, 0, len(p2) - 1)
             hi = np.clip(j, 0, len(p2) - 1)
             best = int(np.minimum(np.abs(p1 - p2[lo]),

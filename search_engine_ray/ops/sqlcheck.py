@@ -2190,7 +2190,7 @@ SQL_WEIGHTED_SAMPLE = """
 SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
          ln((md5_number_lower(text) % 1000000 + 1) / 1000001.0)
-           / n_chars AS k
+           / greatest(n_chars, 1) AS k
   FROM documents ORDER BY k DESC, doc_id LIMIT 50)
 """
 

@@ -1673,7 +1673,11 @@ def weighted_sample_topk(sf_dir: str, k: int = 50):
                             "little") % _MOD
              for t in batch.column("text").to_pylist()],
             dtype=np.float64) + 1.0) / (_MOD + 1.0)
-        key = np.log(u) / w
+        # clamp zero-char docs to weight 1 in the KEY only (output keeps
+        # the real n_chars): ln(u)/0 is a divide-by-zero whose
+        # -inf/RuntimeWarning behavior differs from the SQL mirror's
+        # x/0; SQL_WEIGHTED_SAMPLE applies greatest(n_chars, 1)
+        key = np.log(u) / np.maximum(w, 1.0)
         kk = min(k, len(ids))
         if kk < len(ids):
             # keep ALL boundary ties (duplicate docs share u and w, so

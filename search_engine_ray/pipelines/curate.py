@@ -158,8 +158,18 @@ def curate_write(sf_dir: str, out_dir: str, chunk_tokens: int = 512,
 
     # clean slate: Ray's write_parquet APPENDS uniquely-named files, so
     # rerunning into a half-written or previously-written out_dir would
-    # silently double rows — a rerun is a full rewrite
+    # silently double rows — a rerun is a full rewrite.  Only wipe a
+    # directory that LOOKS like prior curate output (pk=* hive layout or
+    # empty); anything else is someone's unrelated data — refuse.
     if os.path.exists(out_dir):
+        entries = os.listdir(out_dir)
+        if entries and not all(e.startswith("pk=") or e.startswith(".")
+                               for e in entries):
+            raise ValueError(
+                f"curate_write: {out_dir!r} exists and does not look "
+                "like prior curate output (expected only pk=* partition "
+                "dirs) — refusing to delete it; remove it explicitly or "
+                "pick another out_dir")
         shutil.rmtree(out_dir)
 
     kept = _kept_ids(sf_dir)

@@ -494,3 +494,44 @@ def test_bloom_membership_bounds(ray_session):
     fpr_bound = (1 - np.exp(-_BLOOM_K * n / _BLOOM_M)) ** _BLOOM_K
     fpr = row.loc["absent", "n_hits"] / row.loc["absent", "n_probes"]
     assert fpr <= max(3 * fpr_bound, 0.02)
+
+
+def test_curate_write_refuses_foreign_dir(ray_session, tmp_path):
+    """curate_write must not rmtree a pre-existing directory that does
+    not look like prior curate output (pk=* hive layout)."""
+    import pytest
+
+    from search_engine_ray.pipelines.curate import curate_write
+
+    out = tmp_path / "precious"
+    out.mkdir()
+    (out / "keep_me.txt").write_text("not curate output")
+    with pytest.raises(ValueError, match="refusing"):
+        curate_write("/root/testdata/sf0.001", str(out))
+    assert (out / "keep_me.txt").exists()
+
+
+def test_weighted_sample_zero_char_docs_match_oracle(ray_session,
+                                                     tmp_path):
+    """Empty docs (n_chars=0) must not divide-by-zero and must select
+    the same set as the SQL mirror's greatest(n_chars, 1) clamp."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.ops.sqlcheck import SQL_WEIGHTED_SAMPLE
+    from search_engine_ray.ops.textstats import weighted_sample_topk
+
+    texts = [""] * 4 + [f"doc body {i} with some words" for i in range(8)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq_.write_table(t, tmp_path / "documents.parquet")
+    got = weighted_sample_topk(str(tmp_path), k=6).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(SQL_WEIGHTED_SAMPLE.replace("LIMIT 50",
+                                                   "LIMIT 6")).df()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
