@@ -60,3 +60,22 @@ def test_search_many_partitioned_matches_inprocess(built_index, engine):
         got = df[df["query_id"] == qi].sort_values("rank")
         assert [(d, ts) for _, d, ts in reversed(want)] == list(
             zip(got["doc_id"], got["warc_ts"])), q
+
+
+def test_pool_workers_share_driver_warmed_sidecar(built_index):
+    """BatchQueryPool warms the docmeta sidecar ONCE on the driver;
+    worker engines mmap it without rewriting — per-worker docmeta state
+    is shared OS page cache, not N private copies (round-4 verdict #1)."""
+    import os
+
+    from search_engine_ray.query.batch import BatchQueryPool
+
+    idx = built_index[0]
+    pool = BatchQueryPool(idx, num_workers=2, k=5, mode="bm25")
+    ids_p = os.path.join(idx, "cache", "docmeta_ids.npy")
+    assert os.path.exists(ids_p)  # warmed at pool construction
+    mtime = os.path.getmtime(ids_p)
+    t = pool.run(["covid vaccine", "election news"])
+    pool.shutdown()
+    assert t.num_rows > 0
+    assert os.path.getmtime(ids_p) == mtime  # workers reused, not rebuilt

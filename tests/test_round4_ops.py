@@ -535,3 +535,55 @@ def test_weighted_sample_zero_char_docs_match_oracle(ray_session,
     want = con.execute(SQL_WEIGHTED_SAMPLE.replace("LIMIT 50",
                                                    "LIMIT 6")).df()
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_docmeta_sidecar_shared_not_replicated(ray_session, tmp_path):
+    """Round-5 scale fix: query-tier docmeta is a sorted mmap sidecar
+    shared via the OS page cache, not a private numpy copy per engine.
+    BM25/WAND must never map the 8x-larger glove file; a second engine
+    must reuse (not rewrite) the sidecar; an incremental re-build must
+    invalidate it."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.fixtures import gen_pages
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq_.write_table(gen_pages(300), str(d / "a.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, EngineConfig(), overwrite=True)
+
+    eng = SearchEngine(idx)
+    assert eng._meta is None  # lazy: no docmeta state until a query
+    r1 = eng.search("covid vaccine news", k=5, mode="bm25")
+    assert len(r1) > 0
+    assert isinstance(eng._meta["ids"], np.memmap)
+    assert isinstance(eng._meta["ts"], np.memmap)
+    assert eng._meta_glove is None  # bm25 never touches glove pages
+    eng.search("covid vaccine news", k=5, mode="bm25_wand")
+    assert eng._meta_glove is None
+
+    ids_p = os.path.join(idx, "cache", "docmeta_ids.npy")
+    mtime = os.path.getmtime(ids_p)
+    eng2 = SearchEngine(idx)
+    r2 = eng2.search("covid vaccine news", k=5, mode="bm25")
+    assert r2 == r1
+    assert os.path.getmtime(ids_p) == mtime  # reused, not rewritten
+
+    # reference mode maps glove lazily and still matches itself
+    rr = eng2.search("covid vaccine news", k=5, mode="reference")
+    assert isinstance(eng2._meta_glove, np.memmap)
+    assert len(rr) > 0
+
+    # incremental re-build changes the docmeta fingerprint -> rebuild
+    pq_.write_table(gen_pages(50, seed=7), str(d / "b.parquet"))
+    build_index(str(d), idx, EngineConfig())
+    eng3 = SearchEngine(idx)
+    eng3.search("covid vaccine news", k=5, mode="bm25")
+    assert len(eng3._meta["ids"]) == len(eng._meta["ids"]) + 50
