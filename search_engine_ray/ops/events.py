@@ -143,28 +143,157 @@ def event_type_stats(sf_dir: str):
 
 
 def value_quantiles_per_type(sf_dir: str,
-                             qs=(0.25, 0.5, 0.75, 0.95)):
-    """Exact discrete quantiles of `value` per event_type — the
-    co-partitioned shape (groupby(event_type).map_groups; each group is
-    one worker's sort).  Quantile rule matches SQL quantile_disc:
+                             qs=(0.25, 0.5, 0.75, 0.95),
+                             n_buckets: int = 4096,
+                             collect_cap: int = 65536):
+    """EXACT discrete quantiles of `value` per event_type via distributed
+    selection — histogram bracketing + pruned collection, never a whole
+    group in one task (round-4 verdict #4 replaced the single-task
+    per-type sort).  Quantile rule matches SQL quantile_disc:
     sorted[max(ceil(q*n)-1, 0)].  Raw doubles are exported (selection,
-    not arithmetic), so the value hash is exact."""
+    not arithmetic), so the value hash is exact.
+
+    Algorithm (classic iterative histogram selection):
+    1. one shuffled agg gives per-type (n, min, max) — #types rows;
+    2. each (type, q) target keeps a bracket known to contain its rank;
+       while a bracket holds > ``collect_cap`` values, one streaming
+       pass histograms every active bracket into ``n_buckets`` bins
+       (driver traffic: actives x n_buckets int64s, a sketch) and the
+       bracket narrows to the single bin containing the rank —
+       O(log_B n) passes, 2 at 100 TB with B=4096;
+    3. a final pruned pass collects ONLY in-bracket values (<= cap per
+       target) and indexes the exact rank on the driver.
+    Bracket membership is defined by the same float bucketization that
+    built the histogram (a chain of (lo, w, bin) levels, AND-ed), so
+    boundary rounding can never disagree between passes."""
+    import ray
     import ray.data
+    from ray.data.aggregate import Count, Max, Min
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy())
-        n = len(v)
-        row = {"event_type": g["event_type"].iloc[0],
-               "n": np.int64(n)}
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def _read():
+        return ray.data.read_parquet(path,
+                                     columns=["event_type", "value"])
+
+    stats = (_read().groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="lo"),
+        Max("value", alias_name="hi")).to_pandas())
+
+    # one selection target per (type, quantile): rank is 1-based within
+    # the type; levels is the bucketization chain defining its bracket
+    targets = []
+    for _, s in stats.iterrows():
         for q in qs:
-            idx = max(int(np.ceil(q * n)) - 1, 0)
-            row[f"p{int(q * 100)}"] = v[idx]
-        return pd.DataFrame([row])
+            n = int(s["n"])
+            targets.append({
+                "event_type": s["event_type"], "q": q, "n": n,
+                "rank": max(int(np.ceil(q * n)), 1),
+                "count_in": n, "lo": float(s["lo"]), "hi": float(s["hi"]),
+                "levels": [], "answer": None,
+            })
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_type", "value"])
-    return ds.groupby("event_type").map_groups(per_type,
-                                               batch_format="pandas")
+    def _bins(v: np.ndarray, lo: float, w: float) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / w).astype(np.int64),
+                       0, n_buckets - 1)
+
+    for _ in range(64):  # ceil(log_B(n)) passes; 64 is unreachable
+        active = [t for t in targets if t["answer"] is None
+                  and t["count_in"] > collect_cap]
+        for t in targets:
+            if t["answer"] is None and t["hi"] <= t["lo"]:
+                t["answer"] = t["lo"]  # degenerate: all values equal
+        active = [t for t in active if t["answer"] is None]
+        if not active:
+            break
+        spec_ref = ray.put([{k: t[k] for k in
+                             ("event_type", "lo", "hi", "levels")}
+                            for t in active])
+
+        def hist_partial(batch, _ref=spec_ref):
+            spec = ray.get(_ref)
+            et = batch.column("event_type").to_numpy(zero_copy_only=False)
+            val = batch.column("value").to_numpy(zero_copy_only=False)
+            tids, bins, cnts = [], [], []
+            for ti, t in enumerate(spec):
+                v = val[et == t["event_type"]]
+                for lo, w, b in t["levels"]:
+                    v = v[_bins(v, lo, w) == b]
+                if not len(v):
+                    continue
+                w = (t["hi"] - t["lo"]) / n_buckets
+                c = np.bincount(_bins(v, t["lo"], w),
+                                minlength=n_buckets)
+                nz = np.flatnonzero(c)
+                tids.append(np.full(len(nz), ti, dtype=np.int64))
+                bins.append(nz)
+                cnts.append(c[nz])
+            import pyarrow as _pa
+
+            return _pa.table({
+                "tid": np.concatenate(tids) if tids else
+                np.zeros(0, np.int64),
+                "bin": np.concatenate(bins) if bins else
+                np.zeros(0, np.int64),
+                "cnt": np.concatenate(cnts) if cnts else
+                np.zeros(0, np.int64)})
+
+        from search_engine_ray.ops.shuffle import bucketed_sum
+
+        hist = bucketed_sum(
+            _read().map_batches(hist_partial, batch_format="pyarrow"),
+            ["tid", "bin"], ["cnt"]).to_pandas()
+        for ti, t in enumerate(active):
+            h = hist[hist["tid"] == ti].sort_values("bin")
+            cum = h["cnt"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, t["rank"]))
+            b = int(h["bin"].to_numpy()[j])
+            w = (t["hi"] - t["lo"]) / n_buckets
+            t["rank"] -= int(cum[j - 1]) if j else 0
+            t["count_in"] = int(h["cnt"].to_numpy()[j])
+            t["levels"] = t["levels"] + [(t["lo"], w, b)]
+            t["lo"], t["hi"] = t["lo"] + b * w, t["lo"] + (b + 1) * w
+
+    # final pruned collection: only in-bracket values leave the scan
+    pend = [t for t in targets if t["answer"] is None]
+    if pend:
+        spec_ref = ray.put([{k: t[k] for k in ("event_type", "levels")}
+                            for t in pend])
+
+        def collect(batch, _ref=spec_ref):
+            spec = ray.get(_ref)
+            et = batch.column("event_type").to_numpy(zero_copy_only=False)
+            val = batch.column("value").to_numpy(zero_copy_only=False)
+            tids, vals = [], []
+            for ti, t in enumerate(spec):
+                v = val[et == t["event_type"]]
+                for lo, w, b in t["levels"]:
+                    v = v[_bins(v, lo, w) == b]
+                tids.append(np.full(len(v), ti, dtype=np.int64))
+                vals.append(v)
+            import pyarrow as _pa
+
+            return _pa.table({"tid": np.concatenate(tids),
+                              "v": np.concatenate(vals)})
+
+        got = (_read().map_batches(collect, batch_format="pyarrow")
+               .to_pandas())
+        for ti, t in enumerate(pend):
+            v = np.sort(got[got["tid"] == ti]["v"].to_numpy())
+            t["answer"] = float(v[t["rank"] - 1])
+
+    rows = {}
+    for t in targets:
+        r = rows.setdefault(t["event_type"],
+                            {"event_type": t["event_type"],
+                             "n": np.int64(t["n"])})
+        r[f"p{int(t['q'] * 100)}"] = t["answer"]
+    out = pd.DataFrame(sorted(rows.values(),
+                              key=lambda r: r["event_type"]))
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)
 
 
 class JsonFieldStats:

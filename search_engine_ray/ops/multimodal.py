@@ -111,11 +111,23 @@ class MediaDecoder:
         return rng.random(self.dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Quarantine contract: a malformed/unsupported payload NEVER
+        raises out of the stage (at corpus scale one bad file must not
+        kill a 100-TB job) — failed rows get ``ok=False`` + a truncated
+        ``err`` string and zero features, and flow to a quarantine sink
+        downstream (filter on ``ok``)."""
         decode = self._decode_real if self.impl == "real" else self._decode_fake
-        feats, sizes = [], []
+        feats, sizes, oks, errs = [], [], [], []
         for payload, kind in zip(batch.column("payload").to_pylist(),
                                  batch.column("kind").to_pylist()):
-            feats.append(decode(payload, kind))
+            try:
+                feats.append(decode(payload, kind))
+                oks.append(True)
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                feats.append(np.zeros(self.dim))
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
             sizes.append(len(payload))
         flat = pa.array(np.concatenate(feats) if feats else
                         np.zeros(0), pa.float64())
@@ -124,6 +136,8 @@ class MediaDecoder:
             "kind": batch.column("kind"),
             "payload_bytes": pa.array(sizes, pa.int64()),
             "features": pa.FixedSizeListArray.from_arrays(flat, self.dim),
+            "ok": pa.array(oks, pa.bool_()),
+            "err": pa.array(errs, pa.string()),
         })
 
 
@@ -339,25 +353,45 @@ class FrameSampler:
         self.dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, fidx, feats = [], [], []
+        """Quarantine contract (same as MediaDecoder): a video whose
+        container walk or frame decode fails emits ONE row with
+        ``frame_idx=-1, ok=False, err=...`` (frames already sampled from
+        it are dropped — partial output would double-count on retry);
+        good videos emit their sampled frames with ``ok=True``."""
+        ids, fidx, feats, oks, errs = [], [], [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            off, k = 0, 0
-            while off < len(payload):
-                size = _pnm_frame_size(payload, off)
-                if k % self.stride == 0:
-                    f = self.dec._pnm_features(payload[off:off + size])
-                    ids.append(mid)
-                    fidx.append(k)
-                    feats.append(f)
-                off += size
-                k += 1
+            rows: list = []
+            try:
+                off, k = 0, 0
+                while off < len(payload):
+                    size = _pnm_frame_size(payload, off)
+                    if k % self.stride == 0:
+                        f = self.dec._pnm_features(payload[off:off + size])
+                        rows.append((k, f))
+                    off += size
+                    k += 1
+            except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                ids.append(mid)
+                fidx.append(-1)
+                feats.append(np.zeros(self.dim))
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+                continue
+            for k, f in rows:
+                ids.append(mid)
+                fidx.append(k)
+                feats.append(f)
+                oks.append(True)
+                errs.append(None)
         flat = pa.array(np.concatenate(feats) if feats else
                         np.zeros(0), pa.float64())
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(fidx, pa.int64()),
             "features": pa.FixedSizeListArray.from_arrays(flat, self.dim),
+            "ok": pa.array(oks, pa.bool_()),
+            "err": pa.array(errs, pa.string()),
         })
 
 
@@ -432,17 +466,29 @@ class ImageResizer:
         return img[np.ix_(ys, xs)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, payloads = [], []
+        """Quarantine contract (same as MediaDecoder): undecodable images
+        get ``ok=False`` + ``err`` and an empty payload instead of
+        killing the stage."""
+        ids, payloads, oks, errs = [], [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            small = self._resize(self._decode(payload))
             ids.append(mid)
-            payloads.append(encode_png(small))
+            try:
+                payloads.append(encode_png(
+                    self._resize(self._decode(payload))))
+                oks.append(True)
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                payloads.append(b"")
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "height": pa.array([self.th] * len(ids), pa.int64()),
             "width": pa.array([self.tw] * len(ids), pa.int64()),
+            "ok": pa.array(oks, pa.bool_()),
+            "err": pa.array(errs, pa.string()),
         })
 
 

@@ -282,14 +282,42 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 4):
                 "sum_e6": pa.array(list(sums), pa.list_(pa.int64())),
             })
 
-        parts = (ds.map_batches(partial, batch_format="pyarrow")
-                 .to_pandas())
+        # combiner: re-aggregate partial rows by cluster INSIDE Ray
+        # (k rows out per ~4096 in), so driver traffic is
+        # k x (n_batches/4096) rows however many map batches ran; the
+        # driver fold is then a C-level scatter-add, not a Python row
+        # loop (round-4 verdict #4).  Integer partials make the result
+        # bit-identical under any merge order.
+        def combine(t: pa.Table) -> pa.Table:
+            cl = t.column("cluster").to_numpy()
+            ns_ = t.column("n").to_numpy()
+            fl = (t.column("sum_e6").combine_chunks().flatten()
+                  .to_numpy().reshape(len(t), dim))
+            cn = np.zeros(k, dtype=np.int64)
+            cs = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(cn, cl, ns_)
+            np.add.at(cs, cl, fl)
+            return pa.table({
+                "cluster": pa.array(np.arange(k), pa.int32()),
+                "n": pa.array(cn, pa.int64()),
+                "sum_e6": pa.array(list(cs), pa.list_(pa.int64())),
+            })
+
+        import pyarrow as _pa
+
+        parts = _pa.concat_tables(
+            ray.get(ds.map_batches(partial, batch_format="pyarrow")
+                    .map_batches(combine, batch_format="pyarrow",
+                                 batch_size=4096)
+                    .to_arrow_refs()))
+        cl = parts.column("cluster").to_numpy()
+        ns = parts.column("n").to_numpy()
+        flat = (parts.column("sum_e6").combine_chunks().flatten()
+                .to_numpy().reshape(len(parts), dim))
         tot_n = np.zeros(k, dtype=np.int64)
         tot_s = np.zeros((k, dim), dtype=np.int64)
-        for _, row in parts.iterrows():
-            tot_n[int(row["cluster"])] += int(row["n"])
-            tot_s[int(row["cluster"])] += np.asarray(row["sum_e6"],
-                                                     dtype=np.int64)
+        np.add.at(tot_n, cl, ns)
+        np.add.at(tot_s, cl, flat)
         nz = tot_n > 0  # empty clusters keep their previous centroid
         cent[nz] = tot_s[nz] / (1e6 * tot_n[nz, None])
 

@@ -179,13 +179,22 @@ def hll_distinct(sf_dir: str, table: str = "events",
         regs = hll_registers(vals.astype(np.uint64), p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
+    def merge_regs(t: pa.Table) -> pa.Table:
+        # tree-reduce step: elementwise-max up to 64 register rows into
+        # one INSIDE Ray, so driver traffic is batches/64 rows at any
+        # batch count (round-4 verdict #5)
+        mat = np.frombuffer(b"".join(t.column("regs").to_pylist()),
+                            dtype=np.uint8).reshape(len(t), -1)
+        return pa.table({"regs": pa.array([mat.max(axis=0).tobytes()],
+                                          pa.binary())})
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                columns=[column])
-    rows = ds.map_batches(regs_row, batch_format="pyarrow").take_all()
-    merged = np.zeros(1 << p, dtype=np.uint8)
-    for r in rows:
-        merged = np.maximum(merged,
-                            np.frombuffer(r["regs"], dtype=np.uint8))
+    rows = (ds.map_batches(regs_row, batch_format="pyarrow")
+            .map_batches(merge_regs, batch_format="pyarrow", batch_size=64)
+            .take_all())
+    merged = np.frombuffer(b"".join(r["regs"] for r in rows),
+                           dtype=np.uint8).reshape(len(rows), -1).max(axis=0)
     return pa.table({
         "n_distinct_est": pa.array([int(round(hll_estimate(merged)))],
                                    pa.int64()),

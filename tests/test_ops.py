@@ -100,7 +100,7 @@ def test_multimodal_fake_decode_and_real_stub(ray_session):
     out = decode_media(ds, impl="fake", batch_size=8).to_pandas()
     assert len(out) == 32
     assert set(out.columns) == {"media_id", "kind", "payload_bytes",
-                                "features"}
+                                "features", "ok", "err"}
     assert all(len(f) == 8 for f in out["features"])
     # deterministic: same payload -> same features
     out2 = decode_media(ray.data.from_arrow(t), impl="fake",
@@ -108,9 +108,62 @@ def test_multimodal_fake_decode_and_real_stub(ray_session):
     f1 = np.stack(out.sort_values("media_id")["features"].to_numpy())
     f2 = np.stack(out2.sort_values("media_id")["features"].to_numpy())
     assert np.allclose(f1, f2)
-    # real decoder is an explicit stub
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(impl="real")(t.slice(0, 2))
+    # real decoder QUARANTINES codec-less payloads (never raises out of
+    # the stage): ok=False + err, zero features
+    q = MediaDecoder(impl="real")(t.slice(0, 2))
+    assert q.column("ok").to_pylist() == [False, False]
+    assert all("NotImplementedError" in e
+               for e in q.column("err").to_pylist())
+
+
+def test_media_quarantine_mixed_batch(ray_session):
+    """One corrupt payload in a real batch is quarantined row-wise; the
+    good rows still decode (round-4 verdict #3)."""
+    import ray.data
+
+    from search_engine_ray.ops.multimodal import (
+        FrameSampler,
+        ImageResizer,
+        decode_media,
+        encode_png,
+        encode_pnm_video,
+        encode_ppm,
+    )
+
+    img = np.full((8, 8, 3), 120, np.uint8)
+    good_png = encode_png(img)
+    corrupt = good_png[:40] + b"\x00garbage"  # truncated IDAT
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "kind": pa.array(["image"] * 3, pa.string()),
+        "payload": pa.array([good_png, corrupt, b"\xff\xd8notjpeg"],
+                            pa.binary()),
+        "meta": pa.array(["{}"] * 3, pa.string()),
+    })
+    out = decode_media(ray.data.from_arrow(tbl), impl="real",
+                       batch_size=3).to_pandas().sort_values("media_id")
+    assert out["ok"].tolist() == [True, False, False]
+    assert np.asarray(out.iloc[0]["features"])[:2].tolist() == [8.0, 8.0]
+    assert all(isinstance(e, str) and e for e in out[~out["ok"]]["err"])
+
+    # resizer: corrupt image -> empty payload + err, good one resized
+    rout = ImageResizer(4, 4)(pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_ppm(img), corrupt], pa.binary()),
+    }))
+    assert rout.column("ok").to_pylist() == [True, False]
+    assert rout.column("payload").to_pylist()[1] == b""
+
+    # frame sampler: bad container -> single frame_idx=-1 row
+    video = encode_pnm_video([img, img, img])
+    sout = FrameSampler(stride=2)(pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([video, b"NOTAVIDEO"], pa.binary()),
+    })).to_pandas()
+    bad = sout[~sout["ok"]]
+    assert bad["media_id"].tolist() == [1]
+    assert bad["frame_idx"].tolist() == [-1]
+    assert sout[sout["ok"]]["frame_idx"].tolist() == [0, 2]
 
 
 def test_knn_ivf_recall(ray_session):

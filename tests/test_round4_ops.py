@@ -587,3 +587,46 @@ def test_docmeta_sidecar_shared_not_replicated(ray_session, tmp_path):
     eng3 = SearchEngine(idx)
     eng3.search("covid vaccine news", k=5, mode="bm25")
     assert len(eng3._meta["ids"]) == len(eng._meta["ids"]) + 50
+
+
+def test_grouped_quantiles_distributed_selection(ray_session, tmp_path):
+    """value_quantiles_per_type with a tiny collect_cap is forced through
+    multiple histogram-refinement rounds and a pruned collect — and still
+    matches DuckDB quantile_disc exactly (round-4 verdict #4: no whole
+    group is ever sorted in one task)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.events import value_quantiles_per_type
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    vals = np.concatenate([
+        rng.normal(0, 1, n // 2),
+        rng.normal(50, 10, n // 4),
+        np.full(n // 4, 3.25),           # heavy tie mass inside a bin
+    ])
+    types = rng.choice(["click", "view", "buy"], size=len(vals))
+    pq.write_table(pa.table({
+        "event_type": pa.array(types),
+        "value": pa.array(vals, pa.float64()),
+        "event_id": pa.array(np.arange(len(vals)), pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+
+    got = (value_quantiles_per_type(str(tmp_path), n_buckets=16,
+                                    collect_cap=64)
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(
+        "SELECT event_type, count(*) AS n, "
+        "quantile_disc(value, 0.25) AS p25, "
+        "quantile_disc(value, 0.5) AS p50, "
+        "quantile_disc(value, 0.75) AS p75, "
+        "quantile_disc(value, 0.95) AS p95 "
+        "FROM events GROUP BY event_type ORDER BY event_type").df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    for c in ("p25", "p50", "p75", "p95"):
+        assert got[c].tolist() == want[c].tolist(), c
