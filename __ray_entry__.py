@@ -186,19 +186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": sq.q_pricing_summary,
         "tpch_nation_pair_volume": sq.q_nation_pair_volume,
         "tpch_market_share": sq.q_market_share,
-        "tpch_late_priority": sq.q_late_priority,
-        "tpch_large_orders": sq.q_large_orders,
         "tpch_priority_shipstatus": sq.q_priority_shipstatus,
-        "tpch_revenue_delta": sq.q_revenue_delta,
         "tpch_top_supplier": sq.q_top_supplier,
-        "tpch_small_qty_revenue": sq.q_small_qty_revenue,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "tpch_disjunctive_revenue": sq.q_disjunctive_revenue,
         "doc_salient_term": sq.q_doc_salient_term,
         "label_centroids": sq.q_label_centroids,
         "value_quantiles_per_type": sq.q_value_quantiles,
-        "tpch_waiting_suppliers": sq.q_waiting_suppliers,
-        "part_supplier_diversity": sq.q_part_supplier_diversity,
         "bigram_lm_nll": sq.q_bigram_lm_nll,
         "json_field_stats": sq.q_json_field_stats,
         "tpch_returned_customers": sq.q_returned_customers,
@@ -206,13 +200,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ids": sq.q_decontaminate,
         "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         "funnel_conversion": sq.q_funnel_conversion,
-        "snapshot_diff": sq.q_snapshot_diff,
         "weighted_sample_50": sq.q_weighted_sample,
         "curate_summary": sq.q_curate_summary,
         "length_percentile_filter": sq.q_length_percentile_filter,
         "source_quality_gate": sq.q_source_quality_gate,
         "dup_ngram_fraction": sq.q_dup_ngram_fraction,
         "token_budget_mix": sq.q_token_budget_mix,
+        # round-4/5 op families rotated INTO the driver cap this round
+        # (round-4 verdict #7); the rows they displaced are
+        # shape-redundant with in-cap siblings and moved below
+        "retention_cohorts": sq.q_retention_cohorts,
+        "customer_order_ranks": sq.q_customer_order_ranks,
+        "term_cooccurrence_pmi": sq.q_term_cooccurrence_pmi,
+        "phrase_match": sq.q_phrase_match,
+        "source_quality_centroids": sq.q_source_quality_centroids,
+        "proximity_match": sq.q_proximity_match,
+        "phrase_match_indexed": sq.q_phrase_match_indexed,
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
@@ -228,15 +231,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-window siblings, pii_scan ~ quality_counts per-doc map
         # shape, corpus_freq_score ~ bigram_lm_nll train+score shape,
         # stratified_sample ~ weighted_sample hash-order sampling,
-        # packing_plan ~ token_budget_mix two-phase prefix scan;
-        # retention_cohorts rides the mirror gate with the in-cap event
-        # rows covering its shuffle shape)
-        "retention_cohorts": sq.q_retention_cohorts,
-        "customer_order_ranks": sq.q_customer_order_ranks,
-        "term_cooccurrence_pmi": sq.q_term_cooccurrence_pmi,
-        "phrase_match": sq.q_phrase_match,
-        "source_quality_centroids": sq.q_source_quality_centroids,
-        "proximity_match": sq.q_proximity_match,
+        # packing_plan ~ token_budget_mix two-phase prefix scan,
+        # late_priority/large_orders/revenue_delta/waiting_suppliers/
+        # small_qty_revenue/part_supplier_diversity ~ the in-cap TPC-H
+        # join-aggregate family, snapshot_diff ~ exact_dedup anti-join)
+        "proximity_match_indexed": sq.q_proximity_match_indexed,
+        "tpch_late_priority": sq.q_late_priority,
+        "tpch_large_orders": sq.q_large_orders,
+        "tpch_revenue_delta": sq.q_revenue_delta,
+        "tpch_waiting_suppliers": sq.q_waiting_suppliers,
+        "tpch_small_qty_revenue": sq.q_small_qty_revenue,
+        "part_supplier_diversity": sq.q_part_supplier_diversity,
+        "snapshot_diff": sq.q_snapshot_diff,
         "stratified_sample_20": sq.q_stratified_sample,
         "packing_plan_512": sq.q_packing_plan,
         "pii_scan": sq.q_pii_scan,
@@ -377,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_50": sq.SQL_WEIGHTED_SAMPLE,
         "phrase_match": sq.SQL_PHRASE_MATCH,
         "proximity_match": sq.SQL_PROXIMITY_MATCH,
+        "phrase_match_indexed": sq.SQL_PHRASE_MATCH,
+        "proximity_match_indexed": sq.SQL_PROXIMITY_MATCH,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

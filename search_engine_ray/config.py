@@ -18,6 +18,13 @@ class EngineConfig:
     # --- reference-visible semantics knobs ---
     stemming: bool = False          # reference: ConfigClass.toStem
     tokenizer: str = "treebank"     # "treebank" (reference-like) | "simple" (SQL-checkable)
+    positions: bool = False         # store term positions in postings
+                                    # (phrase/proximity serving; ~doubles
+                                    # index size, so off by default)
+    raw_tokens: bool = False        # bypass ALL parser normalization:
+                                    # tokens = tokenizer(text) verbatim
+                                    # (positional indexes that must match
+                                    # a plain-tokenization oracle)
     bm25_k1: float = 1.2            # /root/reference/ranker.py:94
     bm25_b: float = 0.75            # /root/reference/ranker.py:95
     min_match_ratio: float = 0.35   # /root/reference/searcher.py:67
@@ -51,10 +58,10 @@ class EngineConfig:
     # only these participate in checkpoint fingerprints, so tuning
     # concurrency/batch knobs never forces a rebuild
     _SEMANTIC_FIELDS = (
-        "stemming", "tokenizer", "bm25_k1", "bm25_b", "min_match_ratio",
-        "w_cos_weight", "bm25_weight", "glove_weight", "glove_dim",
-        "glove_path", "num_shards", "term_buckets", "block_size",
-        "prune_df1", "harvest_page_url",
+        "stemming", "tokenizer", "positions", "raw_tokens", "bm25_k1",
+        "bm25_b", "min_match_ratio", "w_cos_weight", "bm25_weight",
+        "glove_weight", "glove_dim", "glove_path", "num_shards",
+        "term_buckets", "block_size", "prune_df1", "harvest_page_url",
     )
 
     def fingerprint(self) -> str:

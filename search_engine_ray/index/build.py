@@ -87,6 +87,9 @@ PARSED_SCHEMA = pa.schema([
     ("is_covid", pa.bool_()),
     ("terms", pa.list_(pa.string())),  # unique terms per doc
     ("tfs", pa.list_(pa.int32())),
+    # flat token positions, concatenated per term in `terms` order (the
+    # i-th term's sublist length is tfs[i]); empty unless cfg.positions
+    ("positions", pa.list_(pa.int32())),
     ("caps_terms", pa.list_(pa.string())),
     ("caps_flags", pa.list_(pa.bool_())),
     ("entities", pa.list_(pa.string())),
@@ -119,6 +122,10 @@ _RUN_FIELDS = [
     ("docids", pa.binary()),            # raw int64 doc ids, doc-sorted
     ("tfs", pa.binary()), ("dls", pa.binary()),   # varbyte streams
     ("mtfs", pa.binary()), ("uniqs", pa.binary()),
+    # per-posting position sublists (within-doc delta + varbyte; the
+    # sublist for posting i holds tfs[i] values) — b"" unless
+    # cfg.positions
+    ("poss", pa.binary()),
     # dict-partial payload (null on posting runs): df / capitals-AND /
     # entity doc-count partials per key (reference merge inputs,
     # /root/reference/indexer.py:89-105)
@@ -130,7 +137,19 @@ RUN_SCHEMA = pa.schema(_RUN_FIELDS)
 
 # bump when the on-disk index layout changes — part of the checkpoint
 # fingerprint so stale checkpoints rebuild instead of misloading
-INDEX_FORMAT = 7
+INDEX_FORMAT = 8
+
+
+def _doc_positions_flat(d) -> list:
+    """Flat position list for a parsed doc: token indices concatenated
+    per term in ``term_tfs`` key order (sublist i has length tfs[i])."""
+    pos_map: dict[str, list[int]] = {}
+    for i, t in enumerate(d.tokens):
+        pos_map.setdefault(t, []).append(i)
+    flat: list[int] = []
+    for t in d.term_tfs:
+        flat.extend(pos_map[t])
+    return flat
 
 
 # --------------------------------------------------------------- stage 1
@@ -144,6 +163,7 @@ class ParsePages:
             stemming=config.stemming,
             tokenizer=config.tokenizer,
             harvest_page_url=config.harvest_page_url,
+            raw_tokens=config.raw_tokens,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -169,6 +189,8 @@ class ParsePages:
             cols["is_covid"].append("covid" in d.term_tfs)
             cols["terms"].append(list(d.term_tfs.keys()))
             cols["tfs"].append(list(d.term_tfs.values()))
+            cols["positions"].append(
+                _doc_positions_flat(d) if self.cfg.positions else [])
             cols["caps_terms"].append(list(d.capitals.keys()))
             cols["caps_flags"].append(list(d.capitals.values()))
             cols["entities"].append(sorted(d.entities))
@@ -191,6 +213,7 @@ class ParseTweets:
             stemming=config.stemming,
             tokenizer=config.tokenizer,
             harvest_page_url=config.harvest_page_url,
+            raw_tokens=config.raw_tokens,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -221,6 +244,8 @@ class ParseTweets:
             cols["is_covid"].append("covid" in d.term_tfs)
             cols["terms"].append(list(d.term_tfs.keys()))
             cols["tfs"].append(list(d.term_tfs.values()))
+            cols["positions"].append(
+                _doc_positions_flat(d) if self.cfg.positions else [])
             cols["caps_terms"].append(list(d.capitals.keys()))
             cols["caps_flags"].append(list(d.capitals.values()))
             cols["entities"].append(sorted(d.entities))
@@ -271,6 +296,7 @@ def dict_partial_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
             "dls": pa.nulls(n, pa.binary()),
             "mtfs": pa.nulls(n, pa.binary()),
             "uniqs": pa.nulls(n, pa.binary()),
+            "poss": pa.nulls(n, pa.binary()),
             "df_part": pa.nulls(n, pa.int64()) if df is None
             else df.cast(pa.int64()),
             "caps_part": pa.nulls(n, pa.int8()) if caps is None
@@ -466,6 +492,27 @@ class BuildRuns:
         mtf_buf, mtf_off = varbyte_encode(mtfs[order])
         uniq_buf, uniq_off = varbyte_encode(uniqs[order])
 
+        if self.cfg.positions:
+            # flat positions align with the NATURAL (doc, term) pair
+            # order: pair i's sublist (length flat_tfs[i]) starts at the
+            # exclusive prefix sum.  Gather sublists into sorted-pair
+            # order, delta-encode WITHIN each sublist (first value
+            # absolute), one varbyte pass, per-segment byte slicing.
+            pos_flat = pc.list_flatten(
+                batch.column("positions")).to_numpy().astype(np.int64)
+            pair_start = np.zeros(len(flat_tfs) + 1, dtype=np.int64)
+            np.cumsum(flat_tfs, out=pair_start[1:])
+            cnt_o = flat_tfs[order]
+            out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
+            np.cumsum(cnt_o, out=out_off[1:])
+            gather = (np.repeat(pair_start[:-1][order] - out_off[:-1],
+                                cnt_o)
+                      + np.arange(int(out_off[-1]), dtype=np.int64))
+            pos_sorted = pos_flat[gather]
+            pd_ = np.empty_like(pos_sorted)
+            pd_[1:] = pos_sorted[1:] - pos_sorted[:-1]
+            pd_[out_off[:-1]] = pos_sorted[out_off[:-1]]
+            pos_buf, pos_boff = varbyte_encode(pd_)
         rows = {n: [] for n, _ in _RUN_FIELDS}
         for s, e in zip(starts, ends):
             term = uniques[codes_o[s]]
@@ -478,6 +525,9 @@ class BuildRuns:
             rows["dls"].append(dl_buf[dl_off[s]:dl_off[e]])
             rows["mtfs"].append(mtf_buf[mtf_off[s]:mtf_off[e]])
             rows["uniqs"].append(uniq_buf[uniq_off[s]:uniq_off[e]])
+            rows["poss"].append(
+                pos_buf[pos_boff[out_off[s]]:pos_boff[out_off[e]]]
+                if self.cfg.positions else b"")
         nseg = len(starts)
         for name in ("df_part", "caps_part", "ent_part"):
             rows[name] = pa.nulls(
@@ -504,7 +554,8 @@ class FinalizeBucket:
 
     _OUT_COLS = ("shard", "tbucket", "term", "orig", "df_global", "n",
                  "docids_vb", "tf_vb", "dl_vb", "mtf_vb", "uniq_vb",
-                 "blk_last", "blk_max", "blk_doc_off", "blk_tf_off")
+                 "pos_vb", "blk_last", "blk_max", "blk_doc_off",
+                 "blk_tf_off")
 
     def _empty(self) -> pa.Table:
         types = {"shard": pa.int32(), "tbucket": pa.int32(),
@@ -538,6 +589,13 @@ class FinalizeBucket:
         dls = varbyte_decode(b"".join(runs["dls"]), count=total)
         mtfs = varbyte_decode(b"".join(runs["mtfs"]), count=total)
         uniqs = varbyte_decode(b"".join(runs["uniqs"]), count=total)
+        if self.cfg.positions:
+            # per-posting position sublists (within-doc deltas) ride the
+            # reorder ATOMICALLY — deltas never cross sublists, so no
+            # decode-to-absolute is needed to merge
+            cnt_pre = tfs.copy()
+            pos_d = varbyte_decode(b"".join(runs["poss"]),
+                                   count=int(cnt_pre.sum()))
 
         codes, uniques = pd.factorize(runs["term"].to_numpy())
         seg_term = np.repeat(codes, lens)
@@ -569,6 +627,16 @@ class FinalizeBucket:
         dl_buf, dl_off = varbyte_encode(dls)
         mtf_buf, mtf_off = varbyte_encode(mtfs)
         uniq_buf, uniq_off = varbyte_encode(uniqs)
+        if self.cfg.positions:
+            in_off = np.zeros(len(cnt_pre) + 1, dtype=np.int64)
+            np.cumsum(cnt_pre, out=in_off[1:])
+            cnt_o = cnt_pre[order]
+            pos_out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
+            np.cumsum(cnt_o, out=pos_out_off[1:])
+            gather = (np.repeat(in_off[:-1][order] - pos_out_off[:-1],
+                                cnt_o)
+                      + np.arange(int(pos_out_off[-1]), dtype=np.int64))
+            pos_buf, pos_boff = varbyte_encode(pos_d[gather])
 
         B = self.cfg.block_size
         tn = tf_norm(tfs, dls.astype(np.float64), self.avg_dl,
@@ -625,6 +693,9 @@ class FinalizeBucket:
             out["dl_vb"].append(dl_buf[dl_off[s]:dl_off[e]])
             out["mtf_vb"].append(mtf_buf[mtf_off[s]:mtf_off[e]])
             out["uniq_vb"].append(uniq_buf[uniq_off[s]:uniq_off[e]])
+            out["pos_vb"].append(
+                pos_buf[pos_boff[pos_out_off[s]]:pos_boff[pos_out_off[e]]]
+                if self.cfg.positions else b"")
             out["blk_last"].append(blk_last_all[fb:fb + nb].tobytes())
             out["blk_max"].append(blk_max32[fb:fb + nb].tobytes())
             out["blk_doc_off"].append(blk_doc_all[fb:fb + nb].tobytes())
@@ -829,7 +900,7 @@ def _parse_part(path: str, row_groups: list[int], out_path: str,
     import pyarrow.parquet as pq
 
     key = (cfg.stemming, cfg.tokenizer, cfg.harvest_page_url,
-           cfg.num_shards, input_format)
+           cfg.raw_tokens, cfg.positions, cfg.num_shards, input_format)
     udf = _PARSE_UDF_CACHE.get(key)
     if udf is None:
         udf = (ParsePages if input_format == "pages" else ParseTweets)(cfg)
@@ -919,7 +990,7 @@ def _reduce_postings_part(part_dir: str, dict_part_path: str,
                             dt.column("df").to_pylist())))
     df = pq.read_table(
         part_dir, columns=["term", "n", "docids", "tfs", "dls", "mtfs",
-                           "uniqs"]).to_pandas()
+                           "uniqs", "poss"]).to_pandas()
     tbl = finalize_group(df, term_map, tb, avg_dl, cfg)
     rows = 0
     if tbl.num_rows:
@@ -1224,6 +1295,8 @@ def build_index(input_path, out_dir: str, config: EngineConfig | None = None,
                 return
             cols = ["doc_id", "doc_length", "max_tf", "unique_terms",
                     "terms", "tfs", "caps_terms", "caps_flags", "entities"]
+            if cfg.positions:
+                cols.append("positions")
             _sh.rmtree(spill_dir, ignore_errors=True)
             if parsed_rows <= _SPILL_INPROC_ROWS:
                 # small-corpus fast path: the fused transform is milliseconds

@@ -100,11 +100,49 @@ def tf_norm(tf: np.ndarray, dl: np.ndarray, avg_dl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avg_dl))
 
 
+def encode_position_lists(pos_flat: np.ndarray,
+                          counts: np.ndarray) -> bytes:
+    """Encode per-posting position sublists: ``pos_flat`` holds the
+    ascending within-doc token positions of every posting concatenated
+    (sublist i has ``counts[i]`` values — counts IS the tf stream, so no
+    extra count stream is stored).  Within-sublist delta + varbyte; the
+    first value of each sublist stays absolute, so sublists can be
+    re-ordered atomically at merge time without decoding to absolutes."""
+    total = int(np.sum(counts))
+    if total == 0:
+        return b""
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    d = np.empty(total, dtype=np.int64)
+    d[1:] = pos_flat[1:] - pos_flat[:-1]
+    d[off[:-1]] = pos_flat[off[:-1]]
+    return varbyte_encode(d)[0]
+
+
+def decode_position_lists(buf: bytes,
+                          counts: np.ndarray) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+    """Inverse of :func:`encode_position_lists`.  Returns
+    ``(pos_flat, offsets)`` with ``offsets`` of length ``len(counts)+1``
+    delimiting each posting's sublist in ``pos_flat``."""
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    total = int(off[-1])
+    d = varbyte_decode(buf, count=total)
+    cs = np.cumsum(d)
+    base = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        base[1:] = cs[off[1:-1] - 1]
+    pos = cs - np.repeat(base, np.asarray(counts, dtype=np.int64))
+    return pos, off
+
+
 class EncodedPostings:
     """One (shard, term) posting list, encoded."""
 
     __slots__ = ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb", "uniq_vb",
-                 "blk_last", "blk_max", "blk_doc_off", "blk_tf_off")
+                 "pos_vb", "blk_last", "blk_max", "blk_doc_off",
+                 "blk_tf_off")
 
     def __init__(self, **kw):
         for k in self.__slots__:
@@ -113,15 +151,21 @@ class EncodedPostings:
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     mtfs: np.ndarray, uniqs: np.ndarray, *, avg_dl: float,
-                    k1: float, b: float, block_size: int) -> EncodedPostings:
+                    k1: float, b: float, block_size: int,
+                    positions: np.ndarray | None = None) -> EncodedPostings:
     """doc_ids must be sorted ascending (reference sorts postings by id at
-    merge, /root/reference/indexer.py:219)."""
+    merge, /root/reference/indexer.py:219).  ``positions`` (optional) is
+    the flat within-doc position stream whose i-th sublist has tfs[i]
+    values."""
     n = len(doc_ids)
     docids_vb, doc_off = varbyte_encode(delta_encode(doc_ids))
     tf_vb, tf_off = varbyte_encode(tfs)
     dl_vb, _ = varbyte_encode(dls)
     mtf_vb, _ = varbyte_encode(mtfs)
     uniq_vb, _ = varbyte_encode(uniqs)
+    pos_vb = (encode_position_lists(np.asarray(positions, dtype=np.int64),
+                                    np.asarray(tfs, dtype=np.int64))
+              if positions is not None else b"")
 
     tn = tf_norm(np.asarray(tfs), np.asarray(dls, dtype=np.float64),
                  avg_dl, k1, b)
@@ -143,7 +187,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     blk_tf_off = tf_off[starts].astype(np.int64)
     return EncodedPostings(
         n=n, docids_vb=docids_vb, tf_vb=tf_vb, dl_vb=dl_vb,
-        mtf_vb=mtf_vb, uniq_vb=uniq_vb,
+        mtf_vb=mtf_vb, uniq_vb=uniq_vb, pos_vb=pos_vb,
         blk_last=blk_last.tobytes(), blk_max=blk_max.tobytes(),
         blk_doc_off=blk_doc_off.tobytes(), blk_tf_off=blk_tf_off.tobytes(),
     )
@@ -154,9 +198,10 @@ def decode_postings(row: dict) -> dict:
     the binary fields).  Returns dict of numpy arrays."""
     n = int(row["n"])
     deltas = varbyte_decode(row["docids_vb"], count=n)
-    return {
+    tfs = varbyte_decode(row["tf_vb"], count=n)
+    out = {
         "doc_ids": delta_decode(deltas),
-        "tfs": varbyte_decode(row["tf_vb"], count=n),
+        "tfs": tfs,
         "dls": varbyte_decode(row["dl_vb"], count=n),
         "mtfs": varbyte_decode(row["mtf_vb"], count=n),
         "uniqs": varbyte_decode(row["uniq_vb"], count=n),
@@ -165,3 +210,8 @@ def decode_postings(row: dict) -> dict:
         "blk_doc_off": np.frombuffer(row["blk_doc_off"], dtype=np.int64),
         "blk_tf_off": np.frombuffer(row["blk_tf_off"], dtype=np.int64),
     }
+    if row.get("pos_vb"):
+        pos, pos_off = decode_position_lists(row["pos_vb"], tfs)
+        out["pos"] = pos
+        out["pos_off"] = pos_off
+    return out

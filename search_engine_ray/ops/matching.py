@@ -74,3 +74,79 @@ def proximity_match_docs(sf_dir: str, t1: str = "query", t2: str = "scan",
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"])
         .map_batches(match, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------- indexed
+# The same phrase/proximity semantics served from a POSITIONAL index
+# (EngineConfig positions=True, raw_tokens=True, tokenizer="simple") —
+# the serving path a search stack actually uses (the reference's query
+# tier never rescans the corpus, /root/reference/searcher.py:22-111).
+# The scan ops above remain the oracle: phrase_match_indexed must return
+# exactly phrase_match_docs' rows.
+
+_POS_IDX_CACHE: dict[str, tuple] = {}
+
+
+def positional_index(sf_dir: str):
+    """Build (once per process per sf_dir) a positional index over the
+    documents table with raw simple tokenization, so term positions are
+    indices into ``simple_tokenize(text)`` — byte-parity with the scan
+    ops and their SQL mirror.  Returns (engine, hashed-id -> original
+    doc_id map)."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.adapters import documents_to_pages_parquet
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.ids import doc_id_for_url
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.engine import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    if key in _POS_IDX_CACHE:
+        return _POS_IDX_CACHE[key]
+    tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()
+    base = os.path.join(tempfile.gettempdir(), f"se_ray_posidx_{tag}")
+    pages = os.path.join(base, "pages")
+    index = os.path.join(base, "index")
+    if not os.path.exists(os.path.join(pages, "_DONE")):
+        import shutil
+
+        shutil.rmtree(pages, ignore_errors=True)
+        documents_to_pages_parquet(sf_dir, pages)
+        open(os.path.join(pages, "_DONE"), "w").close()
+    build_index(pages, index, EngineConfig(
+        tokenizer="simple", raw_tokens=True, positions=True,
+        prune_df1=False, harvest_page_url=False))
+    t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "source"])
+    idmap = {doc_id_for_url(f"{s}/{d}"): d
+             for d, s in zip(t.column("doc_id").to_pylist(),
+                             t.column("source").to_pylist())}
+    eng = SearchEngine(index)
+    _POS_IDX_CACHE[key] = (eng, idmap)
+    return eng, idmap
+
+
+def phrase_match_indexed(sf_dir: str, phrase: str = "query scan"):
+    """Docs containing the exact token sequence ``phrase``, answered
+    from positional postings (no corpus scan).  Equal to
+    phrase_match_docs by construction of the raw-token index."""
+    eng, idmap = positional_index(sf_dir)
+    docs = eng.phrase_docs(simple_tokenize(phrase))
+    return pa.table({"doc_id": pa.array(
+        sorted(idmap[int(d)] for d in docs), pa.int64())})
+
+
+def proximity_match_indexed(sf_dir: str, t1: str = "query",
+                            t2: str = "scan", window: int = 3):
+    """(doc_id, min_gap) for docs where ``t1`` and ``t2`` occur within
+    ``window`` positions, answered from positional postings."""
+    eng, idmap = positional_index(sf_dir)
+    docs, gaps = eng.proximity_docs(t1, t2, window=window)
+    rows = sorted((idmap[int(d)], int(g)) for d, g in zip(docs, gaps))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "min_gap": pa.array([r[1] for r in rows], pa.int64())})

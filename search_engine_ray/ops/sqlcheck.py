@@ -2214,6 +2214,21 @@ def q_proximity_match(sf_dir: str):
     return proximity_match_docs(sf_dir)
 
 
+def q_phrase_match_indexed(sf_dir: str):
+    """Same phrase semantics served from the POSITIONAL index (raw
+    simple-token positions in the posting encoding) — checked against
+    the identical SQL as the scan op."""
+    from search_engine_ray.ops.matching import phrase_match_indexed
+
+    return phrase_match_indexed(sf_dir)
+
+
+def q_proximity_match_indexed(sf_dir: str):
+    from search_engine_ray.ops.matching import proximity_match_indexed
+
+    return proximity_match_indexed(sf_dir)
+
+
 SQL_PROXIMITY_MATCH = f"""
 WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
 p1 AS (SELECT doc_id, unnest(list_filter(range(1, len(ts) + 1),

@@ -285,6 +285,8 @@ class SearchEngine:
 
         cols = ["term", "orig", "n", "docids_vb", "tf_vb", "dl_vb",
                 "mtf_vb"]
+        if self.cfg.positions:
+            cols.append("pos_vb")
         from search_engine_ray.ids import term_bucket
 
         hits: dict[str, set[int]] = {}
@@ -368,7 +370,9 @@ class SearchEngine:
         term_col = t.column("term").to_pylist()
         orig_col = t.column("orig").to_pylist()
         cols = {k: t.column(k).to_pylist()
-                for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb")}
+                for k in (("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
+                           "pos_vb") if self.cfg.positions else
+                          ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb"))}
         for i, term in enumerate(term_col):
             by_term[term].append(i)
         for term, idxs in by_term.items():
@@ -419,6 +423,13 @@ class SearchEngine:
                 "_mtf_raw": (b"".join(cols["mtf_vb"][i] for i in idxs),
                              total, order),
             }
+            if self.cfg.positions:
+                # positions decode lazily too (only phrase/proximity
+                # queries pay): raw concatenated sublist stream + the
+                # pre-sort tf counts + the doc-sort permutation
+                self._pcache[term]["pos"] = None
+                self._pcache[term]["_pos_raw"] = (
+                    b"".join(cols["pos_vb"][i] for i in idxs), tfs, order)
 
     @staticmethod
     def _mtfs_of(p: dict) -> np.ndarray:
@@ -429,6 +440,134 @@ class SearchEngine:
 
             p["mtfs"] = varbyte_decode(buf, count=total)[order]
         return p["mtfs"]
+
+    @staticmethod
+    def _positions_of(p: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Lazy-decoded flat position stream of a cached posting entry +
+        offsets aligned with p["doc_ids"] (sublist i = positions of the
+        term in doc_ids[i], ascending)."""
+        if p["pos"] is None:
+            from search_engine_ray.index.encoding import varbyte_decode
+
+            buf, tfs_pre, order = p.pop("_pos_raw")
+            tfs_pre = np.asarray(tfs_pre, dtype=np.int64)
+            total = int(tfs_pre.sum())
+            d = varbyte_decode(buf, count=total)
+            # reorder sublists into doc-sorted order (deltas never cross
+            # sublists, so they move atomically), then one segment-cumsum
+            # to absolutes
+            in_off = np.zeros(len(tfs_pre) + 1, dtype=np.int64)
+            np.cumsum(tfs_pre, out=in_off[1:])
+            cnt_o = tfs_pre[order]
+            out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
+            np.cumsum(cnt_o, out=out_off[1:])
+            gather = (np.repeat(in_off[:-1][order] - out_off[:-1], cnt_o)
+                      + np.arange(total, dtype=np.int64))
+            d = d[gather]
+            cs = np.cumsum(d)
+            base = np.zeros(len(cnt_o), dtype=np.int64)
+            if len(cnt_o) > 1:
+                base[1:] = cs[out_off[1:-1] - 1]
+            p["pos"] = cs - np.repeat(base, cnt_o)
+            p["pos_off"] = out_off
+        return p["pos"], p["pos_off"]
+
+    _POS_M = np.int64(1) << np.int64(32)  # (cand, pos) key packing bound
+
+    def _cand_pos_keys(self, p: dict, cand: np.ndarray) -> np.ndarray:
+        """Sorted ``cand_index * 2^32 + position`` keys for the postings
+        of docs in ``cand`` (cand must be a sorted subset of
+        p["doc_ids"]).  Positions are < 2^32 by construction (int32 in
+        the parse schema)."""
+        pos, off = self._positions_of(p)
+        loc = np.searchsorted(p["doc_ids"], cand)
+        cnt = off[loc + 1] - off[loc]
+        out_off = np.zeros(len(cnt) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=out_off[1:])
+        gather = (np.repeat(off[loc] - out_off[:-1], cnt)
+                  + np.arange(int(out_off[-1]), dtype=np.int64))
+        seg = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
+        return seg * self._POS_M + pos[gather]
+
+    def _positional_candidates(self, terms: list[str]):
+        """(plists, cand) for a positional query: postings per term plus
+        the sorted intersection of their doc ids (smallest list first, so
+        cost is bounded by the rarest term's df)."""
+        if not self.cfg.positions:
+            raise ValueError("index was built without positions "
+                             "(EngineConfig.positions=False)")
+        plists = []
+        for t in dict.fromkeys(terms):
+            p = self.postings(t)
+            if p is None:
+                return None, np.zeros(0, np.int64)
+            plists.append(p["doc_ids"])
+        plists.sort(key=len)
+        cand = plists[0]
+        for ids in plists[1:]:
+            cand = cand[np.isin(cand, ids, assume_unique=True)]
+            if len(cand) == 0:
+                break
+        return {t: self.postings(t) for t in dict.fromkeys(terms)}, cand
+
+    def phrase_docs(self, terms: list[str]) -> np.ndarray:
+        """Sorted doc ids containing the EXACT token sequence ``terms``
+        — served from the positional index, never a corpus scan (the
+        reference's query path also never rescans the corpus,
+        /root/reference/searcher.py:22-111; the scan op in
+        ops/matching.py remains the oracle).  Vectorized: candidate
+        intersection, then one searchsorted membership pass per phrase
+        slot over packed (candidate, position) keys."""
+        if not terms:
+            return np.zeros(0, np.int64)
+        self.prefetch(list(dict.fromkeys(terms)))
+        byterm, cand = self._positional_candidates(terms)
+        if len(cand) == 0:
+            return cand
+        keycache: dict[str, np.ndarray] = {}
+
+        def keys(t: str) -> np.ndarray:
+            k = keycache.get(t)
+            if k is None:
+                k = keycache[t] = self._cand_pos_keys(byterm[t], cand)
+            return k
+
+        cur = keys(terms[0])
+        for i, t in enumerate(terms[1:], start=1):
+            ki = keys(t)
+            want = cur + i  # same candidate iff position+i < 2^32
+            j = np.searchsorted(ki, want)
+            ok = (j < len(ki)) & (ki[np.minimum(j, len(ki) - 1)] == want)
+            cur = cur[ok]
+            if len(cur) == 0:
+                return np.zeros(0, np.int64)
+        return cand[np.unique(cur // self._POS_M)]
+
+    def proximity_docs(self, t1: str, t2: str, window: int = 3):
+        """(sorted doc ids, min position gap) for docs where ``t1`` and
+        ``t2`` occur within ``window`` tokens — served from the
+        positional index.  Min pairwise gap of two sorted position sets
+        via searchsorted neighbors, per-doc min via a scatter-min."""
+        self.prefetch([t1, t2])
+        byterm, cand = self._positional_candidates([t1, t2])
+        if len(cand) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        k1 = self._cand_pos_keys(byterm[t1], cand)
+        k2 = self._cand_pos_keys(byterm[t2], cand)
+        BIG = np.int64(1) << np.int64(62)
+        j = np.searchsorted(k2, k1)
+        lo = np.clip(j - 1, 0, len(k2) - 1)
+        hi = np.clip(j, 0, len(k2) - 1)
+        seg1 = cur_seg = k1 // self._POS_M
+        gap_lo = np.where(k2[lo] // self._POS_M == seg1,
+                          np.abs(k1 - k2[lo]), BIG)
+        gap_hi = np.where(k2[hi] // self._POS_M == seg1,
+                          np.abs(k1 - k2[hi]), BIG)
+        g = np.minimum(gap_lo, gap_hi)
+        best = np.full(len(cand), BIG, dtype=np.int64)
+        np.minimum.at(best, cur_seg, g)
+        keep = best <= window
+        return cand[keep], best[keep]
 
     def postings(self, term: str) -> dict | None:
         """Merged cross-shard postings for one (final) term, sorted by

@@ -63,17 +63,24 @@ class Parser:
     """Stateful tokenizer/normalizer — instantiate once per worker (ST1/ST2)."""
 
     def __init__(self, stemming: bool = False, tokenizer: str = "treebank",
-                 harvest_page_url: bool = True):
+                 harvest_page_url: bool = True, raw_tokens: bool = False):
         self.stop_words = STOPWORDS
         self.stemming = stemming
         self.tokenize = get_tokenizer(tokenizer)
         self.tokenizer_name = tokenizer
         self.harvest_page_url = harvest_page_url
+        # raw mode: tokens = tokenizer(text) VERBATIM — no URL stripping,
+        # no non-Latin strip, no stopword/capitals/entity handling.  Used
+        # by positional indexes whose token stream (and hence positions)
+        # must equal a plain tokenization oracle exactly.
+        self.raw_tokens = raw_tokens
         self._toks: list[str] = []
 
     # ------------------------------------------------------------------ P2
     def parse_sentence(self, text: str):
         """Tokenize + normalize one text; returns (tokens, capitals, entities)."""
+        if self.raw_tokens:
+            return self.tokenize(text), {}, set()
         toks = self.tokenize(text)
         self._toks = toks
         out: list[str] = []
@@ -179,18 +186,24 @@ class Parser:
         return self._parse_body(full_text, urls_set)
 
     def _parse_body(self, full_text: str, urls_set: set) -> "ParsedDoc | None":
-        if len(urls_set) > 0:
-            full_text = _URL_IN_TEXT.sub("", full_text)
-        full_text = _NON_LATIN.sub("", full_text)
-        if len(full_text) == 0:
-            return None
-        tokens, capitals, entities = self.parse_sentence(full_text)
-        if len(tokens) == 0:
-            return None
-        for u in urls_set:
-            parts = self._split_url(u)
-            if parts:
-                tokens.extend(parts)
+        if self.raw_tokens:
+            tokens = self.tokenize(full_text)
+            if len(tokens) == 0:
+                return None
+            capitals, entities = {}, set()
+        else:
+            if len(urls_set) > 0:
+                full_text = _URL_IN_TEXT.sub("", full_text)
+            full_text = _NON_LATIN.sub("", full_text)
+            if len(full_text) == 0:
+                return None
+            tokens, capitals, entities = self.parse_sentence(full_text)
+            if len(tokens) == 0:
+                return None
+            for u in urls_set:
+                parts = self._split_url(u)
+                if parts:
+                    tokens.extend(parts)
         term_tfs: dict[str, int] = {}
         max_tf = 0
         doc_length = len(tokens)
