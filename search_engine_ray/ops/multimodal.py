@@ -52,9 +52,11 @@ class MediaDecoder:
             return self._pnm_features(payload)
         if payload[:8] == _PNG_SIG:
             return self._png_features(payload)
+        if payload[:2] == b"\xff\xd8":
+            return self._jpeg_features(payload)
         raise NotImplementedError(
             f"no stdlib decoder for this payload (kind={kind!r}); "
-            "JPEG/MP3/H.264 need external libs absent from this environment")
+            "MP3/H.264 need external libs absent from this environment")
 
     def _fit(self, vals: list) -> np.ndarray:
         out = np.zeros(self.dim)
@@ -101,6 +103,16 @@ class MediaDecoder:
         """(width, height, channels, mean, std, min, max) from a real
         PNG decode — zlib inflate + scanline unfilter, pure stdlib."""
         px = decode_png(payload).astype(np.float64)
+        h, w, ch = px.shape
+        return self._fit([w, h, ch, float(px.mean()), float(px.std()),
+                          float(px.min()), float(px.max())])
+
+    def _jpeg_features(self, payload: bytes) -> np.ndarray:
+        """Same feature layout from a real baseline-JPEG decode
+        (ops/jpeg.py, pure numpy from the T.81 spec)."""
+        from search_engine_ray.ops.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload).astype(np.float64)
         h, w, ch = px.shape
         return self._fit([w, h, ch, float(px.mean()), float(px.std()),
                           float(px.min()), float(px.max())])
@@ -449,6 +461,10 @@ class ImageResizer:
             px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
                                offset=i)
             return px.reshape(h, w, ch)
+        if payload[:2] == b"\xff\xd8":
+            from search_engine_ray.ops.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         raise NotImplementedError("unsupported image payload")
 
     def _resize(self, img: np.ndarray) -> np.ndarray:

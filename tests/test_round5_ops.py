@@ -168,3 +168,85 @@ def test_treebank_positions_phrase(ray_session, tmp_path):
     got = eng.phrase_docs(phrase).tolist()
     assert sorted(want) == got
     assert len(got) > 0
+
+
+# ------------------------------------------------------------ JPEG codec
+def test_jpeg_roundtrip_subsamplings():
+    """Baseline JPEG (pure-numpy T.81 codec): encode->decode round-trip
+    stays within lossy tolerance for 4:4:4/4:2:2/4:2:0, exact shapes,
+    restart markers honored (round-4 verdict #8)."""
+    from search_engine_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack([(x * 3) % 256, (y * 4) % 256, ((x + y) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    for sub in ("444", "422", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 2.0
+    # grayscale + restart markers: smooth ramp reconstructs exactly
+    g = ((x + y) * 2 % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90, restart=2))
+    assert dec.shape == (48, 64, 1)
+    assert np.array_equal(dec[:, :, 0], g)
+    # odd (non-MCU-aligned) dims crop correctly
+    rng = np.random.default_rng(3)
+    odd = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        assert decode_jpeg(encode_jpeg(odd, quality=95,
+                                       subsample=sub)).shape == odd.shape
+
+
+def test_jpeg_rejects_nonbaseline_and_garbage():
+    import pytest as _pytest
+
+    from search_engine_ray.ops.jpeg import decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a real stream: explicit
+    # NotImplementedError, not silent garbage
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+    # truncated entropy stream -> ValueError (quarantined upstream)
+    full = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+    with _pytest.raises(Exception):
+        decode_jpeg(full[:len(full) - 10])
+
+
+def test_jpeg_in_media_stages(ray_session):
+    """JPEG payloads flow through MediaDecoder features and ImageResizer
+    like PNG/PNM — same dispatch, same quarantine contract."""
+    import ray.data
+
+    from search_engine_ray.ops.jpeg import decode_jpeg, encode_jpeg
+    from search_engine_ray.ops.multimodal import decode_media, resize_images
+
+    img = np.full((32, 16, 3), 100, np.uint8)
+    img[:16] = 200
+    jpg = encode_jpeg(img, quality=95)
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([jpg], pa.binary()),
+        "meta": pa.array(["{}"], pa.string()),
+    })
+    out = decode_media(ray.data.from_arrow(tbl), impl="real",
+                       batch_size=4).to_pandas()
+    assert out["ok"].tolist() == [True]
+    f = np.asarray(out["features"].iloc[0])
+    assert f[:3].tolist() == [16.0, 32.0, 3.0]
+    assert abs(f[3] - 150.0) < 2.0  # mean of the two halves
+
+    rout = resize_images(ray.data.from_arrow(tbl.select(
+        ["media_id", "payload"])), target_h=8, target_w=8).to_pandas()
+    assert rout["ok"].tolist() == [True]
+    from search_engine_ray.ops.multimodal import decode_png
+
+    small = decode_png(rout["payload"].iloc[0])
+    assert small.shape == (8, 8, 3)
+    assert abs(float(small[:4].mean()) - 200.0) < 3.0
+    assert abs(float(small[4:].mean()) - 100.0) < 3.0
