@@ -513,28 +513,44 @@ class BuildRuns:
             pd_[1:] = pos_sorted[1:] - pos_sorted[:-1]
             pd_[out_off[:-1]] = pos_sorted[out_off[:-1]]
             pos_buf, pos_boff = varbyte_encode(pd_)
-        rows = {n: [] for n, _ in _RUN_FIELDS}
-        for s, e in zip(starts, ends):
-            term = uniques[codes_o[s]]
-            rows["tbucket"].append(self._tbucket(term))
-            rows["sshard"].append(int(shards_o[s]))
-            rows["term"].append(term)
-            rows["n"].append(int(e - s))
-            rows["docids"].append(doc_ids[s:e].tobytes())
-            rows["tfs"].append(tf_buf[tf_off[s]:tf_off[e]])
-            rows["dls"].append(dl_buf[dl_off[s]:dl_off[e]])
-            rows["mtfs"].append(mtf_buf[mtf_off[s]:mtf_off[e]])
-            rows["uniqs"].append(uniq_buf[uniq_off[s]:uniq_off[e]])
-            rows["poss"].append(
-                pos_buf[pos_boff[out_off[s]]:pos_boff[out_off[e]]]
-                if self.cfg.positions else b"")
+        # zero-copy segment emission: every output binary column is the
+        # big contiguous stream + int32 slice offsets, built with Arrow
+        # from_buffers — no per-segment Python loop (was ~1.5 s per 16k
+        # docs; segments are contiguous in the sorted order, so the
+        # boundaries ARE the offsets)
         nseg = len(starts)
-        for name in ("df_part", "caps_part", "ent_part"):
-            rows[name] = pa.nulls(
-                nseg, dict(_RUN_FIELDS)[name])
-        return pa.table({n: rows[n] if isinstance(rows[n], pa.Array)
-                         else pa.array(rows[n], type=t)
-                         for n, t in _RUN_FIELDS})
+        npairs = len(order)
+        bounds = np.append(starts, npairs)
+
+        def bin_col(buf, byte_off: np.ndarray) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.binary(), nseg,
+                [None, pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+                 pa.py_buffer(buf)])
+
+        seg_codes = codes_o[starts]
+        uniq_tb = np.fromiter(
+            (self._tbucket(u) for u in uniques), dtype=np.int32,
+            count=len(uniques))
+        if self.cfg.positions:
+            poss_col = bin_col(pos_buf, pos_boff[out_off[bounds]])
+        else:
+            poss_col = bin_col(b"", np.zeros(nseg + 1, np.int64))
+        return pa.table({
+            "tbucket": pa.array(uniq_tb[seg_codes], pa.int32()),
+            "sshard": pa.array(shards_o[starts].astype(np.int32)),
+            "term": denc.dictionary.take(pa.array(seg_codes)),
+            "n": pa.array((ends - starts).astype(np.int64)),
+            "docids": bin_col(doc_ids.tobytes(), bounds * 8),
+            "tfs": bin_col(tf_buf, tf_off[bounds]),
+            "dls": bin_col(dl_buf, dl_off[bounds]),
+            "mtfs": bin_col(mtf_buf, mtf_off[bounds]),
+            "uniqs": bin_col(uniq_buf, uniq_off[bounds]),
+            "poss": poss_col,
+            "df_part": pa.nulls(nseg, pa.int64()),
+            "caps_part": pa.nulls(nseg, pa.int8()),
+            "ent_part": pa.nulls(nseg, pa.int64()),
+        }, schema=RUN_SCHEMA)
 
 
 class FinalizeBucket:
