@@ -558,14 +558,14 @@ class SearchEngine:
         j = np.searchsorted(k2, k1)
         lo = np.clip(j - 1, 0, len(k2) - 1)
         hi = np.clip(j, 0, len(k2) - 1)
-        seg1 = cur_seg = k1 // self._POS_M
+        seg1 = k1 // self._POS_M
         gap_lo = np.where(k2[lo] // self._POS_M == seg1,
                           np.abs(k1 - k2[lo]), BIG)
         gap_hi = np.where(k2[hi] // self._POS_M == seg1,
                           np.abs(k1 - k2[hi]), BIG)
         g = np.minimum(gap_lo, gap_hi)
         best = np.full(len(cand), BIG, dtype=np.int64)
-        np.minimum.at(best, cur_seg, g)
+        np.minimum.at(best, seg1, g)
         keep = best <= window
         return cand[keep], best[keep]
 
