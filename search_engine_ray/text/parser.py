@@ -89,9 +89,34 @@ class Parser:
         capitals: dict[str, bool] = {}
         entities: set[str] = set()
 
+        stop_words = self.stop_words
         for idx, token in enumerate(toks):
+            # fast path for plain lowercase ascii words — the vast
+            # majority of web-text tokens.  Such a token provably takes
+            # the default _append branch (it can't be a handler trigger:
+            # not '#'/'@', no slash/comma/dash/digit, and the kbm guard's
+            # _to_float on an alpha prefix is always None), except the
+            # two lowercase keywords 'percent(age)' and 'https' which
+            # are excluded here.  Behavior is byte-identical to the
+            # general loop below (differential-fuzz tested).
+            if (token.isalpha() and token.isascii() and token.islower()
+                    and token != "https" and token not in _PERCENT_WORDS):
+                if token in stop_words:
+                    continue
+                if chunk != "":
+                    entities.add(chunk[:-1])
+                    if chunk_len > 1:
+                        out.append(chunk[:-1].lower())
+                    chunk = ""
+                    chunk_len = 0
+                if self.stemming:
+                    token = porter2.stem(token)
+                capitals[token] = False
+                if token not in stop_words:
+                    out.append(token)
+                continue
             tl = token.lower()
-            if tl in self.stop_words or (
+            if tl in stop_words or (
                 len(token) == 1 and ord(token) > 126
             ):
                 continue
