@@ -104,10 +104,12 @@ class QueryShardActor:
             by_term = {x: [] for x in need}
             term_col = t.column("term").to_pylist()
             orig_col = t.column("orig").to_pylist()
-            cols = {k: t.column(k).to_pylist()
-                    for k in ("n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
-                              "uniq_vb", "blk_last", "blk_max",
-                              "blk_doc_off", "blk_tf_off")}
+            keys = ["n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
+                    "uniq_vb", "blk_last", "blk_max", "blk_doc_off",
+                    "blk_tf_off"]
+            if self.cfg.positions:
+                keys.append("pos_vb")
+            cols = {k: t.column(k).to_pylist() for k in keys}
             for i, term in enumerate(term_col):
                 by_term[term].append(
                     (orig_col[i],
@@ -126,14 +128,69 @@ class QueryShardActor:
                     continue
                 ids = np.concatenate([p["doc_ids"] for p in parts])
                 order = np.argsort(ids, kind="stable")
-                self._pcache[term] = {
+                tfs = np.concatenate([p["tfs"] for p in parts])
+                entry = {
                     "doc_ids": ids[order],
-                    "tfs": np.concatenate([p["tfs"] for p in parts])[order],
+                    "tfs": tfs[order],
                     "dls": np.concatenate([p["dls"] for p in parts])[order],
                     "mtfs": np.concatenate(
                         [p["mtfs"] for p in parts])[order],
                 }
+                if self.cfg.positions and all("pos" in p for p in parts):
+                    # merge per-posting position sublists across shard
+                    # segments: gather sublists into the merged doc order
+                    # (same trick as engine._positions_of, already on
+                    # decoded absolutes here)
+                    pos = np.concatenate([p["pos"] for p in parts])
+                    in_off = np.zeros(len(tfs) + 1, dtype=np.int64)
+                    np.cumsum(tfs, out=in_off[1:])
+                    cnt_o = tfs[order]
+                    out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
+                    np.cumsum(cnt_o, out=out_off[1:])
+                    gather = (np.repeat(in_off[:-1][order] - out_off[:-1],
+                                        cnt_o)
+                              + np.arange(int(out_off[-1]),
+                                          dtype=np.int64))
+                    entry["pos"] = pos[gather]
+                    entry["pos_off"] = out_off
+                self._pcache[term] = entry
         return {t: self._pcache.get(t) for t in terms}
+
+    def phrase_local(self, terms: list[str],
+                     df_map: dict[str, int],
+                     caps_orig: dict | None = None) -> list[int]:
+        """Doc ids in THIS actor's shards containing the exact token
+        sequence — complete per shard (a doc's postings + positions live
+        entirely in its shard), so the driver merge is a plain union."""
+        from search_engine_ray.query.engine import (
+            intersect_candidates,
+            phrase_from_postings,
+        )
+
+        uniq = list(dict.fromkeys(terms))
+        plists = self._postings(uniq, df_map, caps_orig)
+        if any(plists.get(t) is None for t in uniq) or not uniq:
+            return []
+        cand = intersect_candidates([plists[t]["doc_ids"] for t in uniq])
+        docs = phrase_from_postings(plists, cand, terms)
+        return [int(d) for d in docs]
+
+    def proximity_local(self, t1: str, t2: str, window: int,
+                        df_map: dict[str, int],
+                        caps_orig: dict | None = None):
+        from search_engine_ray.query.engine import (
+            intersect_candidates,
+            proximity_from_postings,
+        )
+
+        uniq = list(dict.fromkeys([t1, t2]))
+        plists = self._postings(uniq, df_map, caps_orig)
+        if any(plists.get(t) is None for t in uniq):
+            return []
+        cand = intersect_candidates([plists[t]["doc_ids"] for t in uniq])
+        docs, gaps = proximity_from_postings(plists[t1], plists[t2],
+                                             cand, window)
+        return [(int(d), int(g)) for d, g in zip(docs, gaps)]
 
     def search_local(self, query: list[str], k: int, mode: str,
                      df_map: dict[str, int],
@@ -294,3 +351,29 @@ class DistributedSearchEngine:
         merged.sort(key=lambda t: (t[0], t[1], t[2]))  # (score, ts, id)
         top = merged[-k:] if k <= len(merged) else merged
         return [(s, d, ts) for s, ts, d in top]
+
+    def _ship_maps(self, terms: list[str]):
+        tset = set(terms)
+        return ({t: self.df_map[t] for t in tset if t in self.df_map},
+                {t: self._caps_orig[t] for t in tset
+                 if t in self._caps_orig})
+
+    def phrase_docs(self, terms: list[str]) -> list[int]:
+        """Sorted doc ids containing the exact token sequence, fanned out
+        across the shard actors (phrase evaluation is shard-local by
+        doc-sharding; the merge is a union).  Rank-identical to the
+        in-process SearchEngine.phrase_docs."""
+        if not terms:
+            return []
+        df_small, orig_small = self._ship_maps(terms)
+        futures = [a.phrase_local.remote(terms, df_small, orig_small)
+                   for a in self.actors]
+        return sorted(d for part in ray.get(futures) for d in part)
+
+    def proximity_docs(self, t1: str, t2: str, window: int = 3):
+        """Sorted (doc_id, min_gap) pairs across the shard actors."""
+        df_small, orig_small = self._ship_maps([t1, t2])
+        futures = [a.proximity_local.remote(t1, t2, window, df_small,
+                                            orig_small)
+                   for a in self.actors]
+        return sorted(p for part in ray.get(futures) for p in part)

@@ -139,6 +139,89 @@ def _write_sidecar(out_dir: str, ds, glove_dim: int, *,
     os.replace(tmp, meta_p)
 
 
+_POS_M = np.int64(1) << np.int64(32)  # (cand, pos) key packing bound
+
+
+def _cand_pos_keys(p: dict, cand: np.ndarray) -> np.ndarray:
+    """Sorted ``cand_index * 2^32 + position`` keys for the postings of
+    docs in ``cand`` (cand must be a sorted subset of p["doc_ids"]; p
+    must carry decoded "pos"/"pos_off").  Positions are < 2^32 by
+    construction (int32 in the parse schema)."""
+    pos, off = p["pos"], p["pos_off"]
+    loc = np.searchsorted(p["doc_ids"], cand)
+    cnt = off[loc + 1] - off[loc]
+    out_off = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=out_off[1:])
+    gather = (np.repeat(off[loc] - out_off[:-1], cnt)
+              + np.arange(int(out_off[-1]), dtype=np.int64))
+    seg = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
+    return seg * _POS_M + pos[gather]
+
+
+def phrase_from_postings(byterm: dict, cand: np.ndarray,
+                         terms: list[str]) -> np.ndarray:
+    """Sorted doc ids of ``cand`` containing the exact sequence
+    ``terms``; each byterm[t] must carry doc_ids + decoded positions.
+    One searchsorted membership pass per phrase slot over packed
+    (candidate, position) keys.  Shared by the in-process engine and the
+    shard actors (doc-sharding keeps phrase evaluation shard-local)."""
+    if len(cand) == 0:
+        return cand
+    keycache: dict[str, np.ndarray] = {}
+
+    def keys(t: str) -> np.ndarray:
+        k = keycache.get(t)
+        if k is None:
+            k = keycache[t] = _cand_pos_keys(byterm[t], cand)
+        return k
+
+    cur = keys(terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        ki = keys(t)
+        want = cur + i  # same candidate iff position+i < 2^32
+        j = np.searchsorted(ki, want)
+        ok = (j < len(ki)) & (ki[np.minimum(j, len(ki) - 1)] == want)
+        cur = cur[ok]
+        if len(cur) == 0:
+            return np.zeros(0, np.int64)
+    return cand[np.unique(cur // _POS_M)]
+
+
+def proximity_from_postings(p1: dict, p2: dict, cand: np.ndarray,
+                            window: int):
+    """(sorted doc ids of ``cand``, min position gap) where the two
+    postings' terms occur within ``window`` tokens; min pairwise gap of
+    two sorted position sets via searchsorted neighbors + scatter-min."""
+    if len(cand) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    k1 = _cand_pos_keys(p1, cand)
+    k2 = _cand_pos_keys(p2, cand)
+    BIG = np.int64(1) << np.int64(62)
+    j = np.searchsorted(k2, k1)
+    lo = np.clip(j - 1, 0, len(k2) - 1)
+    hi = np.clip(j, 0, len(k2) - 1)
+    seg1 = k1 // _POS_M
+    gap_lo = np.where(k2[lo] // _POS_M == seg1, np.abs(k1 - k2[lo]), BIG)
+    gap_hi = np.where(k2[hi] // _POS_M == seg1, np.abs(k1 - k2[hi]), BIG)
+    g = np.minimum(gap_lo, gap_hi)
+    best = np.full(len(cand), BIG, dtype=np.int64)
+    np.minimum.at(best, seg1, g)
+    keep = best <= window
+    return cand[keep], best[keep]
+
+
+def intersect_candidates(plists: list[np.ndarray]) -> np.ndarray:
+    """Sorted intersection of per-term doc-id arrays, smallest first, so
+    cost is bounded by the rarest term's df."""
+    plists = sorted(plists, key=len)
+    cand = plists[0]
+    for ids in plists[1:]:
+        if len(cand) == 0:
+            break
+        cand = cand[np.isin(cand, ids, assume_unique=True)]
+    return cand
+
+
 def warm_docmeta_sidecar(out_dir: str, *, with_glove: bool = False) -> None:
     """Build the docmeta sidecar once (no-op when fresh) WITHOUT
     constructing an engine — call from a driver before spawning a worker
@@ -472,27 +555,9 @@ class SearchEngine:
             p["pos_off"] = out_off
         return p["pos"], p["pos_off"]
 
-    _POS_M = np.int64(1) << np.int64(32)  # (cand, pos) key packing bound
-
-    def _cand_pos_keys(self, p: dict, cand: np.ndarray) -> np.ndarray:
-        """Sorted ``cand_index * 2^32 + position`` keys for the postings
-        of docs in ``cand`` (cand must be a sorted subset of
-        p["doc_ids"]).  Positions are < 2^32 by construction (int32 in
-        the parse schema)."""
-        pos, off = self._positions_of(p)
-        loc = np.searchsorted(p["doc_ids"], cand)
-        cnt = off[loc + 1] - off[loc]
-        out_off = np.zeros(len(cnt) + 1, dtype=np.int64)
-        np.cumsum(cnt, out=out_off[1:])
-        gather = (np.repeat(off[loc] - out_off[:-1], cnt)
-                  + np.arange(int(out_off[-1]), dtype=np.int64))
-        seg = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
-        return seg * self._POS_M + pos[gather]
-
     def _positional_candidates(self, terms: list[str]):
         """(plists, cand) for a positional query: postings per term plus
-        the sorted intersection of their doc ids (smallest list first, so
-        cost is bounded by the rarest term's df)."""
+        the sorted intersection of their doc ids."""
         if not self.cfg.positions:
             raise ValueError("index was built without positions "
                              "(EngineConfig.positions=False)")
@@ -502,13 +567,11 @@ class SearchEngine:
             if p is None:
                 return None, np.zeros(0, np.int64)
             plists.append(p["doc_ids"])
-        plists.sort(key=len)
-        cand = plists[0]
-        for ids in plists[1:]:
-            cand = cand[np.isin(cand, ids, assume_unique=True)]
-            if len(cand) == 0:
-                break
-        return {t: self.postings(t) for t in dict.fromkeys(terms)}, cand
+        cand = intersect_candidates(plists)
+        byterm = {t: self.postings(t) for t in dict.fromkeys(terms)}
+        for p in byterm.values():
+            self._positions_of(p)  # decode before the shared kernels
+        return byterm, cand
 
     def phrase_docs(self, terms: list[str]) -> np.ndarray:
         """Sorted doc ids containing the EXACT token sequence ``terms``
@@ -522,26 +585,7 @@ class SearchEngine:
             return np.zeros(0, np.int64)
         self.prefetch(list(dict.fromkeys(terms)))
         byterm, cand = self._positional_candidates(terms)
-        if len(cand) == 0:
-            return cand
-        keycache: dict[str, np.ndarray] = {}
-
-        def keys(t: str) -> np.ndarray:
-            k = keycache.get(t)
-            if k is None:
-                k = keycache[t] = self._cand_pos_keys(byterm[t], cand)
-            return k
-
-        cur = keys(terms[0])
-        for i, t in enumerate(terms[1:], start=1):
-            ki = keys(t)
-            want = cur + i  # same candidate iff position+i < 2^32
-            j = np.searchsorted(ki, want)
-            ok = (j < len(ki)) & (ki[np.minimum(j, len(ki) - 1)] == want)
-            cur = cur[ok]
-            if len(cur) == 0:
-                return np.zeros(0, np.int64)
-        return cand[np.unique(cur // self._POS_M)]
+        return phrase_from_postings(byterm, cand, terms)
 
     def proximity_docs(self, t1: str, t2: str, window: int = 3):
         """(sorted doc ids, min position gap) for docs where ``t1`` and
@@ -550,24 +594,10 @@ class SearchEngine:
         via searchsorted neighbors, per-doc min via a scatter-min."""
         self.prefetch([t1, t2])
         byterm, cand = self._positional_candidates([t1, t2])
-        if len(cand) == 0:
+        if byterm is None:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        k1 = self._cand_pos_keys(byterm[t1], cand)
-        k2 = self._cand_pos_keys(byterm[t2], cand)
-        BIG = np.int64(1) << np.int64(62)
-        j = np.searchsorted(k2, k1)
-        lo = np.clip(j - 1, 0, len(k2) - 1)
-        hi = np.clip(j, 0, len(k2) - 1)
-        seg1 = k1 // self._POS_M
-        gap_lo = np.where(k2[lo] // self._POS_M == seg1,
-                          np.abs(k1 - k2[lo]), BIG)
-        gap_hi = np.where(k2[hi] // self._POS_M == seg1,
-                          np.abs(k1 - k2[hi]), BIG)
-        g = np.minimum(gap_lo, gap_hi)
-        best = np.full(len(cand), BIG, dtype=np.int64)
-        np.minimum.at(best, seg1, g)
-        keep = best <= window
-        return cand[keep], best[keep]
+        return proximity_from_postings(byterm[t1], byterm[t2], cand,
+                                       window)
 
     def postings(self, term: str) -> dict | None:
         """Merged cross-shard postings for one (final) term, sorted by

@@ -250,3 +250,26 @@ def test_jpeg_in_media_stages(ray_session):
     assert small.shape == (8, 8, 3)
     assert abs(float(small[:4].mean()) - 200.0) < 3.0
     assert abs(float(small[4:].mean()) - 100.0) < 3.0
+
+
+def test_distributed_phrase_matches_inprocess(pos_sf):
+    """Shard-actor phrase/proximity serving returns exactly the
+    in-process positional engine's results (doc-sharding makes phrase
+    evaluation shard-local; the driver merge is a union)."""
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    eng, _ = positional_index(pos_sf)
+    dist = DistributedSearchEngine(eng._out_dir, num_actors=3)
+    for phrase in (["query", "scan"], ["slow", "query", "scan"],
+                   ["query"], ["zzznotaterm", "query"]):
+        assert dist.phrase_docs(phrase) == eng.phrase_docs(phrase).tolist(), \
+            phrase
+    docs, gaps = eng.proximity_docs("query", "scan", window=3)
+    assert dist.proximity_docs("query", "scan", window=3) == list(
+        zip(docs.tolist(), gaps.tolist()))
+    # BM25 over the positional index still matches too (pos_vb columns
+    # are inert for scoring)
+    r_in = eng.search("query scan", k=5, mode="bm25")
+    r_dist = dist.search("query scan", k=5, mode="bm25")
+    assert r_in == r_dist
