@@ -2,9 +2,10 @@
 output_path, stemming, queries, num_docs_to_retrieve),
 /root/reference/search_engine.py:99-112).
 
-    python -m search_engine_ray.cli build  <corpus_dir> <index_dir> [--stemming] [--tweets]
+    python -m search_engine_ray.cli build  <corpus_dir> <index_dir> [--stemming] [--tweets] [--positions]
     python -m search_engine_ray.cli search <index_dir> <query...> [--k N] [--mode bm25|reference|bm25_wand]
     python -m search_engine_ray.cli batch  <index_dir> <queries_file> <out_csv> [--k N]
+    python -m search_engine_ray.cli phrase <index_dir> <term...> [--window N]
 
 Owns its Ray session (guarded init), unlike the library/driver contract.
 """
@@ -16,10 +17,14 @@ import json
 import sys
 
 
-def _ensure_ray():
+def _ensure_ray() -> bool:
+    """Guarded init; returns True iff THIS call started the session (so
+    main() only shuts down a session it owns — in-process callers with a
+    live session, e.g. tests, keep theirs)."""
     import ray
 
-    if not ray.is_initialized():
+    started = not ray.is_initialized()
+    if started:
         # no explicit address: inside `ray job submit` / a cluster this
         # attaches to the running cluster (RAY_ADDRESS or job context);
         # standalone it starts a local instance — same code path both ways
@@ -27,6 +32,7 @@ def _ensure_ray():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return started
 
 
 def main(argv=None) -> int:
@@ -39,6 +45,8 @@ def main(argv=None) -> int:
     b.add_argument("--stemming", action="store_true")
     b.add_argument("--tweets", action="store_true",
                    help="input is the reference's 8-column tweet shape")
+    b.add_argument("--positions", action="store_true",
+                   help="store term positions (phrase/proximity serving)")
     b.add_argument("--overwrite", action="store_true")
 
     s = sub.add_parser("search")
@@ -56,8 +64,17 @@ def main(argv=None) -> int:
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "reference"])
 
+    p = sub.add_parser("phrase",
+                       help="exact token-sequence match from positional "
+                            "postings (index built with --positions)")
+    p.add_argument("index_dir")
+    p.add_argument("terms", nargs="+")
+    p.add_argument("--window", type=int, default=0,
+                   help=">0: proximity mode over the FIRST TWO terms "
+                        "(min gap <= window) instead of exact phrase")
+
     args = ap.parse_args(argv)
-    _ensure_ray()
+    owns_ray = _ensure_ray()
 
     if args.cmd == "build":
         from search_engine_ray.config import EngineConfig
@@ -65,7 +82,8 @@ def main(argv=None) -> int:
 
         man = build_index(
             args.corpus_dir, args.index_dir,
-            EngineConfig(stemming=args.stemming),
+            EngineConfig(stemming=args.stemming,
+                         positions=args.positions),
             overwrite=args.overwrite,
             input_format="tweets" if args.tweets else "pages")
         print(json.dumps({"n_docs": man["n_docs"],
@@ -79,6 +97,25 @@ def main(argv=None) -> int:
         # (search_engine.py:109-112)
         for score, doc_id, ts in reversed(res):
             print(f"doc id: {doc_id}, score: {score}")
+    elif args.cmd == "phrase":
+        from search_engine_ray.query.engine import SearchEngine
+
+        eng = SearchEngine(args.index_dir)
+        # phrase terms are matched as engine tokens: normalize each the
+        # same way queries are
+        terms = [t for arg in args.terms
+                 for t in eng.parser.parse_sentence(arg)[0]]
+        if args.window > 0:
+            if len(terms) < 2:
+                ap.error("--window needs two terms that survive "
+                         "normalization (stopwords are dropped)")
+            docs, gaps = eng.proximity_docs(terms[0], terms[1],
+                                            window=args.window)
+            for d, g in zip(docs, gaps):
+                print(f"doc id: {d}, min gap: {g}")
+        else:
+            for d in eng.phrase_docs(terms):
+                print(f"doc id: {d}")
     elif args.cmd == "batch":
         from search_engine_ray.query.batch import (
             read_queries_file,
@@ -94,9 +131,10 @@ def main(argv=None) -> int:
         print(json.dumps({"queries": len(set(table.column('query_id')
                                              .to_pylist())),
                           "rows": table.num_rows, "csv": args.out_csv}))
-    import ray
+    if owns_ray:
+        import ray
 
-    ray.shutdown()
+        ray.shutdown()
     return 0
 
 
