@@ -452,7 +452,10 @@ class BuildRuns:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from search_engine_ray.index.encoding import varbyte_encode
+        from search_engine_ray.index.encoding import (
+            sublist_gather,
+            varbyte_encode,
+        )
 
         terms_col = batch.column("terms").combine_chunks()
         tfs_col = batch.column("tfs").combine_chunks()
@@ -500,14 +503,7 @@ class BuildRuns:
             # absolute), one varbyte pass, per-segment byte slicing.
             pos_flat = pc.list_flatten(
                 batch.column("positions")).to_numpy().astype(np.int64)
-            pair_start = np.zeros(len(flat_tfs) + 1, dtype=np.int64)
-            np.cumsum(flat_tfs, out=pair_start[1:])
-            cnt_o = flat_tfs[order]
-            out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
-            np.cumsum(cnt_o, out=out_off[1:])
-            gather = (np.repeat(pair_start[:-1][order] - out_off[:-1],
-                                cnt_o)
-                      + np.arange(int(out_off[-1]), dtype=np.int64))
+            gather, out_off = sublist_gather(flat_tfs, order)
             pos_sorted = pos_flat[gather]
             pd_ = np.empty_like(pos_sorted)
             pd_[1:] = pos_sorted[1:] - pos_sorted[:-1]
@@ -586,7 +582,11 @@ class FinalizeBucket:
         slicing — no per-term numpy call overhead."""
         import pandas as pd
 
-        from search_engine_ray.index.encoding import tf_norm, varbyte_encode
+        from search_engine_ray.index.encoding import (
+            sublist_gather,
+            tf_norm,
+            varbyte_encode,
+        )
 
         assert isinstance(group, pd.DataFrame)
         runs = group
@@ -644,14 +644,7 @@ class FinalizeBucket:
         mtf_buf, mtf_off = varbyte_encode(mtfs)
         uniq_buf, uniq_off = varbyte_encode(uniqs)
         if self.cfg.positions:
-            in_off = np.zeros(len(cnt_pre) + 1, dtype=np.int64)
-            np.cumsum(cnt_pre, out=in_off[1:])
-            cnt_o = cnt_pre[order]
-            pos_out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
-            np.cumsum(cnt_o, out=pos_out_off[1:])
-            gather = (np.repeat(in_off[:-1][order] - pos_out_off[:-1],
-                                cnt_o)
-                      + np.arange(int(pos_out_off[-1]), dtype=np.int64))
+            gather, pos_out_off = sublist_gather(cnt_pre, order)
             pos_buf, pos_boff = varbyte_encode(pos_d[gather])
 
         B = self.cfg.block_size

@@ -137,6 +137,28 @@ def decode_position_lists(buf: bytes,
     return pos, off
 
 
+def sublist_gather(counts, order) -> tuple[np.ndarray, np.ndarray]:
+    """Gather index that reorders a flat array packed as concatenated
+    sublists (sublist ``i`` holds ``counts[i]`` consecutive items) into
+    the sublist permutation ``order``.  Returns ``(gather, out_off)``:
+    ``flat[gather]`` is the reordered stream and ``out_off``
+    (``len(order)+1`` exclusive prefix sums) delimits its sublists.
+    Items move atomically per sublist, so within-sublist delta streams
+    survive the reorder — the single shared implementation of the
+    index's most subtle offset arithmetic (used by the SPIMI run
+    emitter, the bucket finalizer, and both query tiers' position
+    merges)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    in_off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=in_off[1:])
+    cnt_o = counts[order]
+    out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
+    np.cumsum(cnt_o, out=out_off[1:])
+    gather = (np.repeat(in_off[:-1][order] - out_off[:-1], cnt_o)
+              + np.arange(int(out_off[-1]), dtype=np.int64))
+    return gather, out_off
+
+
 class EncodedPostings:
     """One (shard, term) posting list, encoded."""
 

@@ -161,8 +161,11 @@ def value_quantiles_per_type(sf_dir: str,
        (driver traffic: actives x n_buckets int64s, a sketch) and the
        bracket narrows to the single bin containing the rank —
        O(log_B n) passes, 2 at 100 TB with B=4096;
-    3. a final pruned pass collects ONLY in-bracket values (<= cap per
-       target) and indexes the exact rank on the driver.
+    3. a final pruned pass emits per-batch DISTINCT (value, count)
+       partials of ONLY the in-bracket values (<= cap distinct per
+       target; a point mass the histogram cannot split is ONE row per
+       batch) and the driver selects the exact rank from the merged
+       counts — the answer is always an actual data value.
     Bracket membership is defined by the same float bucketization that
     built the histogram (a chain of (lo, w, bin) levels, AND-ed), so
     boundary rounding can never disagree between passes."""
@@ -199,12 +202,14 @@ def value_quantiles_per_type(sf_dir: str,
                        0, n_buckets - 1)
 
     for _ in range(64):  # ceil(log_B(n)) passes; 64 is unreachable
-        active = [t for t in targets if t["answer"] is None
-                  and t["count_in"] > collect_cap]
-        for t in targets:
-            if t["answer"] is None and t["hi"] <= t["lo"]:
-                t["answer"] = t["lo"]  # degenerate: all values equal
-        active = [t for t in active if t["answer"] is None]
+        # a bracket that cannot narrow further (point mass: hi <= lo, or
+        # bin width underflowed to 0) stops refining and falls through
+        # to the collection pass — the answer must be an ACTUAL data
+        # value selected by rank, never the float bracket bound (which
+        # rounding can push off the true element)
+        active = [t for t in targets
+                  if t["count_in"] > collect_cap and t["hi"] > t["lo"]
+                  and (t["hi"] - t["lo"]) / n_buckets > 0.0]
         if not active:
             break
         spec_ref = ray.put([{k: t[k] for k in
@@ -255,7 +260,10 @@ def value_quantiles_per_type(sf_dir: str,
             t["levels"] = t["levels"] + [(t["lo"], w, b)]
             t["lo"], t["hi"] = t["lo"] + b * w, t["lo"] + (b + 1) * w
 
-    # final pruned collection: only in-bracket values leave the scan
+    # final pruned collection: per-batch DISTINCT (value, count)
+    # partials of the in-bracket values leave the scan — bounded by the
+    # bracket's distinct count even when a point mass exceeds
+    # collect_cap (the case the refinement loop cannot split)
     pend = [t for t in targets if t["answer"] is None]
     if pend:
         spec_ref = ray.put([{k: t[k] for k in ("event_type", "levels")}
@@ -265,23 +273,30 @@ def value_quantiles_per_type(sf_dir: str,
             spec = ray.get(_ref)
             et = batch.column("event_type").to_numpy(zero_copy_only=False)
             val = batch.column("value").to_numpy(zero_copy_only=False)
-            tids, vals = [], []
+            tids, vals, cnts = [], [], []
             for ti, t in enumerate(spec):
                 v = val[et == t["event_type"]]
                 for lo, w, b in t["levels"]:
                     v = v[_bins(v, lo, w) == b]
-                tids.append(np.full(len(v), ti, dtype=np.int64))
-                vals.append(v)
+                uv, uc = np.unique(v, return_counts=True)
+                tids.append(np.full(len(uv), ti, dtype=np.int64))
+                vals.append(uv)
+                cnts.append(uc.astype(np.int64))
             import pyarrow as _pa
 
             return _pa.table({"tid": np.concatenate(tids),
-                              "v": np.concatenate(vals)})
+                              "v": np.concatenate(vals),
+                              "cnt": np.concatenate(cnts)})
 
         got = (_read().map_batches(collect, batch_format="pyarrow")
-               .to_pandas())
+               .to_pandas()
+               .groupby(["tid", "v"], sort=True)["cnt"].sum()
+               .reset_index())
         for ti, t in enumerate(pend):
-            v = np.sort(got[got["tid"] == ti]["v"].to_numpy())
-            t["answer"] = float(v[t["rank"] - 1])
+            g = got[got["tid"] == ti]  # v ascending (groupby sort)
+            cum = g["cnt"].cumsum().to_numpy()
+            j = int(np.searchsorted(cum, t["rank"]))
+            t["answer"] = float(g["v"].to_numpy()[j])
 
     rows = {}
     for t in targets:

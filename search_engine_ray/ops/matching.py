@@ -104,7 +104,12 @@ def positional_index(sf_dir: str):
     from search_engine_ray.index.build import build_index
     from search_engine_ray.query.engine import SearchEngine
 
-    key = os.path.abspath(sf_dir)
+    # key on the source CONTENT identity (size + mtime), not just the
+    # path — a regenerated documents.parquet at the same path must not
+    # be served stale results from a prior process's /tmp index
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_size}|{st.st_mtime_ns}"
     if key in _POS_IDX_CACHE:
         return _POS_IDX_CACHE[key]
     tag = hashlib.blake2b(key.encode(), digest_size=6).hexdigest()

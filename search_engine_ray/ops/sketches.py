@@ -193,8 +193,11 @@ def hll_distinct(sf_dir: str, table: str = "events",
     rows = (ds.map_batches(regs_row, batch_format="pyarrow")
             .map_batches(merge_regs, batch_format="pyarrow", batch_size=64)
             .take_all())
-    merged = np.frombuffer(b"".join(r["regs"] for r in rows),
-                           dtype=np.uint8).reshape(len(rows), -1).max(axis=0)
+    if not rows:  # zero input batches: an empty sketch (all-zero regs)
+        merged = np.zeros(1 << p, dtype=np.uint8)
+    else:
+        merged = np.frombuffer(b"".join(r["regs"] for r in rows),
+                               dtype=np.uint8).reshape(len(rows), -1).max(axis=0)
     return pa.table({
         "n_distinct_est": pa.array([int(round(hll_estimate(merged)))],
                                    pa.int64()),

@@ -43,6 +43,7 @@ class OracleIndex:
             stemming=self.config.stemming,
             tokenizer=self.config.tokenizer,
             harvest_page_url=self.config.harvest_page_url,
+            raw_tokens=self.config.raw_tokens,
         )
         self.glove = GloveCache(self.config.glove_path,
                                 self.config.glove_dim)

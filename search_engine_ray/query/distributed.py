@@ -83,13 +83,26 @@ class QueryShardActor:
         self._meta_glove = glove[order]
 
     def _postings(self, terms: list[str], df_map: dict,
-                  caps_orig: dict | None = None):
+                  caps_orig: dict | None = None,
+                  want_positions: bool = False):
         import pyarrow.dataset as pads
 
         from search_engine_ray.ids import term_bucket
         from search_engine_ray.index.encoding import decode_postings
 
-        need = [t for t in terms if t not in self._pcache and t in df_map]
+        # positions are fetched/decoded ONLY for phrase/proximity calls
+        # (want_positions) — a bm25/reference search on a positional
+        # index must not pay the pos_vb read (it is roughly the size of
+        # all other streams combined) or the decode+merge.  A term
+        # cached without positions is re-fetched when a phrase query
+        # later needs it.
+        def _misses_pos(t):
+            e = self._pcache.get(t)
+            return e is not None and "pos" not in e
+
+        need = [t for t in terms if t in df_map
+                and (t not in self._pcache
+                     or (want_positions and _misses_pos(t)))]
         if self._postings_ds is None:
             for t in need:
                 self._pcache[t] = None
@@ -97,18 +110,19 @@ class QueryShardActor:
         if need:
             buckets = sorted({term_bucket(t, self.cfg.term_buckets)
                               for t in need})
+            keys = ["n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
+                    "uniq_vb", "blk_last", "blk_max", "blk_doc_off",
+                    "blk_tf_off"]
+            if self.cfg.positions and want_positions:
+                keys.append("pos_vb")
             t = self._postings_ds.to_table(
+                columns=["term", "orig"] + keys,
                 filter=(pads.field("tbucket").isin(buckets)
                         & pads.field("term").isin(need)
                         & pads.field("shard").isin(list(self.shards))))
             by_term = {x: [] for x in need}
             term_col = t.column("term").to_pylist()
             orig_col = t.column("orig").to_pylist()
-            keys = ["n", "docids_vb", "tf_vb", "dl_vb", "mtf_vb",
-                    "uniq_vb", "blk_last", "blk_max", "blk_doc_off",
-                    "blk_tf_off"]
-            if self.cfg.positions:
-                keys.append("pos_vb")
             cols = {k: t.column(k).to_pylist() for k in keys}
             for i, term in enumerate(term_col):
                 by_term[term].append(
@@ -136,21 +150,16 @@ class QueryShardActor:
                     "mtfs": np.concatenate(
                         [p["mtfs"] for p in parts])[order],
                 }
-                if self.cfg.positions and all("pos" in p for p in parts):
+                if want_positions and all("pos" in p for p in parts):
                     # merge per-posting position sublists across shard
                     # segments: gather sublists into the merged doc order
-                    # (same trick as engine._positions_of, already on
-                    # decoded absolutes here)
+                    # (already on decoded absolutes here)
+                    from search_engine_ray.index.encoding import (
+                        sublist_gather,
+                    )
+
                     pos = np.concatenate([p["pos"] for p in parts])
-                    in_off = np.zeros(len(tfs) + 1, dtype=np.int64)
-                    np.cumsum(tfs, out=in_off[1:])
-                    cnt_o = tfs[order]
-                    out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
-                    np.cumsum(cnt_o, out=out_off[1:])
-                    gather = (np.repeat(in_off[:-1][order] - out_off[:-1],
-                                        cnt_o)
-                              + np.arange(int(out_off[-1]),
-                                          dtype=np.int64))
+                    gather, out_off = sublist_gather(tfs, order)
                     entry["pos"] = pos[gather]
                     entry["pos_off"] = out_off
                 self._pcache[term] = entry
@@ -168,7 +177,8 @@ class QueryShardActor:
         )
 
         uniq = list(dict.fromkeys(terms))
-        plists = self._postings(uniq, df_map, caps_orig)
+        plists = self._postings(uniq, df_map, caps_orig,
+                                want_positions=True)
         if any(plists.get(t) is None for t in uniq) or not uniq:
             return []
         cand = intersect_candidates([plists[t]["doc_ids"] for t in uniq])
@@ -184,7 +194,8 @@ class QueryShardActor:
         )
 
         uniq = list(dict.fromkeys([t1, t2]))
-        plists = self._postings(uniq, df_map, caps_orig)
+        plists = self._postings(uniq, df_map, caps_orig,
+                                want_positions=True)
         if any(plists.get(t) is None for t in uniq):
             return []
         cand = intersect_candidates([plists[t]["doc_ids"] for t in uniq])
@@ -318,7 +329,8 @@ class DistributedSearchEngine:
 
         self.parser = Parser(
             stemming=self.cfg.stemming, tokenizer=self.cfg.tokenizer,
-            harvest_page_url=self.cfg.harvest_page_url)
+            harvest_page_url=self.cfg.harvest_page_url,
+            raw_tokens=self.cfg.raw_tokens)
         import pyarrow.dataset as pads
 
         self.df_map, self._caps_orig = mf.load_df_and_orig(out_dir)
@@ -365,13 +377,23 @@ class DistributedSearchEngine:
         in-process SearchEngine.phrase_docs."""
         if not terms:
             return []
+        self._require_positions()
         df_small, orig_small = self._ship_maps(terms)
         futures = [a.phrase_local.remote(terms, df_small, orig_small)
                    for a in self.actors]
         return sorted(d for part in ray.get(futures) for d in part)
 
+    def _require_positions(self):
+        # same contract as SearchEngine._positional_candidates — fail at
+        # the driver with a clear message, not a KeyError('pos') inside
+        # a shard actor
+        if not self.cfg.positions:
+            raise ValueError("index was built without positions "
+                             "(EngineConfig.positions=False)")
+
     def proximity_docs(self, t1: str, t2: str, window: int = 3):
         """Sorted (doc_id, min_gap) pairs across the shard actors."""
+        self._require_positions()
         df_small, orig_small = self._ship_maps([t1, t2])
         futures = [a.proximity_local.remote(t1, t2, window, df_small,
                                             orig_small)

@@ -251,7 +251,8 @@ class SearchEngine:
         self.avg_dl = man["avg_doc_length"]
         self.parser = Parser(
             stemming=self.cfg.stemming, tokenizer=self.cfg.tokenizer,
-            harvest_page_url=self.cfg.harvest_page_url)
+            harvest_page_url=self.cfg.harvest_page_url,
+            raw_tokens=self.cfg.raw_tokens)
         self.glove = GloveCache(self.cfg.glove_path, self.cfg.glove_dim)
 
         import os
@@ -530,22 +531,19 @@ class SearchEngine:
         offsets aligned with p["doc_ids"] (sublist i = positions of the
         term in doc_ids[i], ascending)."""
         if p["pos"] is None:
-            from search_engine_ray.index.encoding import varbyte_decode
+            from search_engine_ray.index.encoding import (
+                sublist_gather,
+                varbyte_decode,
+            )
 
             buf, tfs_pre, order = p.pop("_pos_raw")
             tfs_pre = np.asarray(tfs_pre, dtype=np.int64)
-            total = int(tfs_pre.sum())
-            d = varbyte_decode(buf, count=total)
+            d = varbyte_decode(buf, count=int(tfs_pre.sum()))
             # reorder sublists into doc-sorted order (deltas never cross
             # sublists, so they move atomically), then one segment-cumsum
             # to absolutes
-            in_off = np.zeros(len(tfs_pre) + 1, dtype=np.int64)
-            np.cumsum(tfs_pre, out=in_off[1:])
-            cnt_o = tfs_pre[order]
-            out_off = np.zeros(len(cnt_o) + 1, dtype=np.int64)
-            np.cumsum(cnt_o, out=out_off[1:])
-            gather = (np.repeat(in_off[:-1][order] - out_off[:-1], cnt_o)
-                      + np.arange(total, dtype=np.int64))
+            gather, out_off = sublist_gather(tfs_pre, order)
+            cnt_o = np.diff(out_off)
             d = d[gather]
             cs = np.cumsum(d)
             base = np.zeros(len(cnt_o), dtype=np.int64)

@@ -45,6 +45,9 @@ _RIGHT_SLASH = re.compile(r"^-?[0-9]+\\0*[1-9][0-9]*$")
 _URL_SPLIT = re.compile(r"[/://?=]")
 
 _KBM = frozenset("kmbKMB")
+# the only all-alpha strings float() accepts (lowercase forms; the fast
+# path below is lowercase-only) — 'nank' etc. are kbm shorthand
+_FLOAT_WORDS = frozenset({"nan", "inf", "infinity"})
 _PERCENT_WORDS = ("%", "percent", "percentage")
 
 
@@ -95,12 +98,17 @@ class Parser:
             # majority of web-text tokens.  Such a token provably takes
             # the default _append branch (it can't be a handler trigger:
             # not '#'/'@', no slash/comma/dash/digit, and the kbm guard's
-            # _to_float on an alpha prefix is always None), except the
-            # two lowercase keywords 'percent(age)' and 'https' which
-            # are excluded here.  Behavior is byte-identical to the
-            # general loop below (differential-fuzz tested).
+            # _to_float on an alpha prefix is None for every alpha string
+            # EXCEPT float()'s word literals 'nan'/'inf'/'infinity', so
+            # e.g. 'nank'/'infm' must fall through to the kbm branch),
+            # except the two lowercase keywords 'percent(age)' and
+            # 'https' which are excluded here.  Behavior is
+            # byte-identical to the general loop below
+            # (differential-fuzz tested).
             if (token.isalpha() and token.isascii() and token.islower()
-                    and token != "https" and token not in _PERCENT_WORDS):
+                    and token != "https" and token not in _PERCENT_WORDS
+                    and not (token[-1] in "kmb"
+                             and token[:-1] in _FLOAT_WORDS)):
                 if token in stop_words:
                     continue
                 if chunk != "":

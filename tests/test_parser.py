@@ -56,6 +56,13 @@ def test_kbm_shorthand():
     assert toks("made 3M fast") == ["made", "3M", "fast"]
     # float-truthiness quirk: '0k' is NOT shorthand (parser_module.py:91)
     assert toks("made 0k fast") == ["made", "0k", "fast"]
+    # all-alpha float() word literals + kbm suffix ARE shorthand
+    # (float('nan')/float('inf') are truthy) — these must NOT take the
+    # lowercase-word fast path (regression: the fast path emitted them
+    # verbatim)
+    assert toks("nank infm infinityb") == ["NANK", "INFM", "INFINITYB"]
+    # ...but the bare literals and ordinary k/m/b-final words do
+    assert toks("nan inf milk bomb") == ["nan", "inf", "milk", "bomb"]
 
 
 def test_https_splice_drops_tco():

@@ -273,3 +273,102 @@ def test_distributed_phrase_matches_inprocess(pos_sf):
     r_in = eng.search("query scan", k=5, mode="bm25")
     r_dist = dist.search("query scan", k=5, mode="bm25")
     assert r_in == r_dist
+
+
+def test_query_parser_honors_raw_tokens(pos_sf):
+    """Engines serving a raw_tokens index must tokenize queries RAW too
+    (regression: SearchEngine/DistributedSearchEngine built their parser
+    without forwarding cfg.raw_tokens, so stopwords were dropped and
+    capitals rewritten against an index that stores tokens verbatim)."""
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng, _ = positional_index(pos_sf)
+    assert eng.cfg.raw_tokens
+    fresh = SearchEngine(eng._out_dir)
+    # 'the' is a stopword for the normalizing parser but a real token in
+    # a raw index; raw parse must keep it and keep case handling off
+    assert fresh.parser.parse_sentence("the query scan")[0] == [
+        "the", "query", "scan"]
+    dist = DistributedSearchEngine(eng._out_dir, num_actors=2)
+    assert dist.parser.parse_sentence("the query scan")[0] == [
+        "the", "query", "scan"]
+
+
+def test_distributed_phrase_without_positions_raises(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.fixtures import gen_pages
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(gen_pages(120), str(d / "a.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, EngineConfig(positions=False), overwrite=True)
+    dist = DistributedSearchEngine(idx, num_actors=2)
+    with _pytest.raises(ValueError, match="without positions"):
+        dist.phrase_docs(["new", "york"])
+    with _pytest.raises(ValueError, match="without positions"):
+        dist.proximity_docs("new", "york")
+
+
+def test_hll_distinct_empty_table(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.sketches import hll_distinct
+
+    pq.write_table(
+        pa.table({"user_id": pa.array([], pa.int64())}),
+        str(tmp_path / "events.parquet"))
+    out = hll_distinct(str(tmp_path), table="events", column="user_id")
+    assert out.column("n_distinct_est").to_pylist() == [0]
+
+
+def test_positional_index_cache_tracks_content(ray_session, tmp_path):
+    """Regenerating documents.parquet at the same path must invalidate
+    the /tmp positional-index cache (regression: the cache keyed on the
+    path only and served the OLD corpus's doc ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.matching import phrase_match_indexed
+
+    def write(docs):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(1, len(docs) + 1)), pa.int64()),
+            "text": pa.array(docs),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s0"] * len(docs)),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }), str(tmp_path / "documents.parquet"))
+
+    write(["alpha query scan beta", "nothing here", "query scan again"])
+    first = phrase_match_indexed(str(tmp_path)).column("doc_id").to_pylist()
+    assert first == [1, 3]
+    import time
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    write(["nothing", "query scan moved", "also nothing", "x"])
+    second = phrase_match_indexed(str(tmp_path)).column("doc_id").to_pylist()
+    assert second == [2]
+
+
+def test_distributed_lazy_positions_refetch(pos_sf):
+    """A bm25 search caches postings WITHOUT positions (lazy pos_vb);
+    a later phrase query on the same terms must transparently re-fetch
+    them with positions and agree with the in-process engine."""
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    eng, _ = positional_index(pos_sf)
+    dist = DistributedSearchEngine(eng._out_dir, num_actors=2)
+    assert dist.search("query scan", k=5, mode="bm25") == \
+        eng.search("query scan", k=5, mode="bm25")
+    assert dist.phrase_docs(["query", "scan"]) == \
+        eng.phrase_docs(["query", "scan"]).tolist()
