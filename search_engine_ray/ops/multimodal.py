@@ -1,9 +1,10 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
 The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container.
-Formats the stdlib can decode are decoded for REAL — PCM WAV (``wave``),
-binary PPM/PGM (header parse), PNG (``zlib`` inflate + scanline
-unfilter) — while codec-dependent formats (JPEG/MP3/H.264) raise
+Formats decodable from the published specs are decoded for REAL — PCM
+WAV (``wave``), binary PPM/PGM (header parse), PNG (``zlib`` inflate +
+scanline unfilter), baseline JPEG (ops/jpeg.py) and GIF incl. animation
+(ops/gif.py) — while codec-dependent formats (MP3/H.264/WebP) raise
 ``NotImplementedError`` behind the same dispatch.  The Ray-side plumbing
 (schema, actor-pool stage shape, batch sizing for large binary payloads,
 typed metadata output) is real and tested with both paths.
@@ -54,6 +55,8 @@ class MediaDecoder:
             return self._png_features(payload)
         if payload[:2] == b"\xff\xd8":
             return self._jpeg_features(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._gif_features(payload)
         raise NotImplementedError(
             f"no stdlib decoder for this payload (kind={kind!r}); "
             "MP3/H.264 need external libs absent from this environment")
@@ -112,7 +115,19 @@ class MediaDecoder:
         (ops/jpeg.py, pure numpy from the T.81 spec)."""
         from search_engine_ray.ops.jpeg import decode_jpeg
 
-        px = decode_jpeg(payload).astype(np.float64)
+        return self._frame_features(decode_jpeg(payload))
+
+    def _gif_features(self, payload: bytes) -> np.ndarray:
+        """Same feature layout from a real GIF decode of the first
+        frame (ops/gif.py, pure stdlib LZW — exact pixels)."""
+        from search_engine_ray.ops.gif import decode_gif
+
+        return self._frame_features(decode_gif(payload))
+
+    def _frame_features(self, px: np.ndarray) -> np.ndarray:
+        """(width, height, channels, mean, std, min, max) of one decoded
+        frame — shared by the JPEG/GIF paths and the video sampler."""
+        px = px.astype(np.float64)
         h, w, ch = px.shape
         return self._fit([w, h, ch, float(px.mean()), float(px.std()),
                           float(px.min()), float(px.max())])
@@ -375,14 +390,26 @@ class FrameSampler:
                                 batch.column("payload").to_pylist()):
             rows: list = []
             try:
-                off, k = 0, 0
-                while off < len(payload):
-                    size = _pnm_frame_size(payload, off)
-                    if k % self.stride == 0:
-                        f = self.dec._pnm_features(payload[off:off + size])
-                        rows.append((k, f))
-                    off += size
-                    k += 1
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: every frame must be composited in
+                    # order (disposal semantics), so decode all and
+                    # keep the sampled ones
+                    from search_engine_ray.ops.gif import decode_gif_frames
+
+                    for k, frame in enumerate(decode_gif_frames(payload)):
+                        if k % self.stride == 0:
+                            rows.append(
+                                (k, self.dec._frame_features(frame)))
+                else:
+                    off, k = 0, 0
+                    while off < len(payload):
+                        size = _pnm_frame_size(payload, off)
+                        if k % self.stride == 0:
+                            f = self.dec._pnm_features(
+                                payload[off:off + size])
+                            rows.append((k, f))
+                        off += size
+                        k += 1
             except Exception as e:  # noqa: BLE001 — quarantine, not crash
                 ids.append(mid)
                 fidx.append(-1)
@@ -465,6 +492,10 @@ class ImageResizer:
             from search_engine_ray.ops.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from search_engine_ray.ops.gif import decode_gif
+
+            return np.ascontiguousarray(decode_gif(payload)[:, :, :3])
         raise NotImplementedError("unsupported image payload")
 
     def _resize(self, img: np.ndarray) -> np.ndarray:

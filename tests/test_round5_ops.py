@@ -372,3 +372,152 @@ def test_distributed_lazy_positions_refetch(pos_sf):
         eng.search("query scan", k=5, mode="bm25")
     assert dist.phrase_docs(["query", "scan"]) == \
         eng.phrase_docs(["query", "scan"]).tolist()
+
+
+# ------------------------------------------------------------- GIF codec
+def test_gif_roundtrip_exact():
+    """GIF is palette-based and lossless: encode->decode is bit-exact,
+    including interlaced layout, max-size palettes and 89a
+    transparency."""
+    from search_engine_ray.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(0)
+    img = np.repeat(rng.integers(0, 6, (37, 53, 1), np.uint8) * 40, 3, 2)
+    dec = decode_gif(encode_gif(img))
+    assert dec.shape == (37, 53, 4)
+    assert np.array_equal(dec[:, :, :3], img)
+    assert (dec[:, :, 3] == 255).all()
+    # interlaced rows land back in place
+    assert np.array_equal(
+        decode_gif(encode_gif(img, interlace=True))[:, :, :3], img)
+    # 256-color (max palette, min_code 8)
+    big = np.stack([rng.permutation(256).reshape(16, 16).astype(np.uint8)]
+                   * 3, axis=-1)
+    assert np.array_equal(decode_gif(encode_gif(big))[:, :, :3], big)
+    # transparency -> alpha 0
+    timg = img.copy()
+    timg[:5] = 0
+    d = decode_gif(encode_gif(timg, transparent_color=(0, 0, 0)))
+    assert (d[:5, :, 3] == 0).all()
+    # garbage rejected
+    for bad in (b"", b"GIF89a" + b"\x00" * 5, b"notagif"):
+        with pytest.raises(Exception):
+            decode_gif(bad)
+
+
+def test_gif_decodes_foreign_lzw():
+    """The decoder must accept REAL growing-width LZW (the fixture
+    encoder is fixed-width): a string-table encoder implemented here
+    independently, pushed through 12-bit width growth, and the canonical
+    published 1x1 transparent GIF."""
+    import struct
+
+    from search_engine_ray.ops.gif import decode_gif
+
+    tiny = bytes.fromhex(
+        "47494638396101000100800000000000ffffff21f9040100000000"
+        "2c00000000010001000002024401003b")
+    d = decode_gif(tiny)
+    assert d.shape == (1, 1, 4) and d[0, 0, 3] == 0
+
+    def real_lzw(indices, min_code):
+        clear = 1 << min_code
+        end = clear + 1
+        table = {(i,): i for i in range(clear)}
+        next_code, width = end + 1, min_code + 1
+        out, acc, nbits = bytearray(), 0, 0
+
+        def put(c):
+            nonlocal acc, nbits
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        put(clear)
+        buf = (indices[0],)
+        for v in indices[1:]:
+            cand = buf + (v,)
+            if cand in table:
+                buf = cand
+                continue
+            put(table[buf])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                # the decoder's table is one entry behind the encoder's:
+                # width grows one emission later than naive
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            buf = (v,)
+        put(table[buf])
+        put(end)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 256, 200 * 200).astype(np.int64)
+    pal = np.stack([np.arange(256)] * 3, -1).astype(np.uint8)
+    data = real_lzw(idx.tolist(), 8)
+    out = bytearray(b"GIF87a") + struct.pack("<HHBBB", 200, 200, 0x87, 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 200, 200, 0)
+    out.append(8)
+    for i in range(0, len(data), 255):
+        c = data[i:i + 255]
+        out.append(len(c))
+        out += c
+    out += bytes([0, 0x3B])
+    dec = decode_gif(bytes(out))
+    assert np.array_equal(dec[:, :, :3].reshape(-1, 3), pal[idx])
+
+
+def test_gif_in_media_stages(ray_session):
+    """GIF payloads flow through MediaDecoder/ImageResizer like
+    PNG/JPEG, and animated GIFs through the video frame sampler."""
+    import ray.data
+
+    from search_engine_ray.ops.gif import encode_gif, encode_gif_animation
+    from search_engine_ray.ops.multimodal import (
+        decode_media,
+        decode_png,
+        resize_images,
+        sample_frames,
+    )
+
+    img = np.full((32, 16, 3), 100, np.uint8)
+    img[:16] = 200
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([encode_gif(img)], pa.binary()),
+        "meta": pa.array(["{}"], pa.string()),
+    })
+    out = decode_media(ray.data.from_arrow(tbl), impl="real",
+                       batch_size=4).to_pandas()
+    assert out["ok"].tolist() == [True]
+    f = np.asarray(out["features"].iloc[0])
+    assert f[:3].tolist() == [16.0, 32.0, 4.0]  # RGBA decode
+
+    rout = resize_images(ray.data.from_arrow(tbl.select(
+        ["media_id", "payload"])), target_h=8, target_w=8).to_pandas()
+    assert rout["ok"].tolist() == [True]
+    small = decode_png(rout["payload"].iloc[0])
+    assert small.shape == (8, 8, 3)
+    assert float(small[:4].mean()) == 200.0 and \
+        float(small[4:].mean()) == 100.0  # lossless source, exact blocks
+
+    frames = [np.full((8, 8, 3), 10 * (k + 1), np.uint8) for k in range(7)]
+    vt = pa.table({
+        "media_id": pa.array([5], pa.int64()),
+        "payload": pa.array([encode_gif_animation(frames)], pa.binary()),
+    })
+    fout = sample_frames(ray.data.from_arrow(vt), stride=3).to_pandas()
+    assert fout["ok"].tolist() == [True, True, True]
+    assert fout["frame_idx"].tolist() == [0, 3, 6]
+    means = [np.asarray(v)[3] for v in fout["features"]]
+    # frames decode as RGBA (alpha 255): mean = (3v + 255) / 4
+    assert means == [(3 * v + 255) / 4 for v in (10.0, 40.0, 70.0)]
