@@ -49,28 +49,38 @@ def _hash64(data: bytes, seed: int = 0) -> int:
 # ----------------------------------------------------------------- exact
 def exact_dedup_ids(sf_dir: str):
     """Surviving doc_ids of exact text dedup (min doc_id per distinct
-    text) — the 100-TB core: ONLY (fp, doc_id) pairs ride the
-    fingerprint shuffle; text never leaves its read task.  Compositions
-    that need just the keep-set (curate) use this directly."""
+    text) — the 100-TB core: ONLY (fp, doc_id) triples ride the
+    fingerprint shuffle; text never leaves its read task.  The
+    fingerprint is 128-bit blake2 split across two int64 columns: a
+    63-bit key has ~5% birthday-collision odds at 10^9 docs (a collision
+    silently drops a distinct document), 127 bits make it negligible at
+    any corpus size for the same shuffle shape.  Compositions that need
+    just the keep-set (curate) use this directly."""
     import pandas as pd
     import ray.data
 
     from search_engine_ray.ops.shuffle import bucketed_apply
-    from search_engine_ray.ops.textstats import fingerprint64
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
     def fp_id(batch: pa.Table) -> pa.Table:
-        return pa.table({"fp": fingerprint64(batch).column("fp"),
+        texts = batch.column("text").to_pylist()
+        dig = b"".join(hashlib.blake2b(t.encode("utf-8"),
+                                       digest_size=16).digest()
+                       for t in texts)
+        both = np.frombuffer(dig, dtype="<i8").reshape(len(texts), 2) \
+            if texts else np.zeros((0, 2), np.int64)
+        return pa.table({"fp_hi": pa.array(both[:, 0], pa.int64()),
+                         "fp_lo": pa.array(both[:, 1], pa.int64()),
                          "doc_id": batch.column("doc_id")})
 
     def min_per_fp(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby("fp", sort=False)["doc_id"].min()
+        return (g.groupby(["fp_hi", "fp_lo"], sort=False)["doc_id"].min()
                  .reset_index()[["doc_id"]])
 
     return bucketed_apply(ds.map_batches(fp_id, batch_format="pyarrow"),
-                          ["fp"], min_per_fp)
+                          ["fp_hi", "fp_lo"], min_per_fp)
 
 
 def exact_dedup(sf_dir: str):
@@ -231,18 +241,24 @@ class MinHasher:
     _SIG_CHUNK_SHINGLES = 65_536
 
     def signatures(self, texts: list[str]) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix for a batch: all
-        docs' shingles concatenated, ONE vectorized mix per permutation
-        set, per-doc minima via minimum.reduceat — no per-doc Python
-        loop in the hash/min math.  Gram-less docs (empty or shorter
+        """(n_docs, num_perm) uint64 signature matrix for a batch —
+        see signatures_from_shingles; gram-less docs (empty or shorter
         than ngram) get all-zero rows — they bucket together, and the
         verify stage scores them jaccard=0, so they never pair (same
         as the exact backbone and the SQL closure)."""
+        return self.signatures_from_shingles(self._doc_shingles64(texts))
+
+    def signatures_from_shingles(self, shingles: "list[np.ndarray]"
+                                 ) -> np.ndarray:
+        """Signature matrix from per-doc 64-bit shingle arrays: all
+        docs' shingles concatenated, ONE vectorized mix per permutation
+        set, per-doc minima via minimum.reduceat — no per-doc Python
+        loop in the hash/min math.  Split from signatures() so a fused
+        stage can derive signatures AND verify blobs from one shingle
+        pass (the tokenize+blake2 term dominates the stage)."""
         P = len(self.a)
-        sh_list = [
-            (s & np.uint64(0xFFFF_FFFF))
-            for s in self._doc_shingles64(texts)]
-        sig = np.zeros((len(texts), P), dtype=np.uint64)
+        sh_list = [(s & np.uint64(0xFFFF_FFFF)) for s in shingles]
+        sig = np.zeros((len(sh_list), P), dtype=np.uint64)
         idx = [i for i, s in enumerate(sh_list) if len(s)]
         i = 0
         while i < len(idx):
@@ -263,16 +279,20 @@ class MinHasher:
             i = j
         return sig
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sig = self.signatures(batch.column("text").to_pylist())
-        # band buckets, vectorized: reshape to (docs, bands, rows) and
-        # chain-mix each band's rows into one 63-bit bucket key
-        b3 = sig.reshape(len(ids), _BANDS, _ROWS_PER_BAND)
+    def band_buckets(self, sig: np.ndarray) -> np.ndarray:
+        """(docs, _BANDS) int64 LSH bucket keys, vectorized: reshape to
+        (docs, bands, rows) and chain-mix each band's rows into one
+        63-bit bucket key."""
+        b3 = sig.reshape(len(sig), _BANDS, _ROWS_PER_BAND)
         acc = self._mix64(b3[:, :, 0])
         for r in range(1, _ROWS_PER_BAND):
             acc = self._mix64(acc ^ b3[:, :, r])
-        buckets = (acc & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return (acc & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = self.signatures(batch.column("text").to_pylist())
+        buckets = self.band_buckets(sig)
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, _BANDS).astype(np.int64),
                                pa.int64()),
@@ -323,6 +343,31 @@ def shingle_blob_rows(batch: pa.Table) -> pa.Table:
         sb = ShingleBlobs()
         _WORKER_STATE["shingler"] = sb
     return sb(batch)
+
+
+def minhash_fused_rows(batch: pa.Table) -> pa.Table:
+    """ONE shingle pass emitting BOTH the LSH band rows (blob null) and
+    the verify blob rows (band = -1): tokenize + blake2 — the stage's
+    dominant term — runs once per document instead of once for the band
+    scan plus once per blob consumer."""
+    mh = _worker_minhasher()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = mh._doc_shingles64(batch.column("text").to_pylist())
+    sig = mh.signatures_from_shingles(sh)
+    buckets = mh.band_buckets(sig)
+    blobs = [np.unique((s & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+                       .astype(np.int64)).tobytes() for s in sh]
+    n = len(ids)
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(
+            [np.repeat(ids, _BANDS), ids]).astype(np.int64), pa.int64()),
+        "band": pa.array(np.concatenate(
+            [np.tile(np.arange(_BANDS, dtype=np.int32), n),
+             np.full(n, -1, np.int32)]), pa.int32()),
+        "bucket": pa.array(np.concatenate(
+            [buckets.reshape(-1), np.zeros(n, np.int64)]), pa.int64()),
+        "blob": pa.array([None] * (n * _BANDS) + blobs, pa.binary()),
+    })
 
 
 def simhash_rows(batch: pa.Table) -> pa.Table:
@@ -390,25 +435,42 @@ def _attach_blob(pairs, blobs, key_col: str, out_blob: str):
     return bucketed_apply(u, [key_col], attach_bucket)
 
 
-def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6):
+def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6,
+                           max_bucket: int = 256):
     """LSH candidates verified by exact shingle-set Jaccard, end-to-end
     distributed.  Returns a Dataset (a, b, jaccard) with a < b,
     jaccard >= threshold.
 
-    Scale shape: band rows shuffle once (groupby band,bucket); candidate
-    pairs shuffle twice more to pick up each side's shingle set.  No
-    stage holds more than one bucket / one doc-key group in memory; a
-    degenerate bucket (giant exact-dup cluster) is chain-linked instead
-    of exploded quadratically."""
+    Scale shape: ONE fused scan computes shingles once per document and
+    emits band rows + verify blobs together (MATERIALIZED: both the LSH
+    stage and the two blob-attach shuffles re-read the hashed rows from
+    the object store — spillable — instead of re-tokenizing the corpus,
+    which would otherwise run 3x); candidate pairs then shuffle twice to
+    pick up each side's shingle set.  No stage holds more than one
+    bucket / one doc-key group in memory; a degenerate bucket (giant
+    exact-dup cluster) is chain-linked instead of exploded
+    quadratically."""
     import pandas as pd
+    import pyarrow.compute as pc
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    band_rows = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
+    fused = ds.map_batches(minhash_fused_rows,
+                           batch_format="pyarrow").materialize()
 
-    def pairs_in_bucket(g: pd.DataFrame, max_bucket: int = 256
-                        ) -> pd.DataFrame:
+    def band_side(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("band"), 0)).select(
+            ["doc_id", "band", "bucket"])
+
+    def blob_side(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("band"), -1)).select(
+            ["doc_id", "blob"])
+
+    band_rows = fused.map_batches(band_side, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame,
+                        max_bucket: int = max_bucket) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
         out_a, out_b = [], []
         if len(ids) > max_bucket:
@@ -430,7 +492,7 @@ def minhash_near_dup_pairs(sf_dir: str, threshold: float = 0.6):
     cand = _dedup_pairs(grouped_apply(band_rows, ["band", "bucket"],
                                       pairs_in_bucket))
 
-    blobs = ds.map_batches(shingle_blob_rows, batch_format="pyarrow")
+    blobs = fused.map_batches(blob_side, batch_format="pyarrow")
     with_a = _attach_blob(cand, blobs, "a", "blob_a")
     with_ab = _attach_blob(with_a, blobs, "b", "blob_b")
 
@@ -490,14 +552,17 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
             grams.extend(gs)
             counts_id.append(did)
             counts_n.append(len(gs))
-        # per-doc gram-count rows ride along with gram = "" (no real
-        # n-gram is empty; simple tokens are non-empty)
+        # per-doc gram-count rows ride the SAME shuffle under a per-doc
+        # key ("\x01" never appears in simple tokens), so they hash
+        # across ALL buckets — a single shared key would funnel one
+        # count row per corpus document into one reduce task.  n >= 0
+        # marks a count row; real gram rows carry n = -1.
         ids.extend(counts_id)
-        grams.extend([""] * len(counts_id))
+        grams.extend("\x01%d" % d for d in counts_id)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "gram": pa.array(grams, pa.string()),
-            "n": pa.array([0] * (len(ids) - len(counts_id)) + counts_n,
+            "n": pa.array([-1] * (len(ids) - len(counts_id)) + counts_n,
                           pa.int64()),
         })
 
@@ -505,23 +570,26 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
                                columns=["doc_id", "text"])
     rows = ds.map_batches(gram_rows, batch_format="pyarrow")
 
-    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
-        if g["gram"].iloc[0] == "":  # count rows pass through
-            # .to_numpy(): group slices carry the parent frame's index;
-            # mixing them with default-indexed Series in a DataFrame
-            # constructor ALIGNS indexes and silently corrupts rows
-            return pd.DataFrame({
-                "a": g["doc_id"].to_numpy(np.int64),
-                "b": np.full(len(g), -1, dtype=np.int64),
-                "i": g["n"].to_numpy(np.int64)})
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "i": pd.Series([], dtype="int64")})
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]],
-                             "i": np.ones(len(iu[0]), dtype=np.int64)})
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # .to_numpy(): group slices carry the parent frame's index;
+        # mixing them with default-indexed Series in a DataFrame
+        # constructor ALIGNS indexes and silently corrupts rows
+        n = g["n"].to_numpy(np.int64)
+        is_count = n >= 0
+        doc = g["doc_id"].to_numpy(np.int64)
+        outs = [pd.DataFrame({
+            "a": doc[is_count],
+            "b": np.full(int(is_count.sum()), -1, dtype=np.int64),
+            "i": n[is_count]})]
+        for _, sub in g[~is_count].groupby("gram", sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({
+                "a": ids[iu[0]], "b": ids[iu[1]],
+                "i": np.ones(len(iu[0]), dtype=np.int64)}))
+        return pd.concat(outs, ignore_index=True)
 
     # sum per-pair intersection counts; count rows (b=-1) sum to the
     # per-doc gram count since each doc has exactly one.  Materialized:
@@ -529,11 +597,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6,
     # pair/count set — orders of magnitude smaller than the gram rows —
     # so pinning it beats re-running the gram shuffle three times
     from search_engine_ray.ops.shuffle import (
+        bucketed_apply,
         bucketed_sum,
         grouped_apply,
     )
 
-    agg = bucketed_sum(grouped_apply(rows, ["gram"], pairs_in_gram),
+    agg = bucketed_sum(bucketed_apply(rows, ["gram"], pairs_in_bucket),
                        ["a", "b"], ["i"],
                        rename={"i": "sum(i)"}).materialize()
 
@@ -826,11 +895,16 @@ def near_dup_keep_ids(sf_dir: str, threshold: float = 0.6,
     generation + DISTRIBUTED exact-Jaccard verification
     (minhash_near_dup_pairs) — per-pair recall is 1-(1-j^2)^32 (~1-6e-7
     at j=0.6, see _BANDS), and the verify step keeps the surviving pair
-    set value-equal to the exact operator's up to that recall and 63-bit
-    shingle-hash collisions, so the keep set matches the exact SQL
-    closure oracle.  ``backbone="exact"`` uses the all-pairs
-    ngram_jaccard_pairs operator (O(sum df_g^2) — verification-grade,
-    small corpora only)."""
+    set value-equal to the exact operator's up to (a) that recall,
+    (b) 63-bit shingle-hash collisions, and (c) the >256-doc
+    degenerate-bucket cap, which chain-links consecutive ids instead of
+    emitting all pairs — exactly right when the giant bucket IS one
+    near-identical cluster (the case it exists for), but a template-
+    driven bucket whose interleaved true pairs fail the chain's verify
+    can under-link there; raise ``max_bucket`` or run
+    ``backbone="exact"`` over the affected partition when that matters.
+    ``backbone="exact"`` uses the all-pairs ngram_jaccard_pairs operator
+    (O(sum df_g^2) — verification-grade, small corpora only)."""
     import ray
     import ray.data
 
@@ -901,8 +975,13 @@ class SimHasher:
             out[i] = h
         return out
 
-    def simhash_batch(self, texts: list[str]) -> np.ndarray:
-        """Vectorized simhash per text -> uint64 array."""
+    def simhash_batch(self, texts: list[str]) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+        """Vectorized simhash per text -> (uint64 array, has-tokens
+        mask).  Callers must drop maskless docs from pairing: every
+        token-less doc (non-Latin-only, punctuation-only) hashes to 0,
+        and pairing them as hamming-0 dups would dedup unrelated
+        documents the minhash/exact backbones keep."""
         import pandas as pd
 
         toks_per_doc = [simple_tokenize(t) for t in texts]
@@ -911,7 +990,7 @@ class SimHasher:
         flat = [t for ts in toks_per_doc for t in ts]
         sims = np.zeros(len(texts), dtype=np.uint64)
         if not flat:
-            return sims
+            return sims, lens > 0
         codes, uniq = pd.factorize(np.asarray(flat, object))
         h = self._token_hashes(list(uniq))
         bits = ((h[:, None] >> self._SHIFTS[None, :]) &
@@ -924,14 +1003,15 @@ class SimHasher:
         acc = np.add.reduceat(contrib, starts, axis=0)  # (docs_with_toks, 64)
         bitvals = (acc > 0).astype(np.uint64) << self._SHIFTS[None, :]
         sims[nz] = bitvals.sum(axis=1, dtype=np.uint64)
-        return sims
+        return sims, lens > 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sims = self.simhash_batch(texts)
-        n = len(texts)
-        doc_ids = np.repeat(
-            batch.column("doc_id").to_numpy(zero_copy_only=False), 4)
+        sims, has_toks = self.simhash_batch(texts)
+        all_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sims = sims[has_toks]
+        n = len(sims)
+        doc_ids = np.repeat(all_ids[has_toks], 4)
         sims_rep = np.repeat(sims, 4)
         bands = np.tile(np.arange(4, dtype=np.int32), n)
         keys = ((sims_rep >> (16 * bands.astype(np.uint64)))
@@ -944,14 +1024,19 @@ class SimHasher:
         })
 
 
-def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                           max_bucket: int = 256):
     """Near-dup pairs by simhash Hamming distance, distributed end to
     end.  Returns a Dataset (a, b, hamming), a < b, deduped across bands.
 
     In-bucket work is vectorized (XOR matrix + popcount via bit_count);
-    16-bit band keys bound expected bucket size at corpus/65k per band —
-    at larger scale widen the band key (fewer, wider bands) or add a
-    second split key, same shape."""
+    16-bit band keys bound expected bucket size at corpus/65k per band.
+    A degenerate bucket past ``max_bucket`` (boilerplate template, hot
+    band key) switches from the O(n^2) matrix to chain-linking
+    consecutive records sorted by (simhash, id): identical simhashes —
+    the dominant degenerate content — stay transitively connected at
+    hamming 0 for a downstream components pass, while the task's memory
+    stays O(n), mirroring the minhash path's cap."""
     import pandas as pd
     import ray.data
 
@@ -959,21 +1044,35 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3):
                                columns=["doc_id", "text"])
     rows = ds.map_batches(simhash_rows, batch_format="pyarrow")
 
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        if hasattr(np, "bitwise_count"):
+            return np.bitwise_count(x)
+        return np.unpackbits(
+            x.view(np.uint8).reshape(*x.shape, 8), axis=-1).sum(axis=-1)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g["doc_id"], g["simhash"])))
+        recs = sorted(set(zip(g["simhash"], g["doc_id"])))
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
         if len(recs) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        ids = np.array([r[0] for r in recs], dtype=np.int64)
-        sh = np.array([r[1] for r in recs], dtype=np.int64).view(np.uint64)
+            return empty
+        ids = np.array([r[1] for r in recs], dtype=np.int64)
+        sh = np.array([r[0] for r in recs], dtype=np.int64).view(np.uint64)
+        if len(recs) > max_bucket:
+            ham = _popcount(sh[1:] ^ sh[:-1])
+            m = ham <= max_hamming
+            a = np.minimum(ids[:-1][m], ids[1:][m])
+            b = np.maximum(ids[:-1][m], ids[1:][m])
+            return pd.DataFrame({"a": a, "b": b,
+                                 "hamming": ham[m].astype(np.int64)})
         x = sh[:, None] ^ sh[None, :]
-        ham = np.bitwise_count(x) if hasattr(np, "bitwise_count") else (
-            np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
-                          axis=2).sum(axis=2))
+        ham = _popcount(x)
         iu = np.triu_indices(len(ids), k=1)
         m = ham[iu] <= max_hamming
-        return pd.DataFrame({"a": ids[iu[0][m]], "b": ids[iu[1][m]],
+        a = np.minimum(ids[iu[0][m]], ids[iu[1][m]])
+        b = np.maximum(ids[iu[0][m]], ids[iu[1][m]])
+        return pd.DataFrame({"a": a, "b": b,
                              "hamming": ham[iu][m].astype(np.int64)})
 
     from search_engine_ray.ops.shuffle import grouped_apply

@@ -44,6 +44,25 @@ def _merge_topk(parts, value_col: str, ascending: bool, k: int) -> pa.Table:
         value_col: pa.array(rows[value_col], pa.float64())})
 
 
+def _topk_ties_by_id(values: np.ndarray, ids: np.ndarray, kk: int,
+                     ascending: bool) -> np.ndarray:
+    """Indices of the ``kk`` best values with boundary ties resolved by
+    smallest id — the same (value, vec_id) rank _merge_topk applies, so
+    a per-batch partial can never drop a row the global top-k needs
+    (plain argpartition keeps an ARBITRARY subset of equal values, which
+    matters exactly when embeddings are duplicated)."""
+    if kk >= len(values):
+        return np.arange(len(values))
+    key = values if ascending else -values
+    part = np.argpartition(key, kk - 1)[:kk]
+    thresh = key[part].max()  # worst kept value
+    strict = np.flatnonzero(key < thresh)
+    ties = np.flatnonzero(key == thresh)
+    need = kk - len(strict)
+    ties = ties[np.argsort(ids[ties], kind="stable")[:need]]
+    return np.concatenate([strict, ties])
+
+
 def knn_brute(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
     """Exact cosine top-k per query vector; returns
     (query_id, rank, vec_id, cosine) with rank 1..k by (cos desc, vec_id).
@@ -76,8 +95,8 @@ def knn_brute(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
         kk = min(k, len(ids))
         for j, qid in enumerate(qids_):
             col = C[:, j]
-            top = np.argpartition(-col, kk - 1)[:kk]
-            out_q.extend([qid] * kk)
+            top = _topk_ties_by_id(col, ids, kk, ascending=False)
+            out_q.extend([qid] * len(top))
             out_v.extend(ids[top].tolist())
             out_c.extend(col[top].tolist())
         return pa.table({
@@ -171,10 +190,11 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
             if not m.any():
                 continue
             cos = En[m] @ Qn_[j]
+            mids = ids[m]
             kk = min(k, len(cos))
-            top = np.argpartition(-cos, kk - 1)[:kk]
-            out_q.extend([qid] * kk)
-            out_v.extend(ids[m][top].tolist())
+            top = _topk_ties_by_id(cos, mids, kk, ascending=False)
+            out_q.extend([qid] * len(top))
+            out_v.extend(mids[top].tolist())
             out_c.extend(cos[top].tolist())
         return pa.table({
             "query_id": pa.array(out_q, pa.int64()),
@@ -484,9 +504,10 @@ def knn_pq(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
         out_q, out_v, out_d = [], [], []
         kk = min(rerank * k, n)
         for j, qid in enumerate(qids_):
-            short = np.argpartition(A[:, j], kk - 1)[:kk]
+            short = _topk_ties_by_id(A[:, j], ids, kk, ascending=True)
             exact = ((E[short] - Q_[j]) ** 2).sum(-1)
-            top = short[np.argpartition(exact, min(k, kk) - 1)[:k]] \
+            top = short[_topk_ties_by_id(exact, ids[short], min(k, kk),
+                                         ascending=True)] \
                 if kk > k else short
             out_q.extend([qid] * len(top))
             out_v.extend(ids[top].tolist())

@@ -54,11 +54,13 @@ def _kept_ids(sf_dir: str):
         _ids_only(source_mix_sample(sf_dir)),
     ]
     tagged = sets[0].union(*sets[1:])
+    n_rules = len(sets)  # threshold derives from the list, not a constant
+    assert n_rules == N_KEEP_RULES, "update N_KEEP_RULES (docs reference it)"
 
     def keep_if_all(g: pd.DataFrame) -> pd.DataFrame:
         cnt = g.groupby("doc_id", sort=False).size()
         return pd.DataFrame({
-            "doc_id": cnt[cnt >= N_KEEP_RULES].index.to_numpy(np.int64)})
+            "doc_id": cnt[cnt >= n_rules].index.to_numpy(np.int64)})
 
     return bucketed_apply(tagged, ["doc_id"], keep_if_all)
 

@@ -297,9 +297,10 @@ def test_simhash_vectorized_matches_reference_loop():
         return int((np.left_shift((acc > 0).astype(np.uint64),
                                   shifts)).sum(dtype=np.uint64))
 
-    got = SimHasher().simhash_batch(texts)
+    got, has_toks = SimHasher().simhash_batch(texts)
     want = [simhash_loop(t) for t in texts]
     assert [int(x) for x in got] == want
+    assert has_toks.tolist() == [True, True, True, False, True]
 
 
 def test_multimodal_real_decode_wav_ppm(ray_session):
@@ -975,3 +976,87 @@ def test_embedding_pca_matches_numpy(ray_session):
     assert err < 1e-3
     # and it is a real component: projections are not all equal
     assert got.std() > 1e-3
+
+
+def _write_docs(d, ids, texts):
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+
+def test_simhash_tokenless_docs_never_pair(ray_session, tmp_path):
+    """Token-less docs (non-Latin/punctuation-only) all simhash to 0;
+    they must NOT be emitted as hamming-0 dup pairs (regression: they
+    collided in every band and deduped unrelated documents)."""
+    from search_engine_ray.ops.dedup import simhash_near_dup_pairs
+
+    _write_docs(tmp_path, [1, 2, 3, 4],
+                ["!!!", "???", "...", "alpha beta gamma delta"])
+    pairs = simhash_near_dup_pairs(str(tmp_path)).to_pandas()
+    assert len(pairs) == 0
+
+
+def test_simhash_degenerate_bucket_chain_links(ray_session, tmp_path):
+    """A bucket past max_bucket switches to chain-linking: identical
+    docs stay transitively connected at hamming 0 while the pair count
+    stays O(n), not O(n^2)."""
+    from search_engine_ray.ops.dedup import simhash_near_dup_pairs
+
+    n = 40
+    _write_docs(tmp_path, list(range(n)),
+                ["identical boilerplate text here"] * n)
+    pairs = simhash_near_dup_pairs(str(tmp_path),
+                                   max_bucket=8).to_pandas()
+    assert (pairs["hamming"] == 0).all()
+    # chain connectivity: union-find over the pairs links all n docs
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(n)}) == 1
+    # O(n) pairs, not O(n^2): 4 bands x (n-1) consecutive links max
+    assert len(pairs) <= 4 * (n - 1)
+
+
+def test_knn_tie_break_keeps_smallest_vec_ids(ray_session, tmp_path):
+    """Duplicate embeddings: partial top-k must keep the smallest
+    vec_ids among equal cosines (regression: argpartition kept an
+    arbitrary subset of the tied candidates)."""
+    from search_engine_ray.ops.similarity import knn_brute
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    # 30 identical vectors (ids 0..29) + 10 distinct others
+    embs = [base.copy() for _ in range(30)] + \
+        [rng.normal(size=8) for _ in range(10)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(40)), pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in embs],
+                              pa.list_(pa.float64())),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = knn_brute(str(tmp_path), query_vec_ids=(0,), k=10).to_pandas()
+    # all 30 dups have cosine 1.0 with the query; ranks 1..10 must be
+    # vec_ids 0..9 exactly
+    assert out["vec_id"].tolist() == list(range(10))
+
+
+def test_topk_ties_by_id_unit():
+    from search_engine_ray.ops.similarity import _topk_ties_by_id
+
+    vals = np.array([0.5, 0.9, 0.9, 0.9, 0.1])
+    ids = np.array([50, 40, 30, 20, 10])
+    top = _topk_ties_by_id(vals, ids, 2, ascending=False)
+    assert sorted(ids[top].tolist()) == [20, 30]  # ties -> smallest ids
+    top = _topk_ties_by_id(vals, ids, 2, ascending=True)
+    assert sorted(ids[top].tolist()) == [10, 50]
+    assert len(_topk_ties_by_id(vals, ids, 9, ascending=True)) == 5
