@@ -19,6 +19,16 @@ import pyarrow as pa
 from search_engine_ray.ops.rounding import e4_halfaway
 
 
+def _empty_window_partial() -> pa.Table:
+    """Typed empty window-aggregate partial — a frame built from plain
+    [] lists carries float64 dtypes (event_type double vs string) and
+    poisons Ray's schema unification when a block is empty."""
+    return pa.table({"event_type": pa.array([], pa.string()),
+                     "window_start_s": pa.array([], pa.int64()),
+                     "n_part": pa.array([], pa.int64()),
+                     "sum_part": pa.array([], pa.float64())})
+
+
 def tumbling_window_agg(sf_dir: str, window_s: int = 3600):
     """Per (event_type, hour-bucket): count + sum(value).  Pre-aggregated
     inside map_batches before the groupby (partial combine).
@@ -27,6 +37,8 @@ def tumbling_window_agg(sf_dir: str, window_s: int = 3600):
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # typed empty: [] lists decay to float64
+            return _empty_window_partial()
         ts = batch.column("ts").cast(pa.int64()).to_numpy()  # us
         win = (ts // (window_s * 1_000_000)) * window_s  # epoch seconds
         df = pd.DataFrame({
@@ -66,6 +78,8 @@ def hopping_window_agg(sf_dir: str, window_s: int = 3600,
     k = -(-window_s // hop_s)
 
     def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_window_partial()
         ts = batch.column("ts").cast(pa.int64()).to_numpy() // 1_000_000
         # window starts: floor(ts/hop)*hop - i*hop for i in 0..k-1, kept
         # when ts < start + window_s
@@ -323,24 +337,44 @@ class JsonFieldStats:
         import re
 
         self.field = field
-        self.pat = re.compile(
-            r'"%s"\s*:\s*(-?\d+)(?=\s*[,}])' % re.escape(field))
+        # strict flat-object validator: scalar values only, no escapes,
+        # no nesting/arrays — anything it rejects takes json.loads
+        scalar = (r'(?:-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][-+]?\d+)?'
+                  r'|"[^"\\]*"|true|false|null)')
+        member = r'"[^"\\]*"\s*:\s*' + scalar
+        self.flat = re.compile(
+            r'\s*\{\s*(?:%s(?:\s*,\s*%s)*\s*)?\}\s*\Z' % (member, member))
+        self.val = re.compile(r'"%s"\s*:\s*(%s)'
+                              % (re.escape(field), scalar))
         self.loads = json.loads
 
+    @staticmethod
+    def _coerce(v) -> int | None:
+        # bool is an int subclass: json.loads gives True -> 1, matching
+        # a SQL CAST of json true — both paths apply the same rule
+        return int(v) if isinstance(v, (int, float)) else None
+
     def _extract(self, s: str) -> int | None:
-        # regex fast path ONLY for provably-flat objects: with no
-        # backslash, no quoted string can contain a '"' char, and with
-        # a single '{' there is no nested object — so every `"field":`
-        # occurrence is a real top-level key and the regex agrees with
-        # json.loads / SQL json_extract('$.field').  Anything else
-        # (nesting, escapes, arrays) takes the exact parse.
-        if "\\" not in s and s.count("{") == 1:
-            m = self.pat.search(s)
-            if m:
-                return int(m.group(1))
+        # regex fast path ONLY for strings the flat-object validator
+        # PROVES are valid flat JSON (the old precondition accepted
+        # malformed strings like '{"k": 5,}' that json.loads — and SQL
+        # json_extract — reject); the LAST occurrence wins, matching
+        # json.loads duplicate-key semantics.
+        if "\\" not in s and self.flat.match(s):
+            ms = self.val.findall(s)
+            if not ms:
+                return None
+            v = ms[-1]
+            if v == "true":
+                return 1
+            if v == "false":
+                return 0
+            if v == "null" or v.startswith('"'):
+                return None
+            return self._coerce(float(v) if ("." in v or "e" in v
+                                             or "E" in v) else int(v))
         try:
-            v = self.loads(s).get(self.field)
-            return int(v) if isinstance(v, (int, float)) else None
+            return self._coerce(self.loads(s).get(self.field))
         except (ValueError, AttributeError):
             return None
 

@@ -27,12 +27,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
-
-
-def _two_sided(sf_dir: str, left_type: str, right_type: str):
+def _two_sided(sf_dir: str, left_type: str, right_type: str,
+               with_value: bool = False):
     """One pruned read of `events`, filtered to the two sides with a
-    `side` tag (0 = right/build, 1 = left/probe) added vectorized."""
+    `side` tag (0 = right/build, 1 = left/probe) added vectorized.
+    ``value`` is read and shuffled only when the join consumes it
+    (asof's build side) — the range join never touches it, and dragging
+    a dead float64 column through the groupby doubles nothing but
+    shuffle volume."""
     import ray.data
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -45,8 +47,11 @@ def _two_sided(sf_dir: str, left_type: str, right_type: str):
         return (batch.drop_columns(["event_type"])
                      .append_column("side", side))
 
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    if with_value:
+        cols.append("value")
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=_COLS)
+                               columns=cols)
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
@@ -97,15 +102,15 @@ def asof_join_last_value(sf_dir: str, left_type: str = "click",
         # matched value exported as a 1e-4-scaled round-half-away integer
         # (canonical hash on both sides, the q_tumbling convention);
         # sentinel -1 only where UNMATCHED — gated on found, not sign
-        e4 = np.where(lv >= 0, np.floor(lv * 10000 + 0.5),
-                      -np.floor(-lv * 10000 + 0.5))
-        lv_e4 = np.where(found, e4, -1).astype(np.int64)
+        from search_engine_ray.ops.rounding import e4_halfaway
+
+        lv_e4 = np.where(found, e4_halfaway(lv), -1).astype(np.int64)
         lts = np.where(found, lts, -1)
         return pd.DataFrame({
             "event_id": le, "user_id": g["user_id"].iloc[0],
             "ts_us": lt, "last_value_e4": lv_e4, "last_ts_us": lts})
 
-    ds = _two_sided(sf_dir, left_type, right_type)
+    ds = _two_sided(sf_dir, left_type, right_type, with_value=True)
     from search_engine_ray.ops.shuffle import grouped_apply
 
     return grouped_apply(ds, ["user_id"], per_user)

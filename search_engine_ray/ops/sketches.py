@@ -60,7 +60,6 @@ def heavy_hitters(sf_dir: str, min_count: int = 50,
     """
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     path = os.path.join(sf_dir, "documents.parquet")
 
@@ -348,22 +347,17 @@ def bloom_doc_membership(sf_dir: str, n_absent: int = 200):
     Returns one row per probe class: (probe_kind, n_probes, n_hits).
     Gated by a no-false-negative + FPR-bound unit, not SQL (the filter
     is probabilistic by design)."""
-    import hashlib as _h
-
+    import ray
     import ray.data
 
     from search_engine_ray.ops.shuffle import bucketed_sum
+    from search_engine_ray.ops.textstats import md5_fp64
 
     path = os.path.join(sf_dir, "documents.parquet")
 
-    def _fp(texts: list) -> np.ndarray:
-        return np.array(
-            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
-                            "little") for t in texts], dtype=np.uint64)
-
     def bit_rows(batch: pa.Table) -> pa.Table:
         pos = np.unique(_bloom_positions(
-            _fp(batch.column("text").to_pylist())))
+            md5_fp64(batch.column("text").to_pylist())))
         return pa.table({
             "pos": pa.array(pos, pa.int64()),
             "one": pa.array(np.ones(len(pos), dtype=np.int64))})
@@ -375,19 +369,30 @@ def bloom_doc_membership(sf_dir: str, n_absent: int = 200):
     filt = np.zeros(_BLOOM_M, dtype=bool)
     filt[bits_t["pos"].to_numpy(dtype=np.int64)] = True
 
-    import pyarrow.parquet as pq_
-
-    present = _fp(pq_.read_table(path, columns=["text"])
-                  .column("text").to_pylist())
-    absent = _fp([f"synthetic absent probe #{i}"
-                  for i in range(n_absent)])
-
-    def hits(fps: np.ndarray) -> int:
+    def hits(f: np.ndarray, fps: np.ndarray) -> int:
         if not len(fps):
             return 0
-        return int(filt[_bloom_positions(fps)].all(axis=1).sum())
+        return int(f[_bloom_positions(fps)].all(axis=1).sum())
+
+    # present probes run DISTRIBUTED over the same pruned read with the
+    # filter broadcast once — a driver-side read of the text column
+    # would materialize the whole corpus in one process
+    filt_ref = ray.put(filt)
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        fps = md5_fp64(batch.column("text").to_pylist())
+        h = hits(ray.get(filt_ref), fps)
+        return pa.table({"n": pa.array([len(fps)], pa.int64()),
+                         "h": pa.array([h], pa.int64())})
+
+    agg = (ray.data.read_parquet(path, columns=["text"])
+           .map_batches(probe_rows, batch_format="pyarrow").to_pandas())
+    n_present, present_hits = int(agg["n"].sum()), int(agg["h"].sum())
+    absent = md5_fp64([f"synthetic absent probe #{i}"
+                       for i in range(n_absent)])
 
     return pa.table({
         "probe_kind": pa.array(["present", "absent"], pa.string()),
-        "n_probes": pa.array([len(present), len(absent)], pa.int64()),
-        "n_hits": pa.array([hits(present), hits(absent)], pa.int64())})
+        "n_probes": pa.array([n_present, len(absent)], pa.int64()),
+        "n_hits": pa.array([present_hits, hits(filt, absent)],
+                           pa.int64())})

@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from search_engine_ray.ops.rounding import e4_halfaway
 from search_engine_ray.text.stopwords import NLTK_ENGLISH_STOPWORDS
 from search_engine_ray.text.tokenizer import simple_tokenize
 
@@ -160,6 +161,20 @@ def winnow_fingerprints(batch: pa.Table) -> pa.Table:
     })
 
 
+def md5_fp64(texts: "list[str]") -> np.ndarray:
+    """Upper-8-bytes-little-endian md5 content fingerprint per text, as
+    uint64 — THE deterministic sampling/probe key every mod-residue and
+    priority sampler (and their SQL oracle mirrors) rank on.  Single
+    point of truth: six ops used to carry private copies; a digest-slice
+    or endianness drift in one would silently break cross-op and
+    Ray-vs-SQL consistency."""
+    import hashlib as _h
+
+    return np.array(
+        [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:], "little")
+         for t in texts], dtype=np.uint64)
+
+
 def fingerprint64(batch: pa.Table) -> pa.Table:
     """64-bit blake2 content fingerprint per doc (exact-dup key)."""
     texts = batch.column("text").to_pylist()
@@ -178,7 +193,6 @@ def term_df_simple(sf_dir: str):
     aggregation expressed SQL-checkably.  Pre-aggregates per batch before
     the groupby (partial combine), as at scale."""
     import ray.data
-    from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -215,7 +229,8 @@ def token_count_total(sf_dir: str):
                                columns=["doc_id", "text"])
     stats = ds.map_batches(doc_token_stats, batch_format="pyarrow")
     total = stats.aggregate(Sum("n_tokens"))
-    val = int(next(iter(total.values())))
+    # Dataset.aggregate returns None for an empty dataset
+    val = int(next(iter(total.values()))) if total else 0
     return pa.table({"total_tokens": pa.array([val], pa.int64())})
 
 
@@ -235,7 +250,6 @@ def top_terms_per_lang(sf_dir: str, k: int = 10):
     Tie-break (n desc, term asc); rank 1 = most frequent."""
     import pandas as pd
     import ray.data
-    from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -279,10 +293,7 @@ def sample_mod(sf_dir: str, pct: int = 10):
 
     def pick(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        keep = np.array(
-            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
-                            "little") % 100 < pct for t in texts],
-            dtype=bool)
+        keep = (md5_fp64(texts) % np.uint64(100)) < pct
         return batch.select(["doc_id"]).filter(pa.array(keep))
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -346,6 +357,12 @@ class PiiScanner:
         return text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # typed empty: [] lists decay to float64
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "ne": pa.array([], pa.int64()),
+                             "ni": pa.array([], pa.int64()),
+                             "hit": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
         if self.augment:
@@ -572,6 +589,13 @@ def contamination_check(sf_dir: str, n: int = 4, mod: int = 97,
                 rows["lang"].append(lang)
                 rows["c"].append(int(hit))
                 rows["one"].append(1)
+            if not rows["lang"]:
+                # typed empty frame: plain [] lists carry float64 dtypes
+                # and an all-benchmark block would poison Ray's schema
+                # unification (lang double vs string)
+                return pa.table({"lang": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64()),
+                                 "one": pa.array([], pa.int64())})
             g = pd.DataFrame(rows).groupby("lang", sort=False).agg(
                 c=("c", "sum"), one=("one", "sum")).reset_index()
             return pa.Table.from_pandas(g, preserve_index=False)
@@ -652,11 +676,9 @@ def source_mix_sample(sf_dir: str):
     def pick(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         srcs = batch.column("source").to_pylist()
-        keep = np.array(
-            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
-                            "little") % 100
-             < MIX_WEIGHTS.get(s, MIX_DEFAULT)
-             for t, s in zip(texts, srcs)], dtype=bool)
+        thresh = np.array([MIX_WEIGHTS.get(s, MIX_DEFAULT) for s in srcs],
+                          dtype=np.uint64)
+        keep = (md5_fp64(texts) % np.uint64(100)) < thresh
         return batch.select(["doc_id", "source"]).filter(pa.array(keep))
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -681,7 +703,6 @@ def packing_plan(sf_dir: str, chunk_tokens: int = 512,
     further if ever needed."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     path = os.path.join(sf_dir, "documents.parquet")
 
@@ -764,10 +785,7 @@ def stratified_sample_k(sf_dir: str, k: int = 20):
     def partial(batch: pa.Table) -> pa.Table:
         srcs = np.asarray(batch.column("source").to_pylist(), dtype=object)
         ids = batch.column("doc_id").to_numpy()
-        hs = np.array(
-            [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:],
-                            "little")
-             for t in batch.column("text").to_pylist()], dtype=np.uint64)
+        hs = md5_fp64(batch.column("text").to_pylist())
         df = pd.DataFrame({"source": srcs, "doc_id": ids, "h": hs})
         df = (df.sort_values(["source", "h", "doc_id"])
                 .groupby("source", sort=False).head(k))
@@ -792,7 +810,6 @@ def corpus_freq_doc_score(sf_dir: str, vocab_k: int = 512):
     value-hash is exact.  Low n_invocab/n_tokens ≈ high surprisal."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     path = os.path.join(sf_dir, "documents.parquet")
 
@@ -1049,7 +1066,7 @@ def token_entropy_scores(sf_dir: str):
             _, cnt = np.unique(ts, return_counts=True)
             p = cnt / n
             e = float(-(p * np.log2(p)).sum())
-            ent.append(int(np.sign(e) * np.floor(abs(e) * 1e4 + 0.5)))
+            ent.append(int(e4_halfaway(np.array([e]))[0]))
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n_tok, pa.int64()),
@@ -1495,10 +1512,7 @@ def token_budget_mix(sf_dir: str):
         ids = batch.column("doc_id").to_numpy()
         srcs = batch.column("source").to_pylist()
         texts = batch.column("text").to_pylist()
-        h = np.array(
-            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
-                            "little") % _MOD for t in texts],
-            dtype=np.int64)
+        h = (md5_fp64(texts) % np.uint64(_MOD)).astype(np.int64)
         nt = np.array([len(simple_tokenize(t)) for t in texts],
                       dtype=np.int64)
         return pa.table({
@@ -1668,11 +1682,8 @@ def weighted_sample_topk(sf_dir: str, k: int = 50):
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
         w = batch.column("n_chars").to_numpy().astype(np.float64)
-        u = (np.array(
-            [int.from_bytes(_h.md5(t.encode("utf-8")).digest()[8:],
-                            "little") % _MOD
-             for t in batch.column("text").to_pylist()],
-            dtype=np.float64) + 1.0) / (_MOD + 1.0)
+        u = ((md5_fp64(batch.column("text").to_pylist())
+              % np.uint64(_MOD)).astype(np.float64) + 1.0) / (_MOD + 1.0)
         # clamp zero-char docs to weight 1 in the KEY only (output keeps
         # the real n_chars): ln(u)/0 is a divide-by-zero whose
         # -inf/RuntimeWarning behavior differs from the SQL mirror's

@@ -630,3 +630,42 @@ def test_grouped_quantiles_distributed_selection(ray_session, tmp_path):
     assert got["n"].tolist() == want["n"].tolist()
     for c in ("p25", "p50", "p75", "p95"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_json_fast_path_matches_loads_exactly():
+    """The regex fast path must agree with json.loads byte-for-byte:
+    duplicate keys (last wins), malformed JSON (rejected), bool/null/
+    float coercions, leading-zero numbers, escapes (regression: the old
+    precondition accepted '{\"k\": 5,}' and returned the FIRST duplicate
+    key)."""
+    import json
+    import random
+
+    from search_engine_ray.ops.events import JsonFieldStats
+
+    j = JsonFieldStats("k")
+
+    def ref(s):
+        try:
+            v = json.loads(s).get("k")
+            return int(v) if isinstance(v, (int, float)) else None
+        except (ValueError, AttributeError):
+            return None
+
+    cases = [
+        '{"k": 1, "k": 2}', '{"a": {}, "k": 1, "k": 2}', '{"k": 5,}',
+        '{"k": 5}', '{"k": -7, "x": "y"}', '{"x": 1}', '{}',
+        '{"k": 1.9}', '{"k": "str"}', '{"k": true}', '{"k": false}',
+        '{"k": null}', '{"k": 2e3}', 'not json', '{"k": [1,2]}',
+        '{"a": "has \\" quote", "k": 3}', '{"k": 1e-2}', '  {"k": 9} ',
+        '{"k":9}{"k":10}', '{"k": 0099}', '{"k": -0}', '{"k": 00}',
+        '{"k": 1.}', '{"k": .5}', '{"k": +5}',
+    ]
+    rng = random.Random(0)
+    frag = ['{', '}', '"k"', ':', ',', '5', '-3', '1.5', 'true', '"x"',
+            ' ', '[', ']', '"k": 7']
+    cases += ["".join(rng.choice(frag)
+                      for _ in range(rng.randint(1, 12)))
+              for _ in range(2000)]
+    for s in cases:
+        assert j._extract(s) == ref(s), repr(s)
