@@ -38,9 +38,16 @@ def documents_to_pages_parquet(sf_dir: str, out_path: str) -> str:
     """Materialize the adapted pages table once (streaming, no driver
     materialization); returns the output dir."""
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
+    # fresh output dir: a rerun that takes a different path (fast vs
+    # distributed) would otherwise leave the previous run's part files
+    # mixed in, and the downstream index would silently read two
+    # snapshots
+    if os.path.isdir(out_path):
+        shutil.rmtree(out_path)
     os.makedirs(out_path, exist_ok=True)
     doc_path = os.path.join(sf_dir, "documents.parquet")
     md = pq.ParquetFile(doc_path).metadata

@@ -123,33 +123,35 @@ def snapshot_diff(sf_dir: str):
     def _h(t: str) -> str:
         return hashlib.md5(t.encode("utf-8")).hexdigest()
 
-    def old_side(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        hs = [_h(t) for t in batch.column("text").to_pylist()]
-        return pa.table({
-            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-            "h": pa.array(hs, pa.string()),
-            "side": pa.array(np.zeros(len(ids), dtype=np.int8))})
-
-    def new_side(batch: pa.Table) -> pa.Table:
+    def both_sides(batch: pa.Table) -> pa.Table:
+        """ONE scan emits the old snapshot's rows AND the synthetic new
+        snapshot's: each doc's text is md5'd once and the digest reused
+        on every side that carries it unchanged (two separate branch
+        scans would read the parquet and hash every unedited doc
+        twice)."""
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
         texts = batch.column("text").to_pylist()
-        out_id, out_h = [], []
+        out_id, out_h, out_side = [], [], []
         for i, t in zip(ids, texts):
+            h = _h(t)
+            out_id.append(int(i))
+            out_h.append(h)
+            out_side.append(0)
             if i % 13 != 0:
                 out_id.append(int(i))
-                out_h.append(_h(t + " v2" if i % 7 == 0 else t))
+                out_h.append(_h(t + " v2") if i % 7 == 0 else h)
+                out_side.append(1)
             if i % 11 == 0:
                 out_id.append(int(i) + 1_000_000)
-                out_h.append(_h(t))
+                out_h.append(h)
+                out_side.append(1)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "h": pa.array(out_h, pa.string()),
-            "side": pa.array(np.ones(len(out_id), dtype=np.int8))})
+            "side": pa.array(np.array(out_side, dtype=np.int8))})
 
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
-    union = (ds.map_batches(old_side, batch_format="pyarrow")
-             .union(ds.map_batches(new_side, batch_format="pyarrow")))
+    union = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+             .map_batches(both_sides, batch_format="pyarrow"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = g.loc[g["side"] == 0, ["doc_id", "h"]]
@@ -185,9 +187,9 @@ def compact_parquet(src_dir: str, dst_dir: str,
     import pyarrow.dataset as pads
     import ray.data
 
+    # '**' with recursive=True also matches top-level files
     files_in = glob.glob(os.path.join(src_dir, "**", "*.parquet"),
-                         recursive=True) or glob.glob(
-        os.path.join(src_dir, "*.parquet"))
+                         recursive=True)
     # ONE dataset over the whole file list: footer-metadata count with
     # batched IO, not a per-file discovery loop on the driver
     n_rows = pads.dataset(files_in).count_rows()

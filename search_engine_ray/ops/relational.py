@@ -34,7 +34,10 @@ def _ts_us(date: str) -> int:
     return int(d.timestamp()) * _US
 
 
-from search_engine_ray.ops.rounding import e4_halfaway as _e4_halfaway  # noqa: E402
+from search_engine_ray.ops.rounding import (  # noqa: E402
+    e2_halfaway as _e2_halfaway,
+    e4_halfaway as _e4_halfaway,
+)
 
 
 def _join_partitions() -> int:
@@ -568,6 +571,12 @@ def late_order_priority_counts(sf_dir: str, grace_days: int = 60):
             "side": pa.array(np.zeros(n, dtype=np.int8))})
 
     def lprep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # ok[starts] IndexErrors on empty blocks
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "prio": pa.array([], pa.string()),
+                "side": pa.array([], pa.int8())})
         ok = batch.column("l_orderkey").to_numpy()
         ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
         order = np.lexsort((ts, ok))
@@ -865,8 +874,7 @@ def revenue_delta(sf_dir: str, dstart: str = "1996-01-01",
     def partials(batch: pa.Table) -> pa.Table:
         ts = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
         disc = batch.column("l_discount").to_numpy()
-        disc_e2 = (np.sign(disc)
-                   * np.floor(np.abs(disc) * 100 + 0.5)).astype(np.int64)
+        disc_e2 = _e2_halfaway(disc)
         qty = batch.column("l_quantity").to_numpy()
         keep = ((ts >= lo) & (ts < hi)
                 & (disc_e2 >= disc_lo) & (disc_e2 <= disc_hi)
@@ -924,7 +932,16 @@ def top_supplier(sf_dir: str, dstart: str = "1996-01-01",
                      "l_discount"])
         .map_batches(lprep, batch_format="pyarrow"),
         ["s_suppkey"], ["rev"], rename={"rev": "total_revenue_e4"})
+    # pin the reduced per-supplier table: it is consumed twice (max +
+    # filter) and without materialize() each consumption re-runs the
+    # whole lineitem scan + shuffle
+    rev = rev.materialize()
     mx = rev.max("total_revenue_e4")  # ONE scalar to the driver
+    if mx is None:  # window matched zero lineitems
+        return pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_e4": pa.array([], pa.int64())})
     winners = rev.filter(
         expr=f"total_revenue_e4 == {int(mx)}").to_pandas()  # O(ties) rows
 
@@ -1033,9 +1050,7 @@ def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
     cut = _ts_us(since)
 
     def bal_partials(batch: pa.Table) -> pa.Table:
-        bal_e2 = (np.sign(batch.column("c_acctbal").to_numpy())
-                  * np.floor(np.abs(batch.column("c_acctbal").to_numpy())
-                             * 100 + 0.5)).astype(np.int64)
+        bal_e2 = _e2_halfaway(batch.column("c_acctbal").to_numpy())
         pos = bal_e2 > 0
         return pa.table({
             "k": pa.array(np.zeros(1, dtype=np.int64)),
@@ -1053,8 +1068,7 @@ def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
 
     def cprep(batch: pa.Table) -> pa.Table:
         bal = batch.column("c_acctbal").to_numpy()
-        bal_e2 = (np.sign(bal)
-                  * np.floor(np.abs(bal) * 100 + 0.5)).astype(np.int64)
+        bal_e2 = _e2_halfaway(bal)
         keep = bal_e2 * cnt > s_e2
         sub = batch.filter(pa.array(keep))
         n = sub.num_rows

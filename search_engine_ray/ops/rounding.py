@@ -14,3 +14,8 @@ import numpy as np
 def e4_halfaway(x: np.ndarray) -> np.ndarray:
     """round(x * 1e4) half-away-from-zero, as int64 — DuckDB parity."""
     return (np.sign(x) * np.floor(np.abs(x) * 10000 + 0.5)).astype(np.int64)
+
+
+def e2_halfaway(x: np.ndarray) -> np.ndarray:
+    """round(x * 1e2) half-away-from-zero, as int64 — DuckDB parity."""
+    return (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)).astype(np.int64)

@@ -33,17 +33,19 @@ def search_many(dist_engine, queries: list[str], k: int = 10,
     """All queries x all shard actors submitted before any result is
     awaited; returns (query_id, rank, doc_id, score, warc_ts) with rank 1
     = best."""
-    parsed = []
     futures = []
     for qi, qtext in enumerate(queries):
         q, _, _ = dist_engine.parser.parse_sentence(qtext)
-        parsed.append(q)
         if not q:
             futures.append(None)
             continue
-        df_small = {t: dist_engine.df_map[t] for t in set(q)
-                    if t in dist_engine.df_map}
-        futures.append([a.search_local.remote(q, k, mode, df_small)
+        # ship BOTH small maps, exactly like DistributedSearchEngine.
+        # search — omitting caps_orig makes _postings keep every
+        # capitals-collision variant's rows (not just the global
+        # winner's) AND poisons the actor's _pcache for later queries
+        df_small, orig_small = dist_engine._ship_maps(q)
+        futures.append([a.search_local.remote(q, k, mode, df_small,
+                                              orig_small)
                         for a in dist_engine.actors])
     rows = {"query_id": [], "rank": [], "doc_id": [], "score": [],
             "warc_ts": []}
@@ -134,6 +136,13 @@ class BatchQueryPool:
                 "text": pa.array([queries[i] for i in qids], pa.string()),
             })
             futures.append(self.actors[w].__call__.remote(batch))
+        if not futures:  # empty query list -> typed empty result
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "warc_ts": pa.array([], pa.int64())})
         return pa.concat_tables(ray.get(futures))
 
     def shutdown(self) -> None:

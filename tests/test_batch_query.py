@@ -79,3 +79,18 @@ def test_pool_workers_share_driver_warmed_sidecar(built_index):
     pool.shutdown()
     assert t.num_rows > 0
     assert os.path.getmtime(ids_p) == mtime  # workers reused, not rebuilt
+
+
+def test_pool_empty_query_list(built_index):
+    """BatchQueryPool.run([]) returns a typed empty table instead of
+    crashing in pa.concat_tables (regression)."""
+    from search_engine_ray.query.batch import BatchQueryPool
+
+    pool = BatchQueryPool(built_index[0], num_workers=2, k=3)
+    try:
+        out = pool.run([])
+        assert out.num_rows == 0
+        assert out.schema.names == ["query_id", "rank", "doc_id",
+                                    "score", "warc_ts"]
+    finally:
+        pool.shutdown()
