@@ -22,7 +22,11 @@ from search_engine_ray.ops.rounding import e4_halfaway
 def _read_embeddings(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # every consumer needs only (vec_id, embedding); label_centroid_sums
+    # does its own pruned read with `label` — keep the shared scan pruned
+    # so extra columns on a real embeddings table never leave storage
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
 
 
 def _merge_topk(parts, value_col: str, ascending: bool, k: int) -> pa.Table:
