@@ -117,9 +117,13 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     """All frames of a GIF as (h, w, 4) uint8 RGBA arrays on the logical
     screen, with 89a disposal/transparency composited the way browsers
     render animations."""
+    from search_engine_ray.ops.limits import check_pixels
+
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    check_pixels(sw * sh, "GIF screen")
+    total_px = 0
     off = 13
     gct = None
     if packed & 0x80:
@@ -149,6 +153,11 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         il, it, iw, ih, ip = struct.unpack_from("<HHHHB", payload, off)
         off += 9
+        # frames composite onto sw*sh canvas copies, so the appended
+        # list — not just one frame — must stay under the decode cap
+        check_pixels(iw * ih, "GIF frame")
+        total_px += sw * sh
+        check_pixels(total_px, "GIF animation (cumulative frames)")
         table = gct
         if ip & 0x80:
             n = 2 << (ip & 0x07)

@@ -182,6 +182,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            from search_engine_ray.ops.limits import check_pixels
+
+            # per-component planes allocate (bh*8, bw*8) each — cap on
+            # declared dims before any allocation (decode-bomb guard)
+            check_pixels(w * h * max(int(nc), 1), "JPEG SOF")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]

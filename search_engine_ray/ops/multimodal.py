@@ -213,8 +213,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"PNG depth={depth} color={ctype} interlace={interlace}")
     ch = _PNG_CHANNELS[ctype]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    from search_engine_ray.ops.limits import check_pixels
+
+    check_pixels(w * h * ch, "PNG IHDR")  # decode-bomb guard
     stride = w * ch
+    expected = h * (stride + 1)  # PNG's exact inflated size is known
+    # bounded inflate: zlib.decompress() has no output cap, so a small
+    # crafted IDAT could expand to GBs before the reshape check fires
+    dobj = zlib.decompressobj()
+    inflated = dobj.decompress(b"".join(idat), expected)
+    if dobj.unconsumed_tail or len(inflated) != expected:
+        raise ValueError(
+            f"PNG IDAT inflates to != {expected} bytes (corrupt or bomb)")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     raw = raw.reshape(h, stride + 1)
     ftypes, lines = raw[:, 0], raw[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.int64)

@@ -521,3 +521,80 @@ def test_gif_in_media_stages(ray_session):
     means = [np.asarray(v)[3] for v in fout["features"]]
     # frames decode as RGBA (alpha 255): mean = (3v + 255) / 4
     assert means == [(3 * v + 255) / 4 for v in (10.0, 40.0, 70.0)]
+
+
+def test_decode_bomb_headers_raise_before_allocating(ray_session):
+    """Header-declared decode bombs (65535x65535 screens, over-inflating
+    IDAT) raise ValueError cheaply instead of attempting multi-GB
+    allocations — so the media quarantine turns them into ok=False rows
+    and a worker never OOMs on one crafted payload."""
+    import struct
+    import time
+    import zlib
+
+    import pytest as _pytest
+    import ray.data
+
+    from search_engine_ray.ops.gif import decode_gif_frames, encode_gif
+    from search_engine_ray.ops.jpeg import decode_jpeg, encode_jpeg
+    from search_engine_ray.ops.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    bombs = {}
+    # GIF: real 4x4 stream with the screen dims patched to 65535x65535
+    g = bytearray(encode_gif(np.zeros((4, 4, 3), np.uint8)))
+    g[6:10] = struct.pack("<HH", 65535, 65535)
+    bombs["gif"] = bytes(g)
+    # JPEG: real 8x8 stream with SOF dims patched to 65535x65535
+    j = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = j.find(b"\xff\xc0")
+    j[i + 5:i + 9] = struct.pack(">HH", 65535, 65535)
+    bombs["jpeg"] = bytes(j)
+    # PNG #1: IHDR claims 60000x60000 (pixel cap)
+    p = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+    ih = p.find(b"IHDR")
+    p[ih + 4:ih + 12] = struct.pack(">II", 60000, 60000)
+    bombs["png_dims"] = bytes(p)
+    # PNG #2: honest small IHDR but an IDAT that inflates far past the
+    # h*(stride+1) the header promises (classic zlib bomb)
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * (64 * 1024 * 1024))  # 64 MB of zeros
+    assert len(idat) < 100_000  # the bomb itself is tiny on the wire
+    bombs["png_bomb"] = (sig + chunk(b"IHDR", ihdr)
+                         + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+    decoders = {"gif": decode_gif_frames, "jpeg": decode_jpeg,
+                "png_dims": decode_png, "png_bomb": decode_png}
+    for name, payload in bombs.items():
+        t0 = time.monotonic()
+        with _pytest.raises(ValueError):
+            decoders[name](payload)
+        assert time.monotonic() - t0 < 2.0, name  # guard fired, no alloc
+
+    # the quarantine converts every bomb into an ok=False row while the
+    # good payload in the same batch still decodes
+    good = encode_png(np.full((4, 4), 7, np.uint8))
+    kinds = {"gif": "video", "jpeg": "image",
+             "png_dims": "image", "png_bomb": "image"}
+    items = list(bombs.items())
+    tbl = pa.table({
+        "media_id": pa.array(list(range(len(items) + 1)), pa.int64()),
+        "kind": pa.array([kinds[n] for n, _ in items] + ["image"],
+                         pa.string()),
+        "payload": pa.array([b for _, b in items] + [good], pa.binary()),
+        "meta": pa.array(["{}"] * (len(items) + 1), pa.string()),
+    })
+    out = decode_media(ray.data.from_arrow(tbl), impl="real",
+                       batch_size=8).to_pandas().sort_values("media_id")
+    assert out["ok"].tolist() == [False] * len(items) + [True]
+    assert all("pixels" in e or "inflates" in e
+               for e in out["err"].iloc[:len(items)])
