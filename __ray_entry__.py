@@ -184,9 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": sq.q_asof_join,
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
-        "tpch_nation_pair_volume": sq.q_nation_pair_volume,
         "tpch_market_share": sq.q_market_share,
-        "tpch_priority_shipstatus": sq.q_priority_shipstatus,
         "tpch_top_supplier": sq.q_top_supplier,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
@@ -194,10 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_per_type": sq.q_value_quantiles,
         "bigram_lm_nll": sq.q_bigram_lm_nll,
         "json_field_stats": sq.q_json_field_stats,
-        "tpch_returned_customers": sq.q_returned_customers,
         "dataset_profile": sq.q_dataset_profile,
         "decontaminate_ids": sq.q_decontaminate,
-        "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         "funnel_conversion": sq.q_funnel_conversion,
         "weighted_sample_50": sq.q_weighted_sample,
         "curate_summary": sq.q_curate_summary,
@@ -216,6 +212,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_match": sq.q_proximity_match,
         "phrase_match_indexed": sq.q_phrase_match_indexed,
         "proximity_match_indexed": sq.q_proximity_match_indexed,
+        # fulltext serving tier (round 5): prefix / fuzzy lookups over
+        # the distributed index-dictionary scan, KWIC snippets, facet
+        # counts.  In-cap as a NEW op family; the four rows they
+        # displaced (nation_pair/priority_shipstatus/returned_customers/
+        # local_supplier_volume) are shape-redundant with the four
+        # remaining in-cap TPC-H join-aggregate rows and moved below.
+        "prefix_search": sq.q_prefix_search,
+        "fuzzy_terms": sq.q_fuzzy_terms,
+        "doc_snippets": sq.q_doc_snippets,
+        "facet_counts": sq.q_facet_counts,
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
@@ -236,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # small_qty_revenue/part_supplier_diversity/disjunctive_revenue
         # ~ the in-cap TPC-H join-aggregate family,
         # snapshot_diff ~ exact_dedup anti-join)
+        "tpch_nation_pair_volume": sq.q_nation_pair_volume,
+        "tpch_priority_shipstatus": sq.q_priority_shipstatus,
+        "tpch_returned_customers": sq.q_returned_customers,
+        "tpch_local_supplier_volume": sq.q_local_supplier_volume,
         "tpch_disjunctive_revenue": sq.q_disjunctive_revenue,
         "tpch_late_priority": sq.q_late_priority,
         "tpch_large_orders": sq.q_large_orders,
@@ -389,4 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,
+        "prefix_search": sq.SQL_PREFIX_SEARCH,
+        "fuzzy_terms": sq.SQL_FUZZY_TERMS,
+        "doc_snippets": sq.SQL_DOC_SNIPPETS,
+        "facet_counts": sq.SQL_FACET_COUNTS,
     }

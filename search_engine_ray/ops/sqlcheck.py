@@ -2302,3 +2302,85 @@ SELECT a, b, n_ab,
         - floor(ln(vb.n) * 1000000 + 0.5)::BIGINT) AS pmi_e6
 FROM pr JOIN voc va ON pr.a = va.t JOIN voc vb ON pr.b = vb.t
 """
+
+
+# ------------------------------------------------- fulltext serving ops
+# Prefix / fuzzy lookups serve from the REAL index dictionary (the same
+# clean index as index_dict_clean, so dict<->SQL parity is already the
+# gated invariant); snippets / facets are streaming corpus scans.
+
+def q_prefix_search(sf_dir: str):
+    """Wildcard query 's*' over the index dictionary — a distributed
+    scan of the bucketed dict parquet, never a full dict load."""
+    from search_engine_ray.ops.fulltext import prefix_search
+
+    return prefix_search(sf_dir, prefix="s")
+
+
+SQL_PREFIX_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df
+FROM toks WHERE term LIKE 's%'
+GROUP BY term HAVING count(DISTINCT doc_id) >= 2
+ORDER BY term
+"""
+
+
+def q_fuzzy_terms(sf_dir: str):
+    """Typo expansion: dictionary terms within edit distance 1 of
+    'sow' (vectorized one-edit filter over the distributed dict scan),
+    value-checked against DuckDB's levenshtein()."""
+    from search_engine_ray.ops.fulltext import fuzzy_terms
+
+    return fuzzy_terms(sf_dir, q="sow")
+
+
+SQL_FUZZY_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 2)
+SELECT term, levenshtein(term, 'sow')::BIGINT AS dist, df
+FROM dict WHERE levenshtein(term, 'sow') <= 1
+ORDER BY term
+"""
+
+
+def q_doc_snippets(sf_dir: str):
+    """KWIC snippets: the 3-token window around the first 'spark' in
+    each matching doc (vectorized contains-prefilter, then per-match
+    window extraction)."""
+    from search_engine_ray.ops.fulltext import doc_snippets
+
+    return doc_snippets(sf_dir, term="spark", window=3)
+
+
+SQL_DOC_SNIPPETS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+pos AS (SELECT doc_id, ts, list_position(ts, 'spark') AS i FROM toks)
+SELECT doc_id,
+       array_to_string(ts[greatest(1, i - 3):least(len(ts), i + 3)],
+                       ' ') AS snippet
+FROM pos WHERE i > 0
+ORDER BY doc_id
+"""
+
+
+def q_facet_counts(sf_dir: str):
+    """Facet sidebar: (source, lang) doc counts for the docs matching
+    'spark' — streaming scan, per-batch partial counts, one vectorized
+    dimension-sized merge."""
+    from search_engine_ray.ops.fulltext import facet_counts
+
+    return facet_counts(sf_dir, term="spark")
+
+
+SQL_FACET_COUNTS = f"""
+SELECT source, lang, count(*) AS n_docs
+FROM documents
+WHERE list_contains({_TOKS_SQL}, 'spark')
+GROUP BY source, lang
+ORDER BY source, lang
+"""

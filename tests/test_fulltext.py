@@ -1,0 +1,95 @@
+"""Unit tests for the fulltext serving ops (ops/fulltext.py): prefix /
+fuzzy dictionary lookups, KWIC snippets, facet counts.  The happy-path
+value parity vs DuckDB is gated by test_entry.py (driver mirror); these
+cover the vectorized one-edit kernel and the empty/degenerate shapes."""
+
+import itertools
+import os
+import random
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata absent")
+
+
+def _levenshtein(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_one_edit_mask_matches_levenshtein():
+    from search_engine_ray.ops.fulltext import _one_edit_mask
+
+    rng = random.Random(0)
+    terms = ["".join(rng.choice("ab1") for _ in range(rng.randint(1, 5)))
+             for _ in range(2000)]
+    terms += ["".join(t) for n in range(1, 4)
+              for t in itertools.product("ab", repeat=n)]
+    for q in ["a", "ab", "aba", "b1a", "abab", "1"]:
+        mask = _one_edit_mask(terms, q)
+        for t, got in zip(terms, mask):
+            assert bool(got) == (_levenshtein(t, q) <= 1), (t, q)
+
+
+def test_resolve_winners_keeps_max_orig_term():
+    from search_engine_ray.ops.fulltext import _resolve_winners
+
+    parts = [pd.DataFrame({"term": ["STRASSE", "other"],
+                           "orig_term": ["strasse", "other"],
+                           "df": [3, 7]}),
+             pd.DataFrame({"term": ["STRASSE"],
+                           "orig_term": ["straße"],
+                           "df": [5]})]
+    out = _resolve_winners(parts).to_pydict()
+    # 'straße' > 'strasse' lexicographically -> its df (5) wins,
+    # mirroring manifest.load_df_and_orig
+    assert out == {"term": ["STRASSE", "other"], "df": [5, 7]}
+    empty = _resolve_winners([]).to_pydict()
+    assert empty == {"term": [], "df": []}
+
+
+def test_prefix_search_empty_and_full(ray_session):
+    from search_engine_ray.ops import sqlcheck as sq
+    from search_engine_ray.ops.fulltext import prefix_search
+
+    none = prefix_search(SF_DIR, prefix="zzzz")
+    assert none.num_rows == 0
+    assert none.column_names == ["term", "df"]
+    # prefix "" matches the whole dictionary == index_dict_clean
+    full = prefix_search(SF_DIR, prefix="").to_pydict()
+    ref = sq.q_index_dict_clean(SF_DIR).to_pydict()
+    assert full == ref
+
+
+def test_fuzzy_terms_no_match(ray_session):
+    from search_engine_ray.ops.fulltext import fuzzy_terms
+
+    out = fuzzy_terms(SF_DIR, q="qqqqqqqq")
+    assert out.num_rows == 0
+    assert out.column_names == ["term", "dist", "df"]
+
+
+def test_doc_snippets_term_absent_and_window_edges(ray_session):
+    from search_engine_ray.ops.fulltext import doc_snippets
+
+    assert doc_snippets(SF_DIR, term="nosuchterm").count() == 0
+    # window=0 -> the snippet is exactly the term itself
+    rows = doc_snippets(SF_DIR, term="spark", window=0).take_all()
+    assert rows and all(r["snippet"] == "spark" for r in rows)
+
+
+def test_facet_counts_term_absent(ray_session):
+    from search_engine_ray.ops.fulltext import facet_counts
+
+    out = facet_counts(SF_DIR, term="nosuchterm")
+    assert out.num_rows == 0
+    assert out.column_names == ["source", "lang", "n_docs"]
