@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # small_qty_revenue/part_supplier_diversity/disjunctive_revenue
         # ~ the in-cap TPC-H join-aggregate family,
         # snapshot_diff ~ exact_dedup anti-join)
+        "search_bool_or_clean": sq.q_search_bool_or_clean,
+        "search_and_not_clean": sq.q_search_and_not_clean,
         "tpch_nation_pair_volume": sq.q_nation_pair_volume,
         "tpch_priority_shipstatus": sq.q_priority_shipstatus,
         "tpch_returned_customers": sq.q_returned_customers,
@@ -399,6 +401,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,
+        "search_bool_or_clean": sq.SQL_SEARCH_BOOL_OR_CLEAN,
+        "search_and_not_clean": sq.SQL_SEARCH_AND_NOT_CLEAN,
         "prefix_search": sq.SQL_PREFIX_SEARCH,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,

@@ -2384,3 +2384,135 @@ WHERE list_contains({_TOKS_SQL}, 'spark')
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+
+def q_search_bool_or_clean(sf_dir: str, k: int = 10):
+    """Boolean-OR retrieval through the REAL engine (posting-list union
+    over the clean index), SQL-checked: first k ascending doc ids
+    containing ANY query term; unknown/pruned terms are skipped."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index, preload_docmeta=False)
+    rows = {"query_id": [], "rank": [], "doc_id": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        res = eng.search(q, k=1_000_000_000, mode="bool_or")
+        for rank, did in enumerate(sorted(idmap[d] for d in res),
+                                   start=1):
+            if rank > k:
+                break
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(did)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+    })
+
+
+SQL_SEARCH_BOOL_OR_CLEAN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_CLEAN_TOKS_SQL})) AS term
+  FROM documents),
+dict AS (SELECT term FROM toks GROUP BY term HAVING count(*) >= 2),
+qterms AS (SELECT * FROM (VALUES __QTERMS__) AS v(query_id, term)),
+hits AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM qterms q JOIN toks t ON t.term = q.term
+  WHERE q.term IN (SELECT term FROM dict)),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_id) AS rank
+  FROM hits)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_BOOL_OR_CLEAN = SQL_SEARCH_BOOL_OR_CLEAN.replace(
+    "__QTERMS__", _clean_qterms_values())
+
+
+# must/must-not filter queries: (query_id, include terms, exclude terms)
+_CLEAN_ANDNOT_QUERIES = [
+    (0, ["table", "row"], ["spark"]),
+    (1, ["data"], ["window", "stream"]),
+    (2, ["hash", "join"], ["zzzabsentzzz"]),  # unknown exclude = no-op
+    (3, ["zzzabsentzzz"], ["table"]),         # unknown include -> empty
+]
+
+
+def _andnot_values(side: int) -> str:
+    vals = []
+    for qid, inc, exc in _CLEAN_ANDNOT_QUERIES:
+        for t in (inc, exc)[side]:
+            vals.append(f"({qid}, '{t}')")
+    return ", ".join(vals)
+
+
+def q_search_and_not_clean(sf_dir: str, k: int = 10):
+    """Must/must-not retrieval through the REAL engine: docs containing
+    every include term and none of the exclude terms (posting-list
+    intersection minus exclude posting lists), SQL-checked."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index, preload_docmeta=False)
+    rows = {"query_id": [], "rank": [], "doc_id": []}
+    for qid, inc, exc in _CLEAN_ANDNOT_QUERIES:
+        res = eng.search_bool_and_not(inc, exc, k=1_000_000_000)
+        for rank, did in enumerate(sorted(idmap[d] for d in res),
+                                   start=1):
+            if rank > k:
+                break
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(did)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+    })
+
+
+SQL_SEARCH_AND_NOT_CLEAN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_CLEAN_TOKS_SQL})) AS term
+  FROM documents),
+dict AS (SELECT term FROM toks GROUP BY term HAVING count(*) >= 2),
+iterms AS (SELECT * FROM (VALUES __ITERMS__) AS v(query_id, term)),
+xterms AS (SELECT * FROM (VALUES __XTERMS__) AS v(query_id, term)),
+qn AS (SELECT query_id, count(*) AS n FROM iterms GROUP BY query_id),
+qok AS (
+  SELECT q.query_id FROM iterms q
+  GROUP BY q.query_id
+  HAVING count(*) = sum(CASE WHEN q.term IN (SELECT term FROM dict)
+                             THEN 1 ELSE 0 END)),
+base AS (
+  SELECT q.query_id, t.doc_id
+  FROM iterms q
+  JOIN toks t ON t.term = q.term
+  JOIN qn ON qn.query_id = q.query_id
+  WHERE q.query_id IN (SELECT query_id FROM qok)
+  GROUP BY q.query_id, t.doc_id, qn.n
+  HAVING count(DISTINCT t.term) = qn.n),
+excl AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM xterms q JOIN toks t ON t.term = q.term
+  WHERE q.term IN (SELECT term FROM dict)),
+hits AS (
+  SELECT b.query_id, b.doc_id FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.query_id = b.query_id
+                      AND e.doc_id = b.doc_id)),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_id) AS rank
+  FROM hits)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_AND_NOT_CLEAN = (SQL_SEARCH_AND_NOT_CLEAN
+                            .replace("__ITERMS__", _andnot_values(0))
+                            .replace("__XTERMS__", _andnot_values(1)))

@@ -638,28 +638,69 @@ class SearchEngine:
             return self._search_bm25_wand(query, k)
         if mode == "bool_and":
             return self._search_bool_and(query, k)
+        if mode == "bool_or":
+            return self._search_bool_or(query, k)
         raise ValueError(f"unknown mode {mode!r}")
 
-    def _search_bool_and(self, query: list[str], k: int):
-        """Strict boolean AND: the first ``k`` doc ids (ascending)
-        containing EVERY query term.  Any term without postings (unknown
-        or df-pruned) empties the result.  Intersections run smallest
-        list first, so cost is bounded by the rarest term's df — the
-        filter-query shape (site/license/lang gating) a retrieval stack
-        serves alongside ranked search."""
-        terms = list(dict.fromkeys(query))
+    def _bool_and_ids(self, terms: list[str]) -> np.ndarray:
+        """The FULL sorted intersection of the terms' posting lists.
+        Any term without postings (unknown or df-pruned) empties the
+        result.  Intersections run smallest list first, so cost is
+        bounded by the rarest term's df."""
         plists = []
-        for t in terms:
+        for t in dict.fromkeys(terms):
             p = self.postings(t)
             if p is None:
-                return []
+                return np.zeros(0, np.int64)
             plists.append(p["doc_ids"])  # sorted unique per term
+        if not plists:
+            return np.zeros(0, np.int64)
         plists.sort(key=len)
         cur = plists[0]
         for ids in plists[1:]:
             cur = cur[np.isin(cur, ids, assume_unique=True)]
             if len(cur) == 0:
-                return []
+                break
+        return cur
+
+    def _search_bool_and(self, query: list[str], k: int):
+        """Strict boolean AND: the first ``k`` doc ids (ascending)
+        containing EVERY query term — the filter-query shape
+        (site/license/lang gating) a retrieval stack serves alongside
+        ranked search."""
+        return [int(x) for x in self._bool_and_ids(query)[:k]]
+
+    def _search_bool_or(self, query: list[str], k: int):
+        """Boolean OR: the first ``k`` doc ids (ascending) containing
+        ANY query term.  Unknown/pruned terms match nothing and are
+        skipped (they do not empty the result the way AND does)."""
+        lists = []
+        for t in dict.fromkeys(query):
+            p = self.postings(t)
+            if p is not None:
+                lists.append(p["doc_ids"])
+        if not lists:
+            return []
+        ids = np.unique(np.concatenate(lists))
+        return [int(x) for x in ids[:k]]
+
+    def search_bool_and_not(self, include: list[str],
+                            exclude: list[str], k: int = 10):
+        """Docs containing EVERY ``include`` term and NONE of the
+        ``exclude`` terms, first ``k`` ascending — the must/must-not
+        filter of a search API.  Unknown exclude terms exclude nothing;
+        an unknown include term empties the result (same as AND).
+        Exclusion subtracts posting lists from the (already rarest-
+        term-bounded) intersection, so cost stays bounded by the
+        include side's rarest df plus the exclude lists' lengths."""
+        cur = self._bool_and_ids(include)
+        for t in dict.fromkeys(exclude):
+            if len(cur) == 0:
+                break
+            p = self.postings(t)
+            if p is not None:
+                cur = cur[~np.isin(cur, p["doc_ids"],
+                                   assume_unique=True)]
         return [int(x) for x in cur[:k]]
 
     def _idf(self, term: str) -> float:

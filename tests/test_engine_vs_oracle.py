@@ -110,3 +110,34 @@ def test_bool_and_respects_k(engine):
     allr = engine.search("covid", k=10_000, mode="bool_and")
     assert engine.search("covid", k=3, mode="bool_and") == allr[:3]
     assert allr == sorted(allr)
+
+
+def test_bool_or_matches_posting_union(engine, small_oracle):
+    """bool_or == set union of the oracle's posting lists; unknown
+    terms are skipped, not result-emptying."""
+    for q in ("covid vaccine", "zzznope covid", "zzznope", "the"):
+        terms, _, _ = engine.parser.parse_sentence(q)
+        sets = [set(p[0] for p in small_oracle.postings.get(t, []))
+                for t in dict.fromkeys(terms)]
+        expect = sorted(set.union(*sets))[:10] if sets else []
+        assert engine.search(q, k=10, mode="bool_or") == expect, q
+
+
+def test_bool_and_not(engine, small_oracle):
+    """and_not == AND(include) minus union(exclude); unknown exclude
+    terms are no-ops, unknown include terms empty the result."""
+    def posting_set(t):
+        return set(p[0] for p in small_oracle.postings.get(t, []))
+
+    inc = ["covid", "vaccine"]
+    base = sorted(posting_set("covid") & posting_set("vaccine"))
+    # exclude nothing / unknown exclude
+    assert engine.search_bool_and_not(inc, [], k=10) == base[:10]
+    assert engine.search_bool_and_not(inc, ["zzznope"], k=10) == base[:10]
+    # real exclusion
+    expect = [d for d in base if d not in posting_set("data")][:10]
+    assert engine.search_bool_and_not(inc, ["data"], k=10) == expect
+    # excluding an include term empties the result
+    assert engine.search_bool_and_not(inc, ["covid"], k=10) == []
+    # unknown include empties the result
+    assert engine.search_bool_and_not(["zzznope"], ["covid"], k=10) == []
