@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # records at most ~50 rows in insertion order, and these three are
         # the entries that value-check the actual engine.
         "index_dict_clean": sq.q_index_dict_clean,
+        # incremental ingest: two per-delta builds folded by
+        # merge_indexes must match the whole-corpus SQL (r5)
+        "index_dict_merged": sq.q_index_dict_merged,
         "search_bm25_clean_top10": lambda sf: sq.q_search_bm25_clean(
             sf, "bm25"),
         "search_wand_clean_top10": lambda sf: sq.q_search_bm25_clean(
@@ -185,7 +188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
         "tpch_market_share": sq.q_market_share,
-        "tpch_top_supplier": sq.q_top_supplier,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
         "label_centroids": sq.q_label_centroids,
@@ -244,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # snapshot_diff ~ exact_dedup anti-join)
         "search_bool_or_clean": sq.q_search_bool_or_clean,
         "search_and_not_clean": sq.q_search_and_not_clean,
+        "tpch_top_supplier": sq.q_top_supplier,
         "tpch_nation_pair_volume": sq.q_nation_pair_volume,
         "tpch_priority_shipstatus": sq.q_priority_shipstatus,
         "tpch_returned_customers": sq.q_returned_customers,
@@ -401,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,
+        "index_dict_merged": sq.SQL_INDEX_DICT_MERGED,
         "search_bool_or_clean": sq.SQL_SEARCH_BOOL_OR_CLEAN,
         "search_and_not_clean": sq.SQL_SEARCH_AND_NOT_CLEAN,
         "prefix_search": sq.SQL_PREFIX_SEARCH,

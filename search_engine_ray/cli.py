@@ -6,6 +6,7 @@ output_path, stemming, queries, num_docs_to_retrieve),
     python -m search_engine_ray.cli search <index_dir> <query...> [--k N] [--mode bm25|reference|bm25_wand]
     python -m search_engine_ray.cli batch  <index_dir> <queries_file> <out_csv> [--k N]
     python -m search_engine_ray.cli phrase <index_dir> <term...> [--window N]
+    python -m search_engine_ray.cli merge  <index_dir>... <out_dir>
 
 Owns its Ray session (guarded init), unlike the library/driver contract.
 """
@@ -73,6 +74,13 @@ def main(argv=None) -> int:
                    help=">0: proximity mode over the FIRST TWO terms "
                         "(min gap <= window) instead of exact phrase")
 
+    m = sub.add_parser("merge",
+                       help="merge delta indexes into one (incremental "
+                            "ingest; no re-parse — see index/merge.py)")
+    m.add_argument("index_dirs", nargs="+",
+                   help="two or more source index dirs, then the output "
+                        "dir last")
+
     args = ap.parse_args(argv)
     owns_ray = _ensure_ray()
 
@@ -116,6 +124,16 @@ def main(argv=None) -> int:
         else:
             for d in eng.phrase_docs(terms):
                 print(f"doc id: {d}")
+    elif args.cmd == "merge":
+        from search_engine_ray.index.merge import merge_indexes
+
+        if len(args.index_dirs) < 3:
+            ap.error("merge needs >=2 source index dirs plus an output dir")
+        man = merge_indexes(args.index_dirs[:-1], args.index_dirs[-1])
+        print(json.dumps({"n_docs": man["n_docs"],
+                          "merged_indexes":
+                              man["counters"]["merged_indexes"],
+                          "out": args.index_dirs[-1]}))
     elif args.cmd == "batch":
         from search_engine_ray.query.batch import (
             read_queries_file,

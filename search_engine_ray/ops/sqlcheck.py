@@ -2516,3 +2516,90 @@ FROM ranked WHERE rank <= 10
 SQL_SEARCH_AND_NOT_CLEAN = (SQL_SEARCH_AND_NOT_CLEAN
                             .replace("__ITERMS__", _andnot_values(0))
                             .replace("__XTERMS__", _andnot_values(1)))
+
+
+# -------------------------------------------------- index merge (r5)
+_MERGED_IDX_CACHE: dict[str, str] = {}
+
+
+def _merged_clean_index(sf_dir: str) -> str:
+    """Split the cleaned corpus into two deltas by doc parity, build
+    each into its own index, and merge_indexes them (once per process
+    per sf_dir).  prune_df1=False is the merge's exact-parity mode, so
+    the merged dictionary must equal the SQL df computation over the
+    WHOLE corpus — which is what SQL_INDEX_DICT_MERGED checks."""
+    import hashlib as _h
+    import tempfile
+
+    import ray.data
+
+    from search_engine_ray.adapters import documents_batch_to_pages
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.index.merge import merge_indexes
+
+    key = os.path.abspath(sf_dir)
+    if key in _MERGED_IDX_CACHE:
+        return _MERGED_IDX_CACHE[key]
+    tag = _h.blake2b(key.encode(), digest_size=6).hexdigest()
+    base = os.path.join(tempfile.gettempdir(), f"se_ray_mergeidx_{tag}")
+    cfg = EngineConfig(tokenizer="simple", harvest_page_url=False,
+                       prune_df1=False)
+
+    def clean_half(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.equal(
+                pc.bit_wise_and(batch.column("doc_id"), 1), parity))
+            texts = [_clean_text(x)
+                     for x in batch.column("text").to_pylist()]
+            batch = batch.drop_columns(["text"]).append_column(
+                "text", pa.array(texts, pa.string()))
+            return documents_batch_to_pages(batch)
+        return fn
+
+    for parity in (0, 1):
+        pages = os.path.join(base, f"pages{parity}")
+        if not os.path.exists(os.path.join(pages, "_DONE")):
+            import shutil
+
+            shutil.rmtree(pages, ignore_errors=True)
+            os.makedirs(pages, exist_ok=True)
+            (ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"))
+             .map_batches(clean_half(parity), batch_format="pyarrow")
+             .write_parquet(pages))
+            open(os.path.join(pages, "_DONE"), "w").close()
+        build_index(pages, os.path.join(base, f"idx{parity}"), cfg)
+    merged = os.path.join(base, "merged")
+    merge_indexes([os.path.join(base, "idx0"),
+                   os.path.join(base, "idx1")], merged)
+    _MERGED_IDX_CACHE[key] = merged
+    return merged
+
+
+def q_index_dict_merged(sf_dir: str):
+    """Dictionary (term, df) of a MERGED index (two per-delta builds
+    folded by merge_indexes) — value-checks the incremental-ingest path
+    end-to-end against the same whole-corpus SQL a direct build is
+    checked against (no df-prune HAVING: prune_df1=False is the merge's
+    exact-parity mode)."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(_merged_clean_index(sf_dir),
+                       preload_docmeta=False)
+    items = sorted(eng.df_map.items())
+    return pa.table({
+        "term": pa.array([t for t, _ in items], pa.string()),
+        "df": pa.array([d for _, d in items], pa.int64()),
+    })
+
+
+SQL_INDEX_DICT_MERGED = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY term
+ORDER BY term
+"""
