@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # small_qty_revenue/part_supplier_diversity/disjunctive_revenue
         # ~ the in-cap TPC-H join-aggregate family,
         # snapshot_diff ~ exact_dedup anti-join)
+        "index_dict_deleted": sq.q_index_dict_deleted,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
         "search_and_not_clean": sq.q_search_and_not_clean,
         "tpch_top_supplier": sq.q_top_supplier,
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,
         "index_dict_merged": sq.SQL_INDEX_DICT_MERGED,
+        "index_dict_deleted": sq.SQL_INDEX_DICT_DELETED,
         "search_bool_or_clean": sq.SQL_SEARCH_BOOL_OR_CLEAN,
         "search_and_not_clean": sq.SQL_SEARCH_AND_NOT_CLEAN,
         "prefix_search": sq.SQL_PREFIX_SEARCH,

@@ -74,6 +74,14 @@ def main(argv=None) -> int:
                    help=">0: proximity mode over the FIRST TWO terms "
                         "(min gap <= window) instead of exact phrase")
 
+    dl = sub.add_parser("delete",
+                        help="new index without the given doc ids "
+                             "(takedown path; no re-parse, no tombstones)")
+    dl.add_argument("index_dir")
+    dl.add_argument("out_dir")
+    dl.add_argument("--ids-file", required=True,
+                    help="file with one engine doc id per line")
+
     m = sub.add_parser("merge",
                        help="merge delta indexes into one (incremental "
                             "ingest; no re-parse — see index/merge.py)")
@@ -124,6 +132,15 @@ def main(argv=None) -> int:
         else:
             for d in eng.phrase_docs(terms):
                 print(f"doc id: {d}")
+    elif args.cmd == "delete":
+        from search_engine_ray.index.merge import delete_docs
+
+        with open(args.ids_file) as f:
+            ids = [int(line) for line in f if line.strip()]
+        man = delete_docs(args.index_dir, ids, args.out_dir)
+        print(json.dumps({"n_docs": man["n_docs"],
+                          "deleted_ids": man["counters"]["deleted_ids"],
+                          "out": args.out_dir}))
     elif args.cmd == "merge":
         from search_engine_ray.index.merge import merge_indexes
 

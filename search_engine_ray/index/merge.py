@@ -56,6 +56,7 @@ from search_engine_ray.index import manifest as mf
 from search_engine_ray.index.build import (
     NDOCS_KEY,
     RUN_SCHEMA,
+    SUMDL_KEY,
     _bucket_array,
     _reduce_dict_part,
     _reduce_postings_part,
@@ -136,6 +137,95 @@ def _dict_partial_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
     }).cast(RUN_SCHEMA)
 
 
+def _run_phase_b(out_dir: str, spill_dir: str, cfg: EngineConfig,
+                 input_fp: str, cfg_fp: str,
+                 crash_prefix: str) -> tuple[int, int, float]:
+    """The build's phase-B reduces (dict per kbucket, postings per
+    (tbucket, sshard)) over an already-regenerated spill; returns
+    (n_docs, sum_dl, avg_dl) from the reduced dict's reserved rows.
+    Shared by merge_indexes and delete_docs."""
+    dict_dir = mf.stage_dir(out_dir, "dict")
+    postings_dir = mf.stage_dir(out_dir, "postings")
+
+    dict_complete = mf.stage_complete(out_dir, "dict", input_fp, cfg_fp)
+    # ---- dict reduce: the build's own per-kbucket task, unchanged
+    if not dict_complete:
+        done = mf.committed_parts(out_dir, "dict", input_fp, cfg_fp)
+        if not done:
+            mf.clear_stage(out_dir, "dict")
+        os.makedirs(dict_dir, exist_ok=True)
+        for stray in glob.glob(os.path.join(dict_dir, "*.tmp-*")):
+            os.remove(stray)
+        kdirs = sorted(
+            (int(tb.split("=", 1)[1]),
+             os.path.join(spill_dir, tb, "sshard=-1"))
+            for tb in os.listdir(spill_dir) if tb.startswith("tbucket=")
+            if os.path.isdir(os.path.join(spill_dir, tb, "sshard=-1")))
+        work = [(f"kbucket={tb}", (d, dict_dir, cfg.prune_df1, tb))
+                for tb, d in kdirs if f"kbucket={tb}" not in done]
+        _run_part_tasks(work, _reduce_dict_part, out_dir=out_dir,
+                        stage="dict", input_fp=input_fp, config_fp=cfg_fp,
+                        crash_env=f"GRAFT_CRASH_{crash_prefix}_DICT_AFTER")
+        mf.commit_stage(out_dir, "dict", input_fp=input_fp,
+                        config_fp=cfg_fp,
+                        counters={"shuffle_partitions": len(kdirs),
+                                  "resumed_partitions": len(done)})
+
+    # corpus stats from the merged dict's reserved rows
+    import pyarrow.dataset as pads
+
+    stats_t = pads.dataset(dict_dir).to_table(
+        filter=pads.field("term").isin([NDOCS_KEY, SUMDL_KEY]),
+        columns=["term", "df"])
+    stats = dict(zip(stats_t.column("term").to_pylist(),
+                     stats_t.column("df").to_pylist()))
+    n_docs = int(stats.get(NDOCS_KEY, 0))
+    sum_dl = int(stats.get(SUMDL_KEY, 0))
+    avg_dl = sum_dl / n_docs if n_docs else 0.0
+
+    # ---- postings reduce: the build's own per-(tbucket, sshard) task
+    if not mf.stage_complete(out_dir, "postings", input_fp, cfg_fp):
+        done = mf.committed_parts(out_dir, "postings", input_fp, cfg_fp)
+        if not done:
+            mf.clear_stage(out_dir, "postings")
+        os.makedirs(postings_dir, exist_ok=True)
+        for stray in glob.glob(os.path.join(postings_dir, "**", "*.tmp-*"),
+                               recursive=True):
+            os.remove(stray)
+        part_dirs = sorted(
+            os.path.join(spill_dir, tb, sh)
+            for tb in os.listdir(spill_dir) if tb.startswith("tbucket=")
+            for sh in os.listdir(os.path.join(spill_dir, tb))
+            if sh.startswith("sshard=") and not sh.endswith("=-1"))
+
+        def part_key(d):
+            parent, shpart = os.path.split(d.rstrip("/"))
+            return f"{os.path.basename(parent)}/{shpart}"
+
+        def dict_path(d):
+            parent, _ = os.path.split(d.rstrip("/"))
+            tb = int(os.path.basename(parent).rsplit("=", 1)[1])
+            return os.path.join(dict_dir, f"part-kbucket={tb}.parquet")
+
+        work = [(part_key(d), (d, dict_path(d), postings_dir, avg_dl, cfg))
+                for d in part_dirs if part_key(d) not in done]
+        _run_part_tasks(work, _reduce_postings_part, out_dir=out_dir,
+                        stage="postings", input_fp=input_fp,
+                        config_fp=cfg_fp,
+                        crash_env=f"GRAFT_CRASH_{crash_prefix}"
+                                  "_POSTINGS_AFTER")
+        mf.commit_stage(out_dir, "postings", input_fp=input_fp,
+                        config_fp=cfg_fp,
+                        counters={"shuffle_partitions": len(part_dirs),
+                                  "resumed_partitions": len(done)})
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    try:
+        os.rmdir(os.path.dirname(spill_dir))
+    except OSError:
+        pass
+    return n_docs, sum_dl, avg_dl
+
+
 def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
     """Fold the indexes at ``src_dirs`` into one index at ``out_dir``;
     returns the merged manifest.  See the module docstring for
@@ -157,8 +247,6 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
         os.path.join(d, "manifest.json") for d in src_dirs))
 
     os.makedirs(out_dir, exist_ok=True)
-    dict_dir = mf.stage_dir(out_dir, "dict")
-    postings_dir = mf.stage_dir(out_dir, "postings")
     docmeta_dir = mf.stage_dir(out_dir, "docmeta")
     counters: dict = {"merged_indexes": len(src_dirs)}
 
@@ -198,88 +286,13 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
             json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
         os.replace(spill_marker + ".tmp", spill_marker)
 
-    dict_complete = mf.stage_complete(out_dir, "dict", input_fp, cfg_fp)
-    postings_complete = mf.stage_complete(out_dir, "postings", input_fp,
-                                          cfg_fp)
-    if not (dict_complete and postings_complete):
+    if not (mf.stage_complete(out_dir, "dict", input_fp, cfg_fp)
+            and mf.stage_complete(out_dir, "postings", input_fp, cfg_fp)):
         _ensure_spill()
-
-    # ---- dict reduce: the build's own per-kbucket task, unchanged
-    if not dict_complete:
-        done = mf.committed_parts(out_dir, "dict", input_fp, cfg_fp)
-        if not done:
-            mf.clear_stage(out_dir, "dict")
-        os.makedirs(dict_dir, exist_ok=True)
-        for stray in glob.glob(os.path.join(dict_dir, "*.tmp-*")):
-            os.remove(stray)
-        kdirs = sorted(
-            (int(tb.split("=", 1)[1]),
-             os.path.join(spill_dir, tb, "sshard=-1"))
-            for tb in os.listdir(spill_dir) if tb.startswith("tbucket=")
-            if os.path.isdir(os.path.join(spill_dir, tb, "sshard=-1")))
-        work = [(f"kbucket={tb}", (d, dict_dir, cfg.prune_df1, tb))
-                for tb, d in kdirs if f"kbucket={tb}" not in done]
-        _run_part_tasks(work, _reduce_dict_part, out_dir=out_dir,
-                        stage="dict", input_fp=input_fp, config_fp=cfg_fp,
-                        crash_env="GRAFT_CRASH_MERGE_DICT_AFTER")
-        mf.commit_stage(out_dir, "dict", input_fp=input_fp,
-                        config_fp=cfg_fp,
-                        counters={"shuffle_partitions": len(kdirs),
-                                  "resumed_partitions": len(done)})
-
-    # corpus stats from the merged dict's reserved rows
-    import pyarrow.dataset as pads
-
-    stats_t = pads.dataset(dict_dir).to_table(
-        filter=pads.field("term").isin([NDOCS_KEY, "\x01__sumdl__"]),
-        columns=["term", "df"])
-    stats = dict(zip(stats_t.column("term").to_pylist(),
-                     stats_t.column("df").to_pylist()))
-    n_docs = int(stats.get(NDOCS_KEY, 0))
-    sum_dl = int(stats.get("\x01__sumdl__", 0))
-    avg_dl = sum_dl / n_docs if n_docs else 0.0
+    n_docs, sum_dl, avg_dl = _run_phase_b(out_dir, spill_dir, cfg,
+                                          input_fp, cfg_fp, "MERGE")
     counters.update(n_docs=n_docs, sum_doc_length=sum_dl,
                     avg_doc_length=avg_dl)
-
-    # ---- postings reduce: the build's own per-(tbucket, sshard) task
-    if not postings_complete:
-        done = mf.committed_parts(out_dir, "postings", input_fp, cfg_fp)
-        if not done:
-            mf.clear_stage(out_dir, "postings")
-        os.makedirs(postings_dir, exist_ok=True)
-        for stray in glob.glob(os.path.join(postings_dir, "**", "*.tmp-*"),
-                               recursive=True):
-            os.remove(stray)
-        part_dirs = sorted(
-            os.path.join(spill_dir, tb, sh)
-            for tb in os.listdir(spill_dir) if tb.startswith("tbucket=")
-            for sh in os.listdir(os.path.join(spill_dir, tb))
-            if sh.startswith("sshard=") and not sh.endswith("=-1"))
-
-        def part_key(d):
-            parent, shpart = os.path.split(d.rstrip("/"))
-            return f"{os.path.basename(parent)}/{shpart}"
-
-        def dict_path(d):
-            parent, _ = os.path.split(d.rstrip("/"))
-            tb = int(os.path.basename(parent).rsplit("=", 1)[1])
-            return os.path.join(dict_dir, f"part-kbucket={tb}.parquet")
-
-        work = [(part_key(d), (d, dict_path(d), postings_dir, avg_dl, cfg))
-                for d in part_dirs if part_key(d) not in done]
-        _run_part_tasks(work, _reduce_postings_part, out_dir=out_dir,
-                        stage="postings", input_fp=input_fp,
-                        config_fp=cfg_fp,
-                        crash_env="GRAFT_CRASH_MERGE_POSTINGS_AFTER")
-        mf.commit_stage(out_dir, "postings", input_fp=input_fp,
-                        config_fp=cfg_fp,
-                        counters={"shuffle_partitions": len(part_dirs),
-                                  "resumed_partitions": len(done)})
-    shutil.rmtree(spill_dir, ignore_errors=True)
-    try:
-        os.rmdir(os.path.dirname(spill_dir))
-    except OSError:
-        pass
 
     # ---- docmeta: disjoint doc sets concatenate file-wise (at cluster
     # scale this is an object-store/fs move, not a recompute); the g{i}
@@ -303,6 +316,250 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
     payload = {
         "version": 1,
         "config": mans[0]["config"],
+        "config_fp": cfg_fp,
+        "input_fp": input_fp,
+        "n_docs": n_docs,
+        "sum_doc_length": sum_dl,
+        "avg_doc_length": avg_dl,
+        "counters": counters,
+    }
+    mf.write_manifest(out_dir, payload)
+    return payload
+
+
+def _filtered_run_rows(batch: pa.Table, del_ids: np.ndarray,
+                       term_buckets: int) -> pa.Table:
+    """Posting rows -> SPIMI-run rows with the deleted docs' postings
+    masked out, plus a df partial per surviving row (df must be
+    recomputed: it equals the surviving posting count).  Fully
+    vectorized: one flat decode per stream, one boolean mask, one flat
+    re-encode, then per-row byte slicing on the offset arrays."""
+    from search_engine_ray.index.encoding import varbyte_decode, varbyte_encode
+
+    n = batch.column("n").to_numpy()
+    rows = len(n)
+    total = int(n.sum())
+    flat = varbyte_decode(b"".join(batch.column("docids_vb").to_pylist()),
+                          count=total)
+    cs = np.cumsum(flat)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
+    base = np.where(starts > 0, cs[starts - 1], 0)
+    ids = cs - np.repeat(base, n)
+    keep = ~np.isin(ids, del_ids)
+    new_n = np.add.reduceat(keep, starts) if rows else np.zeros(0, np.int64)
+    new_n = new_n.astype(np.int64)
+
+    tfs = varbyte_decode(b"".join(batch.column("tf_vb").to_pylist()),
+                         count=total)
+    streams = {}
+    for name in ("dl_vb", "mtf_vb", "uniq_vb"):
+        streams[name] = varbyte_decode(
+            b"".join(batch.column(name).to_pylist()), count=total)
+    enc = {"tfs": varbyte_encode(tfs[keep]),
+           "dls": varbyte_encode(streams["dl_vb"][keep]),
+           "mtfs": varbyte_encode(streams["mtf_vb"][keep]),
+           "uniqs": varbyte_encode(streams["uniq_vb"][keep])}
+    ids_kept = ids[keep]
+    nstarts = np.concatenate(([0], np.cumsum(new_n)[:-1])).astype(np.int64)
+    nends = nstarts + new_n
+
+    pos_blobs = batch.column("pos_vb").to_pylist()
+    has_pos = any(b for b in pos_blobs)
+    if has_pos:
+        # per-posting position sublists: posting i holds tfs[i] values
+        pos_flat = varbyte_decode(b"".join(pos_blobs), count=int(tfs.sum()))
+        pkeep = np.repeat(keep, tfs)
+        pos_buf, pos_off = varbyte_encode(pos_flat[pkeep])
+        new_ptf = np.where(keep, tfs, 0)
+        pstarts = np.concatenate(
+            ([0], np.cumsum(np.add.reduceat(new_ptf, starts))[:-1])
+        ).astype(np.int64) if rows else np.zeros(0, np.int64)
+        pends = pstarts + np.add.reduceat(new_ptf, starts)
+
+    alive = new_n > 0
+    origs = np.asarray(batch.column("orig").to_pylist(), object)[alive]
+    a_idx = np.flatnonzero(alive)
+    docids = [ids_kept[nstarts[i]:nends[i]].tobytes() for i in a_idx]
+
+    def slice_stream(key):
+        buf, off = enc[key]
+        return [bytes(buf[off[nstarts[i]]:off[nends[i]]]) for i in a_idx]
+
+    if has_pos:
+        poss = [bytes(pos_buf[pos_off[pstarts[i]]:pos_off[pends[i]]])
+                for i in a_idx]
+    else:
+        poss = [b""] * len(a_idx)
+    k = len(a_idx)
+    runs = pa.table({
+        "tbucket": _bucket_array(list(origs), term_buckets),
+        "sshard": batch.column("shard").take(
+            pa.array(a_idx, pa.int64())).cast(pa.int32()),
+        "term": pa.array(list(origs), pa.string()),
+        "n": pa.array(new_n[alive], pa.int64()),
+        "docids": pa.array(docids, pa.binary()),
+        "tfs": pa.array(slice_stream("tfs"), pa.binary()),
+        "dls": pa.array(slice_stream("dls"), pa.binary()),
+        "mtfs": pa.array(slice_stream("mtfs"), pa.binary()),
+        "uniqs": pa.array(slice_stream("uniqs"), pa.binary()),
+        "poss": pa.array(poss, pa.binary()),
+        "df_part": pa.nulls(k, pa.int64()),
+        "caps_part": pa.nulls(k, pa.int8()),
+        "ent_part": pa.nulls(k, pa.int64()),
+    }).cast(RUN_SCHEMA)
+    # df partials: surviving posting count per row (summed per orig term
+    # by the dict reduce — each posting is one doc)
+    dfp = pa.table({
+        "tbucket": runs.column("tbucket"),
+        "sshard": pa.array(np.full(k, -1, np.int32)),
+        "term": runs.column("term"),
+        "n": pa.nulls(k, pa.int64()),
+        "docids": pa.nulls(k, pa.binary()),
+        "tfs": pa.nulls(k, pa.binary()),
+        "dls": pa.nulls(k, pa.binary()),
+        "mtfs": pa.nulls(k, pa.binary()),
+        "uniqs": pa.nulls(k, pa.binary()),
+        "poss": pa.nulls(k, pa.binary()),
+        "df_part": pa.array(new_n[alive], pa.int64()),
+        "caps_part": pa.nulls(k, pa.int8()),
+        "ent_part": pa.nulls(k, pa.int64()),
+    }).cast(RUN_SCHEMA)
+    return pa.concat_tables([runs, dfp])
+
+
+def _caps_partial_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
+    """Dict rows -> caps-only partials (df comes from the surviving
+    postings; reserved stats rows are re-derived from docmeta), for the
+    delete path."""
+    t = _dict_partial_rows(batch, term_buckets)
+    import pyarrow.compute as pc
+
+    t = t.filter(pc.invert(pc.starts_with(t.column("term"), "\x01")))
+    i = t.schema.get_field_index("df_part")
+    return t.set_column(i, "df_part", pa.nulls(t.num_rows, pa.int64()))
+
+
+def delete_docs(src_dir: str, doc_ids, out_dir: str) -> dict:
+    """A new index at ``out_dir`` equal to ``src_dir`` with the given
+    (hashed engine) doc ids REMOVED — the takedown / right-to-be-
+    forgotten path, without re-parsing the surviving corpus and without
+    tombstones at query time.
+
+    Postings stream through the same spill + reduce as a build, with
+    the deleted docs' rows masked out vectorized; per-term df is
+    recomputed from the surviving postings (the df==1 prune re-applies
+    to the new df when the config asks for it); corpus stats
+    (n_docs / avg_dl, which re-derive every BM25 block bound) come from
+    the filtered docmeta.  Boundary (documented like the merge's): the
+    capitals UPPER-verdict keeps the ORIGINAL corpus's decision — the
+    caps flags of deleted docs are not un-counted (same class as
+    Lucene-style deletes, which never re-run analysis)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    man = mf.read_manifest(src_dir)
+    cfg = EngineConfig(**man["config"])
+    cfg_fp = man["config_fp"]
+    del_ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    input_fp = (mf.input_fingerprint([os.path.join(src_dir,
+                                                   "manifest.json")])
+                + "-del-"
+                + hashlib.blake2b(del_ids.tobytes(),
+                                  digest_size=8).hexdigest())
+
+    os.makedirs(out_dir, exist_ok=True)
+    docmeta_dir = mf.stage_dir(out_dir, "docmeta")
+    counters: dict = {"deleted_ids": int(len(del_ids))}
+
+    # ---- docmeta first: the filtered copy also yields the new corpus
+    # stats that must ride the dict shuffle as reserved rows
+    if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
+        mf.clear_stage(out_dir, "docmeta")
+        os.makedirs(docmeta_dir, exist_ok=True)
+        for f in sorted(glob.glob(
+                os.path.join(mf.stage_dir(src_dir, "docmeta"), "**",
+                             "*.parquet"), recursive=True)):
+            t = pq.read_table(f)
+            t = t.filter(pc.invert(pc.is_in(
+                t.column("doc_id"),
+                value_set=pa.array(del_ids, pa.int64()))))
+            pq.write_table(t, os.path.join(docmeta_dir,
+                                           os.path.basename(f)),
+                           row_group_size=256)
+        mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,
+                        config_fp=cfg_fp, counters={})
+    import pyarrow.dataset as pads
+
+    dm = pads.dataset(docmeta_dir, partitioning="hive")
+    kept = dm.to_table(columns=["doc_length"])
+    n_docs = kept.num_rows
+    sum_dl = int(pc.sum(kept.column("doc_length")).as_py() or 0)
+
+    spill_dir = os.path.join(_spill_base(out_dir), "_delete_spill")
+    spill_marker = os.path.join(spill_dir, "_SPILL_OK.json")
+    if not (mf.stage_complete(out_dir, "dict", input_fp, cfg_fp)
+            and mf.stage_complete(out_dir, "postings", input_fp, cfg_fp)):
+        fresh = False
+        if os.path.exists(spill_marker):
+            with open(spill_marker) as f:
+                m = json.load(f)
+            fresh = (m.get("input_fp") == input_fp
+                     and m.get("config_fp") == cfg_fp)
+        if not fresh:
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            os.makedirs(spill_dir, exist_ok=True)
+            B = cfg.term_buckets
+            post_files = sorted(glob.glob(
+                os.path.join(mf.stage_dir(src_dir, "postings"), "**",
+                             "*.parquet"), recursive=True))
+            if post_files:
+                (ray.data.read_parquet(post_files, columns=_POSTING_COLS)
+                 .map_batches(
+                     lambda b: _filtered_run_rows(b, del_ids, B),
+                     batch_format="pyarrow")
+                 .write_parquet(spill_dir,
+                                partition_cols=["tbucket", "sshard"],
+                                compression="none"))
+            dict_files = sorted(glob.glob(
+                os.path.join(mf.stage_dir(src_dir, "dict"), "**",
+                             "*.parquet"), recursive=True))
+            if dict_files:
+                (ray.data.read_parquet(
+                    dict_files,
+                    columns=["term", "orig_term", "df", "rewritten"])
+                 .map_batches(lambda b: _caps_partial_rows(b, B),
+                              batch_format="pyarrow")
+                 .write_parquet(spill_dir,
+                                partition_cols=["tbucket", "sshard"],
+                                compression="none"))
+            # re-derived corpus stats ride the dict shuffle like any
+            # other reserved row (written into their keys' buckets)
+            for name, key, val in (("ndocs", NDOCS_KEY, n_docs),
+                                   ("sumdl", SUMDL_KEY, sum_dl)):
+                tb = int(_bucket_array([key], B)[0].as_py())
+                d = os.path.join(spill_dir, f"tbucket={tb}", "sshard=-1")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(pa.table({
+                    "term": pa.array([key], pa.string()),
+                    "df_part": pa.array([val], pa.int64()),
+                    "caps_part": pa.nulls(1, pa.int8()),
+                    "ent_part": pa.nulls(1, pa.int64()),
+                }), os.path.join(d, f"stats-{name}.parquet"))
+            with open(spill_marker + ".tmp", "w") as f:
+                json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
+            os.replace(spill_marker + ".tmp", spill_marker)
+
+    n2, s2, avg_dl = _run_phase_b(out_dir, spill_dir, cfg, input_fp,
+                                  cfg_fp, "DELETE")
+    assert (n2, s2) == (n_docs, sum_dl), "stats rows diverged from docmeta"
+    counters.update(n_docs=n_docs, sum_doc_length=sum_dl,
+                    avg_doc_length=avg_dl)
+    payload = {
+        "version": 1,
+        "config": man["config"],
         "config_fp": cfg_fp,
         "input_fp": input_fp,
         "n_docs": n_docs,

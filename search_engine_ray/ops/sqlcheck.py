@@ -2603,3 +2603,50 @@ SELECT term, count(DISTINCT doc_id) AS df
 FROM toks GROUP BY term
 ORDER BY term
 """
+
+
+def q_index_dict_deleted(sf_dir: str):
+    """Dictionary (term, df) after delete_docs removes every doc with
+    original id % 10 == 0 from the clean index — value-checks the
+    takedown path end-to-end: df recomputed from surviving postings,
+    the df==1 prune re-applied to the new df, corpus stats re-derived.
+    The oracle is the clean-dict SQL over the surviving documents (the
+    clean corpus has no capitals/entity terms, so the delete path's
+    documented caps boundary cannot bite)."""
+    import tempfile
+
+    from search_engine_ray.index.merge import delete_docs
+    from search_engine_ray.query.engine import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    out = _DELETED_IDX_CACHE.get(key)
+    if out is None:
+        index, idmap = _clean_index(sf_dir)
+        kill = [hashed for hashed, orig in idmap.items()
+                if orig % 10 == 0]
+        import hashlib as _h
+
+        tag = _h.blake2b(key.encode(), digest_size=6).hexdigest()
+        out = os.path.join(tempfile.gettempdir(),
+                           f"se_ray_delidx_{tag}")
+        delete_docs(index, kill, out)
+        _DELETED_IDX_CACHE[key] = out
+    eng = SearchEngine(out, preload_docmeta=False)
+    items = sorted(eng.df_map.items())
+    return pa.table({
+        "term": pa.array([t for t, _ in items], pa.string()),
+        "df": pa.array([d for _, d in items], pa.int64()),
+    })
+
+
+_DELETED_IDX_CACHE: dict[str, str] = {}
+
+
+SQL_INDEX_DICT_DELETED = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents
+  WHERE doc_id % 10 != 0)
+SELECT term, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 2
+ORDER BY term
+"""

@@ -11,6 +11,16 @@ import pyarrow as pa
 import pytest
 
 
+def _docmeta_ids(index_dir):
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.index import manifest as mf
+
+    ds = pads.dataset(mf.stage_dir(index_dir, "docmeta"),
+                      partitioning="hive")
+    return set(ds.to_table(columns=["doc_id"]).column("doc_id").to_pylist())
+
+
 def _file_map(root, sub):
     out = {}
     for p in glob.glob(os.path.join(root, sub, "**", "*.parquet"),
@@ -240,3 +250,133 @@ def test_merge_rejects_mismatched_configs(merged_setup, tmp_path):
     idx, _, _ = merged_setup
     with pytest.raises(ValueError):
         merge_indexes([idx["a"]], str(tmp_path / "x"))
+
+
+@pytest.fixture(scope="module")
+def delete_setup(ray_session, tmp_path_factory):
+    """A corpus, its index, a deletion set (every 7th doc), and the
+    ground-truth rebuild over the surviving pages."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.fixtures import gen_pages
+    from search_engine_ray.ids import doc_id_for_url
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.index.merge import delete_docs
+
+    base = tmp_path_factory.mktemp("delete")
+    t = gen_pages(300, seed=5)
+    urls = t.column("url").to_pylist()
+    ids = [doc_id_for_url(u) for u in urls]
+    kill = set(ids[::7])
+    keep_mask = pa.array([i not in kill for i in ids])
+
+    os.makedirs(base / "pages_all")
+    os.makedirs(base / "pages_kept")
+    pq.write_table(t, str(base / "pages_all" / "f.parquet"),
+                   row_group_size=64)
+    pq.write_table(t.filter(keep_mask),
+                   str(base / "pages_kept" / "f.parquet"),
+                   row_group_size=64)
+    cfg = EngineConfig(num_shards=4, term_buckets=8, prune_df1=False,
+                       positions=True, parse_part_rows=128)
+    idx = {k: str(base / f"idx_{k}") for k in ("all", "kept", "deleted")}
+    build_index(str(base / "pages_all"), idx["all"], cfg)
+    build_index(str(base / "pages_kept"), idx["kept"], cfg)
+    man = delete_docs(idx["all"], sorted(kill), idx["deleted"])
+    return idx, man, sorted(kill)
+
+
+def test_delete_docs_matches_rebuild_over_survivors(delete_setup):
+    from search_engine_ray.index import manifest as mf
+
+    idx, man, kill = delete_setup
+    full = mf.read_manifest(idx["kept"])
+    # (the parse stage drops a doc that normalizes to zero tokens, so
+    # compare against the rebuild, not raw page arithmetic)
+    assert man["n_docs"] == full["n_docs"]
+    assert man["n_docs"] == mf.read_manifest(idx["all"])["n_docs"] - len(
+        set(kill) & _docmeta_ids(idx["all"]))
+    assert man["sum_doc_length"] == full["sum_doc_length"]
+    df_d, caps_d = mf.load_df_and_orig(idx["deleted"])
+    df_k, caps_k = mf.load_df_and_orig(idx["kept"])
+    assert df_d == df_k
+    assert caps_d == caps_k
+
+
+def test_delete_docs_search_and_phrase_parity(delete_setup):
+    import numpy as np
+
+    from search_engine_ray.fixtures import gen_queries
+    from search_engine_ray.query.engine import SearchEngine
+
+    idx, _, kill = delete_setup
+    ed = SearchEngine(idx["deleted"])
+    ek = SearchEngine(idx["kept"])
+    for q in gen_queries():
+        for mode in ("bm25", "bm25_wand", "reference", "bool_and"):
+            got = ed.search(q, k=10, mode=mode)
+            assert got == ek.search(q, k=10, mode=mode), (q, mode)
+            docs = got if mode == "bool_and" else [d for _, d, _ in got]
+            assert not (set(docs) & set(kill)), (q, mode)
+    assert sorted(ed.phrase_docs(["covid", "vaccine"])) == \
+        sorted(ek.phrase_docs(["covid", "vaccine"]))
+    # postings parity term by term for a few dict terms
+    for t in list(ek.df_map)[:25]:
+        pd_, pk = ed.postings(t), ek.postings(t)
+        assert np.array_equal(pd_["doc_ids"], pk["doc_ids"]), t
+        assert np.array_equal(pd_["tfs"], pk["tfs"]), t
+
+
+def test_delete_docs_reapplies_df1_prune(ray_session, tmp_path):
+    """With prune_df1=True, a term whose df drops to 1 after the delete
+    is pruned from the dictionary, exactly as a rebuild would."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.fixtures import wrap_html
+    from search_engine_ray.ids import doc_id_for_url
+    from search_engine_ray.index import manifest as mf
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.index.merge import delete_docs
+
+    texts = ["raretoken alpha words here", "raretoken beta words there",
+             "gamma delta words everywhere"]
+    urls = [f"https://d.example/{i:06d}" for i in range(len(texts))]
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array([1_600_000_000_000_000 + i * 1000
+                             for i in range(len(texts))],
+                            pa.timestamp("us")),
+        "html": pa.array([wrap_html(x, f"t{i}")
+                          for i, x in enumerate(texts)], pa.binary()),
+    })
+    base = str(tmp_path)
+    os.makedirs(f"{base}/pages")
+    pq.write_table(t, f"{base}/pages/f.parquet")
+    cfg = EngineConfig(num_shards=2, term_buckets=4, prune_df1=True)
+    build_index(f"{base}/pages", f"{base}/idx", cfg)
+    assert mf.load_df_map(f"{base}/idx")["raretoken"] == 2
+    delete_docs(f"{base}/idx", [doc_id_for_url(urls[0])], f"{base}/out")
+    df = mf.load_df_map(f"{base}/out")
+    assert "raretoken" not in df  # df fell to 1 -> pruned again
+    assert df["words"] == 2
+
+
+def test_delete_all_docs_yields_empty_index(delete_setup, tmp_path):
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.index import manifest as mf
+    from search_engine_ray.index.merge import delete_docs
+    from search_engine_ray.query.engine import SearchEngine
+
+    idx, _, _ = delete_setup
+    dm = pads.dataset(mf.stage_dir(idx["all"], "docmeta"),
+                      partitioning="hive")
+    all_ids = dm.to_table(columns=["doc_id"]).column("doc_id").to_pylist()
+    out = str(tmp_path / "empty")
+    man = delete_docs(idx["all"], all_ids, out)
+    assert man["n_docs"] == 0
+    eng = SearchEngine(out, preload_docmeta=False)
+    assert eng.search("covid vaccine", k=5) == []
+    assert eng.df_map == {}
