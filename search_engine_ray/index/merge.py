@@ -23,7 +23,7 @@ identical to a full rebuild over the union corpus — the capitals
 UPPER-rewrite verdict is re-derived globally (every term occurrence
 writes a caps flag, so the per-generation verdicts AND together into
 exactly the union verdict; rewritten postings re-route to the final
-term's bucket through the shuffle).  Two reference quirk-rules are
+term's bucket through the shuffle).  Three reference quirk-rules are
 destructive at build time and therefore CANNOT be re-evaluated across
 generations (their pruned postings were never written):
 
@@ -34,6 +34,15 @@ generations (their pruned postings were never written):
 - the entity<2 prune (near-dead as written, see apply_dict_rules): a
   term entity-pruned inside one generation stays gone; survivors are
   never newly pruned (entity counts only grow with more docs).
+- the SAME-BUCKET capitals-collision drop: when two always-capitalized
+  orig terms sharing one UPPER final term land in the same term bucket
+  of one generation, that generation's build drops the lesser orig's
+  dict row AND postings (apply_dict_rules last-wins).  If another
+  generation would have DE-capitalized that orig (it occurs lowercase
+  there), a full union rebuild would keep the dropped docs under the
+  lowercase term; the merge cannot resurrect them.  Needs a same-gen
+  same-bucket UPPER collision whose loser is lowercase elsewhere —
+  strictly rarer than the df==1 case.
 
 Preconditions: all source indexes share one config fingerprint, and
 their doc-id sets are disjoint (delta semantics — the same document
@@ -68,6 +77,41 @@ _POSTING_COLS = ["shard", "term", "orig", "n", "docids_vb", "tf_vb",
                  "dl_vb", "mtf_vb", "uniq_vb", "pos_vb"]
 
 
+def _rebase_docids(n: np.ndarray, docids_blobs: list
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-(term, shard) delta+varbyte doc-id blobs -> (flat absolute
+    ids, per-row starts).  One flat decode + one segment-rebased
+    cumulative sum for the whole batch."""
+    from search_engine_ray.index.encoding import varbyte_decode
+
+    flat = varbyte_decode(b"".join(docids_blobs), count=int(n.sum()))
+    cs = np.cumsum(flat)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
+    base = np.where(starts > 0, cs[starts - 1], 0)
+    return cs - np.repeat(base, n), starts
+
+
+def _ensure_spill_marker(spill_dir: str, input_fp: str, cfg_fp: str,
+                         regenerate) -> None:
+    """Idempotent spill regeneration: reuse a spill whose marker matches
+    (input_fp, cfg_fp), else wipe, run ``regenerate()``, and commit the
+    marker atomically — the one resume protocol both merge and delete
+    spills follow."""
+    marker = os.path.join(spill_dir, "_SPILL_OK.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        if (m.get("input_fp") == input_fp
+                and m.get("config_fp") == cfg_fp):
+            return
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    os.makedirs(spill_dir, exist_ok=True)
+    regenerate()
+    with open(marker + ".tmp", "w") as f:
+        json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
+    os.replace(marker + ".tmp", marker)
+
+
 def _decode_run_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
     """Final posting rows -> SPIMI-run rows keyed by ORIG term.
 
@@ -77,16 +121,8 @@ def _decode_run_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
     position varbyte streams are reused byte-for-byte (they encode
     plain per-posting values in the exact order FinalizeBucket will
     re-sort from)."""
-    from search_engine_ray.index.encoding import varbyte_decode
-
     n = batch.column("n").to_numpy()
-    total = int(n.sum())
-    flat = varbyte_decode(b"".join(batch.column("docids_vb").to_pylist()),
-                          count=total)
-    cs = np.cumsum(flat)
-    starts = np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
-    base = np.where(starts > 0, cs[starts - 1], 0)
-    ids = cs - np.repeat(base, n)
+    ids, starts = _rebase_docids(n, batch.column("docids_vb").to_pylist())
     origs = batch.column("orig").to_pylist()
     rows = len(origs)
     docids = [ids[s:s + int(c)].tobytes()
@@ -251,17 +287,8 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
     counters: dict = {"merged_indexes": len(src_dirs)}
 
     spill_dir = os.path.join(_spill_base(out_dir), "_merge_spill")
-    spill_marker = os.path.join(spill_dir, "_SPILL_OK.json")
 
-    def _ensure_spill() -> None:
-        if os.path.exists(spill_marker):
-            with open(spill_marker) as f:
-                m = json.load(f)
-            if (m.get("input_fp") == input_fp
-                    and m.get("config_fp") == cfg_fp):
-                return
-        shutil.rmtree(spill_dir, ignore_errors=True)
-        os.makedirs(spill_dir, exist_ok=True)
+    def _regenerate() -> None:
         B = cfg.term_buckets
         post_files = [f for d in src_dirs for f in sorted(glob.glob(
             os.path.join(mf.stage_dir(d, "postings"), "**", "*.parquet"),
@@ -282,13 +309,10 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
                           batch_format="pyarrow")
              .write_parquet(spill_dir, partition_cols=["tbucket", "sshard"],
                             compression="none"))
-        with open(spill_marker + ".tmp", "w") as f:
-            json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
-        os.replace(spill_marker + ".tmp", spill_marker)
 
     if not (mf.stage_complete(out_dir, "dict", input_fp, cfg_fp)
             and mf.stage_complete(out_dir, "postings", input_fp, cfg_fp)):
-        _ensure_spill()
+        _ensure_spill_marker(spill_dir, input_fp, cfg_fp, _regenerate)
     n_docs, sum_dl, avg_dl = _run_phase_b(out_dir, spill_dir, cfg,
                                           input_fp, cfg_fp, "MERGE")
     counters.update(n_docs=n_docs, sum_doc_length=sum_dl,
@@ -339,12 +363,7 @@ def _filtered_run_rows(batch: pa.Table, del_ids: np.ndarray,
     n = batch.column("n").to_numpy()
     rows = len(n)
     total = int(n.sum())
-    flat = varbyte_decode(b"".join(batch.column("docids_vb").to_pylist()),
-                          count=total)
-    cs = np.cumsum(flat)
-    starts = np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
-    base = np.where(starts > 0, cs[starts - 1], 0)
-    ids = cs - np.repeat(base, n)
+    ids, starts = _rebase_docids(n, batch.column("docids_vb").to_pylist())
     keep = ~np.isin(ids, del_ids)
     new_n = np.add.reduceat(keep, starts) if rows else np.zeros(0, np.int64)
     new_n = new_n.astype(np.int64)
@@ -370,11 +389,11 @@ def _filtered_run_rows(batch: pa.Table, del_ids: np.ndarray,
         pos_flat = varbyte_decode(b"".join(pos_blobs), count=int(tfs.sum()))
         pkeep = np.repeat(keep, tfs)
         pos_buf, pos_off = varbyte_encode(pos_flat[pkeep])
-        new_ptf = np.where(keep, tfs, 0)
+        kept_ptf = (np.add.reduceat(np.where(keep, tfs, 0), starts)
+                    if rows else np.zeros(0, np.int64))
         pstarts = np.concatenate(
-            ([0], np.cumsum(np.add.reduceat(new_ptf, starts))[:-1])
-        ).astype(np.int64) if rows else np.zeros(0, np.int64)
-        pends = pstarts + np.add.reduceat(new_ptf, starts)
+            ([0], np.cumsum(kept_ptf)[:-1])).astype(np.int64)
+        pends = pstarts + kept_ptf
 
     alive = new_n > 0
     origs = np.asarray(batch.column("orig").to_pylist(), object)[alive]
@@ -499,58 +518,49 @@ def delete_docs(src_dir: str, doc_ids, out_dir: str) -> dict:
     sum_dl = int(pc.sum(kept.column("doc_length")).as_py() or 0)
 
     spill_dir = os.path.join(_spill_base(out_dir), "_delete_spill")
-    spill_marker = os.path.join(spill_dir, "_SPILL_OK.json")
+
+    def _regenerate() -> None:
+        B = cfg.term_buckets
+        post_files = sorted(glob.glob(
+            os.path.join(mf.stage_dir(src_dir, "postings"), "**",
+                         "*.parquet"), recursive=True))
+        if post_files:
+            (ray.data.read_parquet(post_files, columns=_POSTING_COLS)
+             .map_batches(
+                 lambda b: _filtered_run_rows(b, del_ids, B),
+                 batch_format="pyarrow")
+             .write_parquet(spill_dir,
+                            partition_cols=["tbucket", "sshard"],
+                            compression="none"))
+        dict_files = sorted(glob.glob(
+            os.path.join(mf.stage_dir(src_dir, "dict"), "**",
+                         "*.parquet"), recursive=True))
+        if dict_files:
+            (ray.data.read_parquet(
+                dict_files,
+                columns=["term", "orig_term", "df", "rewritten"])
+             .map_batches(lambda b: _caps_partial_rows(b, B),
+                          batch_format="pyarrow")
+             .write_parquet(spill_dir,
+                            partition_cols=["tbucket", "sshard"],
+                            compression="none"))
+        # re-derived corpus stats ride the dict shuffle like any
+        # other reserved row (written into their keys' buckets)
+        for name, key, val in (("ndocs", NDOCS_KEY, n_docs),
+                               ("sumdl", SUMDL_KEY, sum_dl)):
+            tb = int(_bucket_array([key], B)[0].as_py())
+            d = os.path.join(spill_dir, f"tbucket={tb}", "sshard=-1")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(pa.table({
+                "term": pa.array([key], pa.string()),
+                "df_part": pa.array([val], pa.int64()),
+                "caps_part": pa.nulls(1, pa.int8()),
+                "ent_part": pa.nulls(1, pa.int64()),
+            }), os.path.join(d, f"stats-{name}.parquet"))
+
     if not (mf.stage_complete(out_dir, "dict", input_fp, cfg_fp)
             and mf.stage_complete(out_dir, "postings", input_fp, cfg_fp)):
-        fresh = False
-        if os.path.exists(spill_marker):
-            with open(spill_marker) as f:
-                m = json.load(f)
-            fresh = (m.get("input_fp") == input_fp
-                     and m.get("config_fp") == cfg_fp)
-        if not fresh:
-            shutil.rmtree(spill_dir, ignore_errors=True)
-            os.makedirs(spill_dir, exist_ok=True)
-            B = cfg.term_buckets
-            post_files = sorted(glob.glob(
-                os.path.join(mf.stage_dir(src_dir, "postings"), "**",
-                             "*.parquet"), recursive=True))
-            if post_files:
-                (ray.data.read_parquet(post_files, columns=_POSTING_COLS)
-                 .map_batches(
-                     lambda b: _filtered_run_rows(b, del_ids, B),
-                     batch_format="pyarrow")
-                 .write_parquet(spill_dir,
-                                partition_cols=["tbucket", "sshard"],
-                                compression="none"))
-            dict_files = sorted(glob.glob(
-                os.path.join(mf.stage_dir(src_dir, "dict"), "**",
-                             "*.parquet"), recursive=True))
-            if dict_files:
-                (ray.data.read_parquet(
-                    dict_files,
-                    columns=["term", "orig_term", "df", "rewritten"])
-                 .map_batches(lambda b: _caps_partial_rows(b, B),
-                              batch_format="pyarrow")
-                 .write_parquet(spill_dir,
-                                partition_cols=["tbucket", "sshard"],
-                                compression="none"))
-            # re-derived corpus stats ride the dict shuffle like any
-            # other reserved row (written into their keys' buckets)
-            for name, key, val in (("ndocs", NDOCS_KEY, n_docs),
-                                   ("sumdl", SUMDL_KEY, sum_dl)):
-                tb = int(_bucket_array([key], B)[0].as_py())
-                d = os.path.join(spill_dir, f"tbucket={tb}", "sshard=-1")
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(pa.table({
-                    "term": pa.array([key], pa.string()),
-                    "df_part": pa.array([val], pa.int64()),
-                    "caps_part": pa.nulls(1, pa.int8()),
-                    "ent_part": pa.nulls(1, pa.int64()),
-                }), os.path.join(d, f"stats-{name}.parquet"))
-            with open(spill_marker + ".tmp", "w") as f:
-                json.dump({"input_fp": input_fp, "config_fp": cfg_fp}, f)
-            os.replace(spill_marker + ".tmp", spill_marker)
+        _ensure_spill_marker(spill_dir, input_fp, cfg_fp, _regenerate)
 
     n2, s2, avg_dl = _run_phase_b(out_dir, spill_dir, cfg, input_fp,
                                   cfg_fp, "DELETE")

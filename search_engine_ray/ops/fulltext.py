@@ -167,18 +167,19 @@ def doc_snippets(sf_dir: str, term: str = "spark", window: int = 3):
     needle = f" {term} "
 
     def snip(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        joined = pa.array([" " + " ".join(simple_tokenize(t)) + " "
-                           for t in texts], pa.string())
+        toks = [simple_tokenize(t)
+                for t in batch.column("text").to_pylist()]
+        joined = pa.array([" " + " ".join(ts) + " " for ts in toks],
+                          pa.string())
         mask = pc.match_substring(joined, needle).to_numpy(
             zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy()
         out_id, out_sn = [], []
-        for i, t in zip(ids[mask], np.asarray(texts, object)[mask]):
-            ts = simple_tokenize(t)
+        for i in np.flatnonzero(mask):
+            ts = toks[i]
             pos = ts.index(term) + 1  # 1-based, mirrors list_position
             a, b = max(1, pos - window), min(len(ts), pos + window)
-            out_id.append(int(i))
+            out_id.append(int(ids[i]))
             out_sn.append(" ".join(ts[a - 1:b]))
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),

@@ -215,6 +215,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[ctype]
     from search_engine_ray.ops.limits import check_pixels
 
+    if w == 0 or h == 0:
+        # zero dims make expected==0 below, and decompressobj's
+        # max_length=0 means UNLIMITED — a zero-dim header would bypass
+        # the bounded inflate entirely (decode-bomb guard)
+        raise ValueError(f"PNG declares zero dimension ({w}x{h})")
     check_pixels(w * h * ch, "PNG IHDR")  # decode-bomb guard
     stride = w * ch
     expected = h * (stride + 1)  # PNG's exact inflated size is known

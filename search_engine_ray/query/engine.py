@@ -693,6 +693,10 @@ class SearchEngine:
         Exclusion subtracts posting lists from the (already rarest-
         term-bounded) intersection, so cost stays bounded by the
         include side's rarest df plus the exclude lists' lengths."""
+        # one covering row-group read for ALL terms (same batch
+        # prefetch every other search entry point gets)
+        self.prefetch(list(dict.fromkeys(include))
+                      + list(dict.fromkeys(exclude)))
         cur = self._bool_and_ids(include)
         for t in dict.fromkeys(exclude):
             if len(cur) == 0:

@@ -571,9 +571,16 @@ def test_decode_bomb_headers_raise_before_allocating(ray_session):
     assert len(idat) < 100_000  # the bomb itself is tiny on the wire
     bombs["png_bomb"] = (sig + chunk(b"IHDR", ihdr)
                          + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    # PNG #3: h=0 makes expected==0, and decompressobj max_length=0
+    # means UNLIMITED — a zero-dim header must not bypass the bounded
+    # inflate (it passes the pixel cap since w*h==0)
+    ihdr0 = struct.pack(">IIBBBBB", 4, 0, 8, 0, 0, 0, 0)
+    bombs["png_zero_dim"] = (sig + chunk(b"IHDR", ihdr0)
+                             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
     decoders = {"gif": decode_gif_frames, "jpeg": decode_jpeg,
-                "png_dims": decode_png, "png_bomb": decode_png}
+                "png_dims": decode_png, "png_bomb": decode_png,
+                "png_zero_dim": decode_png}
     for name, payload in bombs.items():
         t0 = time.monotonic()
         with _pytest.raises(ValueError):
@@ -584,7 +591,8 @@ def test_decode_bomb_headers_raise_before_allocating(ray_session):
     # good payload in the same batch still decodes
     good = encode_png(np.full((4, 4), 7, np.uint8))
     kinds = {"gif": "video", "jpeg": "image",
-             "png_dims": "image", "png_bomb": "image"}
+             "png_dims": "image", "png_bomb": "image",
+             "png_zero_dim": "image"}
     items = list(bombs.items())
     tbl = pa.table({
         "media_id": pa.array(list(range(len(items) + 1)), pa.int64()),
@@ -596,5 +604,5 @@ def test_decode_bomb_headers_raise_before_allocating(ray_session):
     out = decode_media(ray.data.from_arrow(tbl), impl="real",
                        batch_size=8).to_pandas().sort_values("media_id")
     assert out["ok"].tolist() == [False] * len(items) + [True]
-    assert all("pixels" in e or "inflates" in e
+    assert all("pixels" in e or "inflates" in e or "dimension" in e
                for e in out["err"].iloc[:len(items)])
