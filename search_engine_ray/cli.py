@@ -74,6 +74,14 @@ def main(argv=None) -> int:
                    help=">0: proximity mode over the FIRST TWO terms "
                         "(min gap <= window) instead of exact phrase")
 
+    lk = sub.add_parser("lookup",
+                        help="dictionary lookups: --prefix p (wildcard "
+                             "p*) or --fuzzy q (edit distance <= 1)")
+    lk.add_argument("index_dir")
+    g = lk.add_mutually_exclusive_group(required=True)
+    g.add_argument("--prefix")
+    g.add_argument("--fuzzy")
+
     dl = sub.add_parser("delete",
                         help="new index without the given doc ids "
                              "(takedown path; no re-parse, no tombstones)")
@@ -132,6 +140,23 @@ def main(argv=None) -> int:
         else:
             for d in eng.phrase_docs(terms):
                 print(f"doc id: {d}")
+    elif args.cmd == "lookup":
+        from search_engine_ray.ops.fulltext import (
+            fuzzy_terms_index,
+            prefix_search_index,
+        )
+
+        if args.prefix is not None:
+            t = prefix_search_index(args.index_dir, args.prefix)
+            for term, df in zip(t.column("term").to_pylist(),
+                                t.column("df").to_pylist()):
+                print(f"{term}\t{df}")
+        else:
+            t = fuzzy_terms_index(args.index_dir, args.fuzzy)
+            for term, dist, df in zip(t.column("term").to_pylist(),
+                                      t.column("dist").to_pylist(),
+                                      t.column("df").to_pylist()):
+                print(f"{term}\t{dist}\t{df}")
     elif args.cmd == "delete":
         from search_engine_ray.index.merge import delete_docs
 

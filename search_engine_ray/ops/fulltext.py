@@ -32,15 +32,12 @@ import pyarrow as pa
 from search_engine_ray.text.tokenizer import simple_tokenize
 
 
-def _dict_files(sf_dir: str) -> list[str]:
-    """The clean index's dictionary parquet files (built once per
-    process per sf_dir; see sqlcheck._clean_index)."""
+def dict_files_of(index_dir: str) -> list[str]:
+    """The dictionary parquet files of a built index."""
     from search_engine_ray.index.manifest import stage_dir
-    from search_engine_ray.ops.sqlcheck import _clean_index
 
-    index, _ = _clean_index(sf_dir)
     return sorted(glob.glob(
-        os.path.join(stage_dir(index, "dict"), "**", "*.parquet"),
+        os.path.join(stage_dir(index_dir, "dict"), "**", "*.parquet"),
         recursive=True))
 
 
@@ -59,13 +56,17 @@ def _resolve_winners(parts: list[pd.DataFrame]) -> pa.Table:
                      "df": pa.array(df["df"], pa.int64())})
 
 
-def prefix_search(sf_dir: str, prefix: str = "s"):
-    """(term, df) for every dictionary term starting with ``prefix`` —
-    the wildcard query ``prefix*`` of a search engine, served from the
-    index dictionary by a distributed scan with a vectorized
-    ``starts_with`` filter per batch."""
+def prefix_search_index(index_dir: str, prefix: str):
+    """(term, df) for every dictionary term of a BUILT index starting
+    with ``prefix`` — the wildcard query ``prefix*`` of a search
+    engine, served by a distributed scan of the bucketed dict parquet
+    with a vectorized ``starts_with`` filter per batch."""
     import pyarrow.compute as pc
     import ray.data
+
+    files = dict_files_of(index_dir)
+    if not files:
+        return _resolve_winners([])
 
     def part(batch: pa.Table) -> pa.Table:
         terms = batch.column("term")
@@ -76,11 +77,19 @@ def prefix_search(sf_dir: str, prefix: str = "s"):
         return batch.filter(keep)
 
     hits = (ray.data.read_parquet(
-        _dict_files(sf_dir), columns=["term", "orig_term", "df"])
+        files, columns=["term", "orig_term", "df"])
         .map_batches(part, batch_format="pyarrow"))
     parts = [b.to_pandas() for b in hits.iter_batches(
         batch_format="pyarrow")]
     return _resolve_winners(parts)
+
+
+def prefix_search(sf_dir: str, prefix: str = "s"):
+    """prefix_search_index over the clean index built from the sf_dir
+    documents table (the SQL-oracled driver entry)."""
+    from search_engine_ray.ops.sqlcheck import _clean_index
+
+    return prefix_search_index(_clean_index(sf_dir)[0], prefix)
 
 
 def _one_edit_mask(terms: list[str], q: str) -> np.ndarray:
@@ -124,12 +133,14 @@ def _one_edit_mask(terms: list[str], q: str) -> np.ndarray:
     return (gap <= 1) & (lcp + lcs >= np.maximum(lens, len(qb)) - 1)
 
 
-def fuzzy_terms(sf_dir: str, q: str = "sow"):
-    """(term, dist, df) for dictionary terms within edit distance 1 of
-    ``q`` — a search engine's did-you-mean / typo expansion, served
-    from the index dictionary by a distributed scan with the
-    vectorized one-edit filter (no per-term DP, no Python loop)."""
+def fuzzy_terms_index(index_dir: str, q: str):
+    """(term, dist, df) for dictionary terms of a BUILT index within
+    edit distance 1 of ``q`` — a search engine's did-you-mean / typo
+    expansion, served by a distributed dict scan with the vectorized
+    one-edit filter (no per-term DP, no Python loop)."""
     import ray.data
+
+    files = dict_files_of(index_dir)
 
     def part(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -141,17 +152,28 @@ def fuzzy_terms(sf_dir: str, q: str = "sow"):
         mask &= ~reserved.to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(mask))
 
-    hits = (ray.data.read_parquet(
-        _dict_files(sf_dir), columns=["term", "orig_term", "df"])
-        .map_batches(part, batch_format="pyarrow"))
-    parts = [b.to_pandas() for b in hits.iter_batches(
-        batch_format="pyarrow")]
+    if files:
+        hits = (ray.data.read_parquet(
+            files, columns=["term", "orig_term", "df"])
+            .map_batches(part, batch_format="pyarrow"))
+        parts = [b.to_pandas() for b in hits.iter_batches(
+            batch_format="pyarrow")]
+    else:
+        parts = []
     out = _resolve_winners(parts)
     dist = [0 if t == q else 1 for t in out.column("term").to_pylist()]
     return pa.table({
         "term": out.column("term"),
         "dist": pa.array(dist, pa.int64()),
         "df": out.column("df")})
+
+
+def fuzzy_terms(sf_dir: str, q: str = "sow"):
+    """fuzzy_terms_index over the clean index built from the sf_dir
+    documents table (the SQL-oracled driver entry)."""
+    from search_engine_ray.ops.sqlcheck import _clean_index
+
+    return fuzzy_terms_index(_clean_index(sf_dir)[0], q)
 
 
 def doc_snippets(sf_dir: str, term: str = "spark", window: int = 3):

@@ -380,3 +380,56 @@ def test_delete_all_docs_yields_empty_index(delete_setup, tmp_path):
     eng = SearchEngine(out, preload_docmeta=False)
     assert eng.search("covid vaccine", k=5) == []
     assert eng.df_map == {}
+
+
+def test_merge_is_transitive_and_serves_lookups(merged_setup, tmp_path):
+    """Merging a MERGED index with a third delta equals the flat
+    3-corpus rebuild (merged indexes are first-class merge inputs), and
+    the fulltext dictionary lookups serve straight off the merged
+    index's dict files."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.fixtures import gen_pages
+    from search_engine_ray.index import manifest as mf
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.index.merge import merge_indexes
+    from search_engine_ray.ops.fulltext import (
+        fuzzy_terms_index,
+        prefix_search_index,
+    )
+
+    idx, _, cfg = merged_setup
+    base = str(tmp_path)
+    os.makedirs(f"{base}/p_c")
+    tc = gen_pages(150, seed=3, start=20_000)
+    pq.write_table(tc, f"{base}/p_c/c.parquet", row_group_size=64)
+    build_index(f"{base}/p_c", f"{base}/i_c", cfg)
+    merge_indexes([idx["merged"], f"{base}/i_c"], f"{base}/i_abc")
+
+    # flat rebuild over all three deltas
+    os.makedirs(f"{base}/p_all3")
+    import shutil as _sh
+
+    for src in (idx["a"].replace("idx_a", "pages_a"),
+                idx["b"].replace("idx_b", "pages_b")):
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            _sh.copy2(f, f"{base}/p_all3/{os.path.basename(f)}")
+    _sh.copy2(f"{base}/p_c/c.parquet", f"{base}/p_all3/c.parquet")
+    build_index(f"{base}/p_all3", f"{base}/i_full3", cfg)
+
+    df_m, caps_m = mf.load_df_and_orig(f"{base}/i_abc")
+    df_f, caps_f = mf.load_df_and_orig(f"{base}/i_full3")
+    assert df_m == df_f and caps_m == caps_f
+    for stage in ("dict", "postings"):
+        assert _file_map(f"{base}/i_abc", stage) == \
+            _file_map(f"{base}/i_full3", stage), stage
+
+    # dictionary lookups over the merged index
+    pt = prefix_search_index(f"{base}/i_abc", "cov")
+    assert "covid" in pt.column("term").to_pylist()
+    got = dict(zip(pt.column("term").to_pylist(),
+                   pt.column("df").to_pylist()))
+    assert got["covid"] == df_f["covid"]
+    ft = fuzzy_terms_index(f"{base}/i_abc", "covis")
+    assert ("covid", 1) in zip(ft.column("term").to_pylist(),
+                               ft.column("dist").to_pylist())
