@@ -55,7 +55,12 @@ def main(argv=None) -> int:
     s.add_argument("query", nargs="+")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="bm25",
-                   choices=["bm25", "reference", "bm25_wand"])
+                   choices=["bm25", "reference", "bm25_wand",
+                            "bool_and", "bool_or"])
+    s.add_argument("--fuzzy", action="store_true",
+                   help="typo tolerance: unknown query terms are "
+                        "replaced by their best one-edit dictionary "
+                        "correction")
 
     q = sub.add_parser("batch")
     q.add_argument("index_dir")
@@ -116,11 +121,16 @@ def main(argv=None) -> int:
         from search_engine_ray.query.engine import SearchEngine
 
         eng = SearchEngine(args.index_dir)
-        res = eng.search(" ".join(args.query), k=args.k, mode=args.mode)
-        # print best-first, like the reference's output loop
-        # (search_engine.py:109-112)
-        for score, doc_id, ts in reversed(res):
-            print(f"doc id: {doc_id}, score: {score}")
+        res = eng.search(" ".join(args.query), k=args.k, mode=args.mode,
+                         fuzzy=args.fuzzy)
+        if args.mode.startswith("bool_"):
+            for doc_id in res:  # boolean modes return plain ids
+                print(f"doc id: {doc_id}")
+        else:
+            # print best-first, like the reference's output loop
+            # (search_engine.py:109-112)
+            for score, doc_id, ts in reversed(res):
+                print(f"doc id: {doc_id}, score: {score}")
     elif args.cmd == "phrase":
         from search_engine_ray.query.engine import SearchEngine
 

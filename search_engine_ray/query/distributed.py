@@ -203,6 +203,49 @@ class QueryShardActor:
                                              cand, window)
         return [(int(d), int(g)) for d, g in zip(docs, gaps)]
 
+    def bool_local(self, include: list[str], exclude: list[str], k: int,
+                   df_map: dict[str, int],
+                   caps_orig: dict | None = None) -> list[int]:
+        """First ``k`` ascending doc ids in THIS actor's shards
+        containing every include term and none of the exclude terms.
+        Global term knownness (AND emptied by an unknown include) is the
+        driver's job; locally a known term with no postings in these
+        shards simply intersects to empty."""
+        inc = list(dict.fromkeys(include))
+        exc = list(dict.fromkeys(exclude))
+        plists = self._postings(inc + [t for t in exc if t not in inc],
+                                df_map, caps_orig)
+        cur = None
+        for t in inc:
+            p = plists.get(t)
+            ids = (p["doc_ids"] if p is not None
+                   else np.zeros(0, np.int64))
+            cur = (ids if cur is None
+                   else cur[np.isin(cur, ids, assume_unique=True)])
+            if len(cur) == 0:
+                return []
+        if cur is None:
+            return []
+        for t in exc:
+            p = plists.get(t)
+            if p is not None and len(cur):
+                cur = cur[~np.isin(cur, p["doc_ids"],
+                                   assume_unique=True)]
+        return [int(x) for x in cur[:k]]
+
+    def bool_or_local(self, terms: list[str], k: int,
+                      df_map: dict[str, int],
+                      caps_orig: dict | None = None) -> list[int]:
+        """First ``k`` ascending doc ids in THIS actor's shards
+        containing ANY of the terms."""
+        plists = self._postings(list(dict.fromkeys(terms)), df_map,
+                                caps_orig)
+        lists = [p["doc_ids"] for p in plists.values() if p is not None]
+        if not lists:
+            return []
+        ids = np.unique(np.concatenate(lists))
+        return [int(x) for x in ids[:k]]
+
     def search_local(self, query: list[str], k: int, mode: str,
                      df_map: dict[str, int],
                      caps_orig: dict | None = None):
@@ -351,6 +394,18 @@ class DistributedSearchEngine:
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []
+        if mode == "bool_and":
+            return self._bool_fanout(query, [], k)
+        if mode == "bool_or":
+            known = [t for t in dict.fromkeys(query) if t in self.df_map]
+            if not known:
+                return []
+            df_small, orig_small = self._ship_maps(known)
+            futures = [a.bool_or_local.remote(known, k, df_small,
+                                              orig_small)
+                       for a in self.actors]
+            ids = sorted(i for part in ray.get(futures) for i in part)
+            return ids[:k]
         # ship only the df entries the query needs (tiny broadcast)
         df_small = {t: self.df_map[t] for t in set(query)
                     if t in self.df_map}
@@ -363,6 +418,29 @@ class DistributedSearchEngine:
         merged.sort(key=lambda t: (t[0], t[1], t[2]))  # (score, ts, id)
         top = merged[-k:] if k <= len(merged) else merged
         return [(s, d, ts) for s, ts, d in top]
+
+    def _bool_fanout(self, include: list[str], exclude: list[str],
+                     k: int) -> list[int]:
+        """Fan a must/must-not filter across the shard actors; shards
+        hold disjoint docs, so the global first-k is inside the union
+        of per-shard first-ks.  Same knownness rules as the in-process
+        engine: an unknown include term empties the result, unknown
+        exclude terms exclude nothing."""
+        inc = list(dict.fromkeys(include))
+        if not inc or any(t not in self.df_map for t in inc):
+            return []
+        exc = [t for t in dict.fromkeys(exclude) if t in self.df_map]
+        df_small, orig_small = self._ship_maps(inc + exc)
+        futures = [a.bool_local.remote(inc, exc, k, df_small, orig_small)
+                   for a in self.actors]
+        ids = sorted(i for part in ray.get(futures) for i in part)
+        return ids[:k]
+
+    def search_bool_and_not(self, include: list[str],
+                            exclude: list[str], k: int = 10) -> list[int]:
+        """Distributed must/must-not filter — rank-identical to the
+        in-process SearchEngine.search_bool_and_not."""
+        return self._bool_fanout(include, exclude, k)
 
     def _ship_maps(self, terms: list[str]):
         tset = set(terms)

@@ -277,6 +277,8 @@ class SearchEngine:
         self._build_postings_rg_index(mf.stage_dir(out_dir, "postings"))
         self._pcache: dict[str, dict | None] = {}
         self._pcache_max_terms = 100_000  # FIFO eviction bound
+        self._fuzzy_cache: dict[str, str | None] = {}
+        self._dict_terms: list[str] | None = None
         self._io_pool = None  # lazy posting-read thread pool
 
         self._docmeta_ds = _maybe_dataset("docmeta")
@@ -618,8 +620,41 @@ class SearchEngine:
         found = self._meta["ids"][pos] == doc_ids
         return pos, found
 
+    # ------------------------------------------------------- did-you-mean
+    def fuzzy_correct(self, term: str) -> str | None:
+        """The best one-edit dictionary correction for ``term``: the
+        highest-df dict term within edit distance 1 (ties break
+        lexicographically), or None when nothing is that close.  One
+        vectorized one-edit pass over the dictionary keys (cached per
+        engine); corrections memoize per term."""
+        hit = self._fuzzy_cache.get(term, ...)
+        if hit is not ...:
+            return hit
+        from search_engine_ray.ops.fulltext import _one_edit_mask
+
+        if self._dict_terms is None:
+            self._dict_terms = [t for t in self.df_map
+                                if not t.startswith(("\x00", "\x01"))]
+        cands = self._dict_terms
+        best = None
+        if cands:
+            mask = _one_edit_mask(cands, term)
+            scored = sorted(((-self.df_map[t], t)
+                             for t, m in zip(cands, mask) if m))
+            if scored:
+                best = scored[0][1]
+        if len(self._fuzzy_cache) >= 10_000:
+            self._fuzzy_cache.clear()  # bound memo size
+        self._fuzzy_cache[term] = best
+        return best
+
     # ------------------------------------------------------------ search
-    def search(self, query_text: str, k: int = 10, mode: str = "reference"):
+    def search(self, query_text: str, k: int = 10, mode: str = "reference",
+               fuzzy: bool = False):
+        """``fuzzy=True`` = typo tolerance: each parsed term absent from
+        the dictionary is replaced by its best one-edit correction
+        (fuzzy_correct) before retrieval; terms with no close neighbor
+        stay as-is (and behave as unknown, per mode)."""
         if k < 0:
             return []
         if k == 0:
@@ -629,6 +664,9 @@ class SearchEngine:
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []
+        if fuzzy:
+            query = [t if t in self.df_map
+                     else (self.fuzzy_correct(t) or t) for t in query]
         self.prefetch(query)
         if mode == "reference":
             return self._search_reference(query, k)

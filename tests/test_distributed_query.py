@@ -98,3 +98,26 @@ def test_repeated_term_missing_from_shard_parity(ray_session,
         assert [(d, ts) for _, d, ts in a] == [(d, ts) for _, d, ts in b], q
         for (sa, _, _), (sb, _, _) in zip(a, b):
             assert abs(sa - sb) < 1e-9, q
+
+
+@pytest.mark.parametrize("mode", ["bool_and", "bool_or"])
+def test_distributed_boolean_matches_inprocess(dist_engine, engine, mode):
+    for q in gen_queries():
+        assert dist_engine.search(q, k=10, mode=mode) == \
+            engine.search(q, k=10, mode=mode), (q, mode)
+    # k smaller than the local result sets still yields the global
+    # ascending first-k
+    assert dist_engine.search("covid", k=3, mode="bool_and") == \
+        engine.search("covid", k=3, mode="bool_and")
+
+
+def test_distributed_and_not_matches_inprocess(dist_engine, engine):
+    cases = [(["covid", "vaccine"], []),
+             (["covid", "vaccine"], ["data"]),
+             (["covid"], ["zzznope"]),       # unknown exclude = no-op
+             (["zzznope"], ["covid"]),       # unknown include -> []
+             (["covid"], ["covid"]),         # self-exclusion -> []
+             ([], ["covid"])]                # empty include -> []
+    for inc, exc in cases:
+        assert dist_engine.search_bool_and_not(inc, exc, k=10) == \
+            engine.search_bool_and_not(inc, exc, k=10), (inc, exc)

@@ -141,3 +141,26 @@ def test_bool_and_not(engine, small_oracle):
     assert engine.search_bool_and_not(inc, ["covid"], k=10) == []
     # unknown include empties the result
     assert engine.search_bool_and_not(["zzznope"], ["covid"], k=10) == []
+
+
+def test_fuzzy_search_corrects_typos(engine):
+    """fuzzy=True replaces unknown terms with their best one-edit
+    dictionary correction; far-off terms stay unknown; known terms are
+    never rewritten."""
+    # 'covid' is in the dictionary; 'covit' is one edit away
+    fixed = engine.search("covit vaccine", k=10, mode="bm25", fuzzy=True)
+    want = engine.search("covid vaccine", k=10, mode="bm25")
+    assert fixed == want and len(fixed) > 0
+    # correction picks the HIGHEST-df neighbor deterministically
+    corr = engine.fuzzy_correct("covit")
+    assert corr == "covid"
+    # gibberish with no one-edit neighbor is left alone (-> unknown)
+    assert engine.fuzzy_correct("qqqqqqqq") is None
+    assert engine.search("qqqqqqqq", k=5, mode="bm25", fuzzy=True) == \
+        engine.search("qqqqqqqq", k=5, mode="bm25")
+    # known terms are never rewritten by fuzzy
+    assert engine.search("covid", k=10, mode="bm25", fuzzy=True) == \
+        engine.search("covid", k=10, mode="bm25")
+    # works across modes, incl. boolean
+    assert engine.search("covit", k=10, mode="bool_and", fuzzy=True) == \
+        engine.search("covid", k=10, mode="bool_and")
