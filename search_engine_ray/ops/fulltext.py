@@ -133,6 +133,19 @@ def _one_edit_mask(terms: list[str], q: str) -> np.ndarray:
     return (gap <= 1) & (lcp + lcs >= np.maximum(lens, len(qb)) - 1)
 
 
+def best_one_edit(terms: list[str], df_lookup, q: str) -> str | None:
+    """The best one-edit correction for ``q`` among ``terms``: highest
+    df wins, ties break lexicographically; None when nothing is within
+    one edit.  Shared by the in-process and distributed engines'
+    fuzzy query expansion."""
+    if not terms:
+        return None
+    mask = _one_edit_mask(terms, q)
+    scored = sorted((-df_lookup[t], t)
+                    for t, m in zip(terms, mask) if m)
+    return scored[0][1] if scored else None
+
+
 def fuzzy_terms_index(index_dir: str, q: str):
     """(term, dist, df) for dictionary terms of a BUILT index within
     edit distance 1 of ``q`` — a search engine's did-you-mean / typo

@@ -377,6 +377,8 @@ class DistributedSearchEngine:
         import pyarrow.dataset as pads
 
         self.df_map, self._caps_orig = mf.load_df_and_orig(out_dir)
+        self._fuzzy_cache: dict = {}
+        self._dict_terms = None
         S = self.cfg.num_shards
         num_actors = min(num_actors, S)
         assignment = [list(range(i, S, num_actors))
@@ -384,7 +386,25 @@ class DistributedSearchEngine:
         self.actors = [QueryShardActor.remote(out_dir, sh)
                        for sh in assignment]
 
-    def search(self, query_text: str, k: int = 10, mode: str = "bm25"):
+    def fuzzy_correct(self, term: str):
+        """Same did-you-mean rule as the in-process engine (driver-side:
+        the dictionary lives here, not on the actors)."""
+        hit = self._fuzzy_cache.get(term, ...)
+        if hit is not ...:
+            return hit
+        from search_engine_ray.ops.fulltext import best_one_edit
+
+        if self._dict_terms is None:
+            self._dict_terms = [t for t in self.df_map
+                                if not t.startswith(("\x00", "\x01"))]
+        best = best_one_edit(self._dict_terms, self.df_map, term)
+        if len(self._fuzzy_cache) >= 10_000:
+            self._fuzzy_cache.clear()
+        self._fuzzy_cache[term] = best
+        return best
+
+    def search(self, query_text: str, k: int = 10, mode: str = "bm25",
+               fuzzy: bool = False):
         if k < 0:
             return []
         if k == 0:
@@ -394,6 +414,9 @@ class DistributedSearchEngine:
         query, _, _ = self.parser.parse_sentence(query_text)
         if not query:
             return []
+        if fuzzy:
+            query = [t if t in self.df_map
+                     else (self.fuzzy_correct(t) or t) for t in query]
         if mode == "bool_and":
             return self._bool_fanout(query, [], k)
         if mode == "bool_or":

@@ -630,19 +630,12 @@ class SearchEngine:
         hit = self._fuzzy_cache.get(term, ...)
         if hit is not ...:
             return hit
-        from search_engine_ray.ops.fulltext import _one_edit_mask
+        from search_engine_ray.ops.fulltext import best_one_edit
 
         if self._dict_terms is None:
             self._dict_terms = [t for t in self.df_map
                                 if not t.startswith(("\x00", "\x01"))]
-        cands = self._dict_terms
-        best = None
-        if cands:
-            mask = _one_edit_mask(cands, term)
-            scored = sorted(((-self.df_map[t], t)
-                             for t, m in zip(cands, mask) if m))
-            if scored:
-                best = scored[0][1]
+        best = best_one_edit(self._dict_terms, self.df_map, term)
         if len(self._fuzzy_cache) >= 10_000:
             self._fuzzy_cache.clear()  # bound memo size
         self._fuzzy_cache[term] = best

@@ -121,3 +121,10 @@ def test_distributed_and_not_matches_inprocess(dist_engine, engine):
     for inc, exc in cases:
         assert dist_engine.search_bool_and_not(inc, exc, k=10) == \
             engine.search_bool_and_not(inc, exc, k=10), (inc, exc)
+
+
+def test_distributed_fuzzy_matches_inprocess(dist_engine, engine):
+    for q in ("covit vaccine", "qqqqqqqq", "covid"):
+        for mode in ("bm25", "bool_and"):
+            assert dist_engine.search(q, k=10, mode=mode, fuzzy=True) == \
+                engine.search(q, k=10, mode=mode, fuzzy=True), (q, mode)
