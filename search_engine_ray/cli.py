@@ -151,11 +151,15 @@ def main(argv=None) -> int:
             for d in eng.phrase_docs(terms):
                 print(f"doc id: {d}")
     elif args.cmd == "lookup":
+        from search_engine_ray.index import manifest as _mf
         from search_engine_ray.ops.fulltext import (
             fuzzy_terms_index,
             prefix_search_index,
         )
 
+        # fail loudly on a wrong path (a legitimately empty index still
+        # has a manifest; zero dict files then mean zero results)
+        _mf.read_manifest(args.index_dir)
         if args.prefix is not None:
             t = prefix_search_index(args.index_dir, args.prefix)
             for term, df in zip(t.column("term").to_pylist(),

@@ -98,23 +98,25 @@ def _one_edit_mask(terms: list[str], q: str) -> np.ndarray:
     A pair is within one edit iff the length gap is <= 1 and
     ``lcp + lcs >= max(len) - 1`` (longest common prefix + suffix):
     the uncovered middle is then at most one substitution / insertion
-    / deletion.  Computed on a fixed-width byte matrix — no Python
-    loop over terms (dictionary terms are [a-z0-9]+, one byte per
-    char)."""
+    / deletion.  Computed on a fixed-width CODE-POINT matrix (UTF-32
+    scatter, 4 bytes/char) — character-exact for any Unicode term,
+    matching DuckDB's character-based levenshtein, with no Python loop
+    over terms."""
     n = len(terms)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    qb = np.frombuffer(q.encode(), dtype=np.uint8)
+    qb = np.frombuffer(q.encode("utf-32-le"), dtype=np.uint32)
     lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
     width = max(int(lens.max()), len(qb)) + 1
-    mat = np.zeros((n, width), dtype=np.uint8)
-    flat = np.frombuffer("".join(terms).encode(), dtype=np.uint8)
-    # scatter each term's bytes into its padded row
+    mat = np.zeros((n, width), dtype=np.uint32)
+    flat = np.frombuffer("".join(terms).encode("utf-32-le"),
+                         dtype=np.uint32)
+    # scatter each term's code points into its padded row
     rows = np.repeat(np.arange(n), lens)
     cols = np.arange(len(flat)) - np.repeat(
         np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
     mat[rows, cols] = flat
-    qpad = np.zeros(width, dtype=np.uint8)
+    qpad = np.zeros(width, dtype=np.uint32)
     qpad[:len(qb)] = qb
     # lcp: first mismatching column, counting only real (unpadded)
     # positions of BOTH strings
@@ -125,7 +127,7 @@ def _one_edit_mask(terms: list[str], q: str) -> np.ndarray:
     rmat = np.zeros_like(mat)
     rcols = lens[rows] - 1 - cols
     rmat[rows, rcols] = flat
-    rqpad = np.zeros(width, dtype=np.uint8)
+    rqpad = np.zeros(width, dtype=np.uint32)
     rqpad[:len(qb)] = qb[::-1]
     req = (rmat == rqpad) & valid
     lcs = np.argmin(np.pad(req, ((0, 0), (0, 1))), axis=1)
@@ -136,14 +138,53 @@ def _one_edit_mask(terms: list[str], q: str) -> np.ndarray:
 def best_one_edit(terms: list[str], df_lookup, q: str) -> str | None:
     """The best one-edit correction for ``q`` among ``terms``: highest
     df wins, ties break lexicographically; None when nothing is within
-    one edit.  Shared by the in-process and distributed engines'
-    fuzzy query expansion."""
+    one edit."""
     if not terms:
         return None
     mask = _one_edit_mask(terms, q)
     scored = sorted((-df_lookup[t], t)
                     for t, m in zip(terms, mask) if m)
     return scored[0][1] if scored else None
+
+
+class FuzzyCorrector:
+    """Memoizing did-you-mean corrector over an engine dictionary —
+    the ONE implementation behind SearchEngine.fuzzy_correct and
+    DistributedSearchEngine.fuzzy_correct (a change to the correction
+    rule cannot diverge between them).
+
+    The dictionary is immutable per engine, so terms are bucketed by
+    CHARACTER length once; a one-edit neighbor differs in length by at
+    most 1, so each miss runs the vectorized kernel over just the
+    three adjacent length buckets instead of the whole dictionary."""
+
+    def __init__(self, df_map: dict):
+        self.df_map = df_map
+        self._by_len: dict[int, list[str]] | None = None
+        self._cache: dict[str, str | None] = {}
+
+    def _buckets(self) -> dict[int, list[str]]:
+        if self._by_len is None:
+            by_len: dict[int, list[str]] = {}
+            for t in self.df_map:
+                if not t.startswith(("\x00", "\x01")):
+                    by_len.setdefault(len(t), []).append(t)
+            self._by_len = by_len
+        return self._by_len
+
+    def __call__(self, term: str) -> str | None:
+        hit = self._cache.get(term, ...)
+        if hit is not ...:
+            return hit
+        by_len = self._buckets()
+        L = len(term)
+        cands = [t for d in (L - 1, L, L + 1)
+                 for t in by_len.get(d, ())]
+        best = best_one_edit(cands, self.df_map, term)
+        if len(self._cache) >= 10_000:
+            self._cache.clear()  # bound memo size
+        self._cache[term] = best
+        return best
 
 
 def fuzzy_terms_index(index_dir: str, q: str):

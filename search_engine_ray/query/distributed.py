@@ -377,8 +377,7 @@ class DistributedSearchEngine:
         import pyarrow.dataset as pads
 
         self.df_map, self._caps_orig = mf.load_df_and_orig(out_dir)
-        self._fuzzy_cache: dict = {}
-        self._dict_terms = None
+        self._fuzzy = None  # lazy ops/fulltext.FuzzyCorrector
         S = self.cfg.num_shards
         num_actors = min(num_actors, S)
         assignment = [list(range(i, S, num_actors))
@@ -387,21 +386,14 @@ class DistributedSearchEngine:
                        for sh in assignment]
 
     def fuzzy_correct(self, term: str):
-        """Same did-you-mean rule as the in-process engine (driver-side:
-        the dictionary lives here, not on the actors)."""
-        hit = self._fuzzy_cache.get(term, ...)
-        if hit is not ...:
-            return hit
-        from search_engine_ray.ops.fulltext import best_one_edit
+        """Same did-you-mean rule as the in-process engine — literally
+        the same ops/fulltext.FuzzyCorrector (driver-side: the
+        dictionary lives here, not on the actors)."""
+        if self._fuzzy is None:
+            from search_engine_ray.ops.fulltext import FuzzyCorrector
 
-        if self._dict_terms is None:
-            self._dict_terms = [t for t in self.df_map
-                                if not t.startswith(("\x00", "\x01"))]
-        best = best_one_edit(self._dict_terms, self.df_map, term)
-        if len(self._fuzzy_cache) >= 10_000:
-            self._fuzzy_cache.clear()
-        self._fuzzy_cache[term] = best
-        return best
+            self._fuzzy = FuzzyCorrector(self.df_map)
+        return self._fuzzy(term)
 
     def search(self, query_text: str, k: int = 10, mode: str = "bm25",
                fuzzy: bool = False):
@@ -449,6 +441,8 @@ class DistributedSearchEngine:
         of per-shard first-ks.  Same knownness rules as the in-process
         engine: an unknown include term empties the result, unknown
         exclude terms exclude nothing."""
+        if k < 0:
+            return []
         inc = list(dict.fromkeys(include))
         if not inc or any(t not in self.df_map for t in inc):
             return []

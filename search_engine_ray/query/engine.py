@@ -277,8 +277,7 @@ class SearchEngine:
         self._build_postings_rg_index(mf.stage_dir(out_dir, "postings"))
         self._pcache: dict[str, dict | None] = {}
         self._pcache_max_terms = 100_000  # FIFO eviction bound
-        self._fuzzy_cache: dict[str, str | None] = {}
-        self._dict_terms: list[str] | None = None
+        self._fuzzy = None  # lazy ops/fulltext.FuzzyCorrector
         self._io_pool = None  # lazy posting-read thread pool
 
         self._docmeta_ds = _maybe_dataset("docmeta")
@@ -624,22 +623,14 @@ class SearchEngine:
     def fuzzy_correct(self, term: str) -> str | None:
         """The best one-edit dictionary correction for ``term``: the
         highest-df dict term within edit distance 1 (ties break
-        lexicographically), or None when nothing is that close.  One
-        vectorized one-edit pass over the dictionary keys (cached per
-        engine); corrections memoize per term."""
-        hit = self._fuzzy_cache.get(term, ...)
-        if hit is not ...:
-            return hit
-        from search_engine_ray.ops.fulltext import best_one_edit
+        lexicographically), or None when nothing is that close.  Shared
+        memoizing corrector (ops/fulltext.FuzzyCorrector): the kernel
+        runs over just the adjacent term-length buckets per miss."""
+        if self._fuzzy is None:
+            from search_engine_ray.ops.fulltext import FuzzyCorrector
 
-        if self._dict_terms is None:
-            self._dict_terms = [t for t in self.df_map
-                                if not t.startswith(("\x00", "\x01"))]
-        best = best_one_edit(self._dict_terms, self.df_map, term)
-        if len(self._fuzzy_cache) >= 10_000:
-            self._fuzzy_cache.clear()  # bound memo size
-        self._fuzzy_cache[term] = best
-        return best
+            self._fuzzy = FuzzyCorrector(self.df_map)
+        return self._fuzzy(term)
 
     # ------------------------------------------------------------ search
     def search(self, query_text: str, k: int = 10, mode: str = "reference",
@@ -724,6 +715,8 @@ class SearchEngine:
         Exclusion subtracts posting lists from the (already rarest-
         term-bounded) intersection, so cost stays bounded by the
         include side's rarest df plus the exclude lists' lengths."""
+        if k < 0:
+            return []
         # one covering row-group read for ALL terms (same batch
         # prefetch every other search entry point gets)
         self.prefetch(list(dict.fromkeys(include))

@@ -128,3 +128,8 @@ def test_distributed_fuzzy_matches_inprocess(dist_engine, engine):
         for mode in ("bm25", "bool_and"):
             assert dist_engine.search(q, k=10, mode=mode, fuzzy=True) == \
                 engine.search(q, k=10, mode=mode, fuzzy=True), (q, mode)
+
+
+def test_bool_and_not_negative_k(dist_engine, engine):
+    assert engine.search_bool_and_not(["covid"], [], k=-1) == []
+    assert dist_engine.search_bool_and_not(["covid"], [], k=-1) == []

@@ -30,14 +30,37 @@ def test_one_edit_mask_matches_levenshtein():
     from search_engine_ray.ops.fulltext import _one_edit_mask
 
     rng = random.Random(0)
-    terms = ["".join(rng.choice("ab1") for _ in range(rng.randint(1, 5)))
+    # include multi-byte code points: the kernel must be CHARACTER
+    # exact (UTF-32 scatter), not UTF-8-byte based — 'café' is one
+    # edit from 'cafe' even though it is two bytes longer
+    alpha = "ab1é中"
+    terms = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 5)))
              for _ in range(2000)]
     terms += ["".join(t) for n in range(1, 4)
               for t in itertools.product("ab", repeat=n)]
-    for q in ["a", "ab", "aba", "b1a", "abab", "1"]:
+    terms += ["cafe", "café", "caffé", "straße", "strasse"]
+    for q in ["a", "ab", "aba", "b1a", "abab", "1", "café", "cafe",
+              "straße", "é中"]:
         mask = _one_edit_mask(terms, q)
         for t, got in zip(terms, mask):
             assert bool(got) == (_levenshtein(t, q) <= 1), (t, q)
+
+
+def test_fuzzy_corrector_unicode_and_buckets():
+    """FuzzyCorrector handles non-ASCII dictionaries (the default
+    parser keeps Latin-1 terms) and picks the highest-df neighbor from
+    the adjacent length buckets only."""
+    from search_engine_ray.ops.fulltext import FuzzyCorrector
+
+    fc = FuzzyCorrector({"café": 5, "cafe": 9, "cafés": 2,
+                         "x" * 40: 1, "\x01__ndocs__": 99})
+    assert fc("cafè") == "cafe"   # dist 1 to both; df 9 wins
+    # highest df wins WITHIN the <=1 set regardless of distance (the
+    # engines only consult the corrector for unknown terms, so the
+    # dist-0 self case never reaches it in serving)
+    assert fc("cafés") == "café"
+    assert fc("qqqqqqqq") is None
+    assert fc("\x01__ndocsX") is None  # reserved rows never surface
 
 
 def test_resolve_winners_keeps_max_orig_term():
