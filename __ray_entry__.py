@@ -114,6 +114,15 @@ def _bpe_train(sf_dir: str):
     return bpe_train_merges(sf_dir)
 
 
+def _bpe_encode(sf_dir: str):
+    """Apply the learned BPE merges back over the corpus (the serving
+    half of bpe_train_merges); parity-gated by an independent encoder
+    in the suite — iterative rank-argmin merging is not SQL."""
+    from search_engine_ray.ops.textstats import bpe_encode_counts
+
+    return bpe_encode_counts(sf_dir)
+
+
 def _knn_pq(sf_dir: str):
     from search_engine_ray.ops.similarity import knn_pq
 
@@ -302,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": lambda sf: knn_ivf(sf),
         "knn_pq_top10": _knn_pq,
         "bpe_train_merges": _bpe_train,
+        "bpe_encode_counts": _bpe_encode,
         "bloom_doc_membership": _bloom_membership,
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,

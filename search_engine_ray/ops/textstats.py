@@ -1792,3 +1792,77 @@ def term_cooccurrence_pmi(sf_dir: str, vocab_k: int = 24,
     pairs["n_ab"] = n_ab
     return pa.Table.from_pandas(
         pairs[["a", "b", "n_ab", "pmi_e6"]], preserve_index=False)
+
+
+class BpeEncoder:
+    """Actor-pool UDF: apply LEARNED BPE merges to documents and count
+    the resulting tokens — the serving half of bpe_train_merges.
+
+    Encoding is word-level and the word vocabulary is tiny next to the
+    corpus, so a per-worker memo (word -> merged token count) makes the
+    per-doc cost a dict lookup per token after warmup; only NOVEL words
+    run the merge loop.  Merge ranks load once per actor (__init__),
+    not per batch."""
+
+    def __init__(self, merges: "list[tuple[str, str]]"):
+        self.ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self.memo: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        n = self.memo.get(word)
+        if n is not None:
+            return n
+        syms = list(word)
+        # standard greedy BPE: repeatedly merge the LOWEST-rank pair
+        while len(syms) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        if len(self.memo) >= 1_000_000:
+            self.memo.clear()  # bound per-worker memory
+        self.memo[word] = len(syms)
+        return len(syms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        counts = []
+        for t in batch.column("text").to_pylist():
+            counts.append(sum(self._encode_len(w)
+                              for w in simple_tokenize(t)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_merged_tokens": pa.array(counts, pa.int64())})
+
+
+_BPE_MERGES_CACHE: dict[tuple, list] = {}
+
+
+def bpe_encode_counts(sf_dir: str, n_merges: int = 12):
+    """(doc_id, n_bpe_merged_tokens): the corpus re-encoded with the
+    merges bpe_train_merges learns from it — train once (cached per
+    process), then ONE streaming scan with the encoder as an actor
+    pool.  The merge table is rank-ordered and tiny (n_merges rows), so
+    it ships to each actor once via the constructor, never per batch.
+
+    Gated by exact parity with an independent single-process encoder
+    (tests) — merge application is iterative argmin over learned ranks,
+    not SQL-expressible."""
+    import ray.data
+
+    key = (os.path.abspath(sf_dir), n_merges)
+    merges = _BPE_MERGES_CACHE.get(key)
+    if merges is None:
+        t = bpe_train_merges(sf_dir, n_merges=n_merges)
+        merges = list(zip(t.column("left").to_pylist(),
+                          t.column("right").to_pylist()))
+        _BPE_MERGES_CACHE[key] = merges
+    return (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(BpeEncoder, fn_constructor_kwargs={"merges": merges},
+                     batch_format="pyarrow", concurrency=2))

@@ -606,3 +606,53 @@ def test_decode_bomb_headers_raise_before_allocating(ray_session):
     assert out["ok"].tolist() == [False] * len(items) + [True]
     assert all("pixels" in e or "inflates" in e or "dimension" in e
                for e in out["err"].iloc[:len(items)])
+
+
+def test_bpe_encode_counts_matches_reference_encoder(ray_session):
+    """bpe_encode_counts (distributed, memoized word-level encode) must
+    equal an independent single-process BPE encoder applying the same
+    learned merges, doc by doc."""
+    import os
+
+    from search_engine_ray.ops.textstats import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("driver testdata absent")
+    merges = list(zip(
+        bpe_train_merges(sf, n_merges=8).column("left").to_pylist(),
+        bpe_train_merges(sf, n_merges=8).column("right").to_pylist()))
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ref_encode_len(word):
+        syms = list(word)
+        while len(syms) > 1:
+            cand = [(ranks[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return len(syms)
+
+    got = (bpe_encode_counts(sf, n_merges=8).to_pandas()
+           .set_index("doc_id")["n_bpe_merged_tokens"])
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'").df()
+    assert len(got) == len(docs)
+    for _, row in docs.iterrows():
+        want = sum(ref_encode_len(w) for w in simple_tokenize(row["text"]))
+        assert got[row["doc_id"]] == want, row["doc_id"]
+    # zero merges degenerate: every token splits to characters
+    got0 = (bpe_encode_counts(sf, n_merges=0).to_pandas()
+            .set_index("doc_id")["n_bpe_merged_tokens"])
+    for _, row in docs.head(20).iterrows():
+        want = sum(len(w) for w in simple_tokenize(row["text"]))
+        assert got0[row["doc_id"]] == want
