@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ~ the in-cap TPC-H join-aggregate family,
         # snapshot_diff ~ exact_dedup anti-join)
         "index_dict_deleted": sq.q_index_dict_deleted,
+        "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
         "search_and_not_clean": sq.q_search_and_not_clean,
         "tpch_top_supplier": sq.q_top_supplier,
@@ -417,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,
         "index_dict_merged": sq.SQL_INDEX_DICT_MERGED,
         "index_dict_deleted": sq.SQL_INDEX_DICT_DELETED,
+        "topk_per_window": sq.SQL_TOPK_PER_WINDOW,
         "search_bool_or_clean": sq.SQL_SEARCH_BOOL_OR_CLEAN,
         "search_and_not_clean": sq.SQL_SEARCH_AND_NOT_CLEAN,
         "prefix_search": sq.SQL_PREFIX_SEARCH,

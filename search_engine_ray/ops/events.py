@@ -642,3 +642,55 @@ def funnel_conversion(sf_dir: str,
                          ["user_id"], per_bucket)
     return (per.groupby(["step", "step_type"])
             .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def topk_per_window(sf_dir: str, window_s: int = 3600, k: int = 3):
+    """Continuous/windowed top-k (the streaming-top-k query shape of
+    the retrieved ICDE/SIGMOD top-k papers): the ``k`` highest-value
+    events per (event_type, tumbling window), ranked by
+    (value desc, event_id asc) with values on the exact e4-integer
+    grid so the SQL mirror hashes identically.
+
+    Plan: per-batch PARTIAL top-k per group (only k rows per group per
+    batch survive the scan — the streaming-pruning insight of the
+    continuous-top-k literature), then one bucketed per-group final
+    top-k; no window's full event list is ever collected."""
+    import ray.data
+
+    from search_engine_ray.ops.rounding import e4_halfaway
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    keys = ["event_type", "window_start_s"]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "window_start_s": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "value_e4": pa.array([], pa.int64())})
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "window_start_s": (ts // (window_s * 1_000_000)) * window_s,
+            "event_id": batch.column("event_id").to_numpy(),
+            "value_e4": e4_halfaway(batch.column("value").to_numpy()),
+        })
+        df = df.sort_values(["value_e4", "event_id"],
+                            ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby(keys, sort=False).head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_e4", "event_id"],
+                          ascending=[False, True])
+        out = g.groupby(keys, sort=False).head(k).copy()
+        out["rank"] = out.groupby(keys, sort=False).cumcount() + 1
+        return out
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "event_id", "value"])
+    return bucketed_apply(
+        ds.map_batches(partial_topk, batch_format="pyarrow"),
+        keys, final_topk)

@@ -2650,3 +2650,29 @@ SELECT term, count(DISTINCT doc_id) AS df
 FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 2
 ORDER BY term
 """
+
+
+def q_topk_per_window(sf_dir: str):
+    """Windowed/continuous top-k (streaming partial-top-k pruning per
+    batch, bucketed final): 3 highest-value events per (event_type,
+    hour window)."""
+    from search_engine_ray.ops.events import topk_per_window
+
+    return topk_per_window(sf_dir, window_s=3600, k=3)
+
+
+SQL_TOPK_PER_WINDOW = """
+WITH base AS (
+  SELECT event_type,
+         (floor(epoch(ts) / 3600))::BIGINT * 3600 AS window_start_s,
+         event_id,
+         round(value * 10000)::BIGINT AS value_e4
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type, window_start_s
+      ORDER BY value_e4 DESC, event_id) AS rank
+  FROM base)
+SELECT event_type, window_start_s, event_id, value_e4, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+"""
