@@ -109,9 +109,9 @@ def _bloom_membership(sf_dir: str):
 
 
 def _bpe_train(sf_dir: str):
-    from search_engine_ray.ops.textstats import bpe_train_merges
+    from search_engine_ray.ops.textstats import bpe_merges_table
 
-    return bpe_train_merges(sf_dir)
+    return bpe_merges_table(sf_dir)
 
 
 def _bpe_encode(sf_dir: str):

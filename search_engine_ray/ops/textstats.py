@@ -1839,7 +1839,18 @@ class BpeEncoder:
             "n_bpe_merged_tokens": pa.array(counts, pa.int64())})
 
 
-_BPE_MERGES_CACHE: dict[tuple, list] = {}
+_BPE_MERGES_CACHE: dict[tuple, pa.Table] = {}
+
+
+def bpe_merges_table(sf_dir: str, n_merges: int = 12) -> pa.Table:
+    """bpe_train_merges, cached per (sf_dir, n_merges) per process —
+    the train and encode driver entries share ONE training run."""
+    key = (os.path.abspath(sf_dir), n_merges)
+    t = _BPE_MERGES_CACHE.get(key)
+    if t is None:
+        t = bpe_train_merges(sf_dir, n_merges=n_merges)
+        _BPE_MERGES_CACHE[key] = t
+    return t
 
 
 def bpe_encode_counts(sf_dir: str, n_merges: int = 12):
@@ -1854,13 +1865,9 @@ def bpe_encode_counts(sf_dir: str, n_merges: int = 12):
     not SQL-expressible."""
     import ray.data
 
-    key = (os.path.abspath(sf_dir), n_merges)
-    merges = _BPE_MERGES_CACHE.get(key)
-    if merges is None:
-        t = bpe_train_merges(sf_dir, n_merges=n_merges)
-        merges = list(zip(t.column("left").to_pylist(),
-                          t.column("right").to_pylist()))
-        _BPE_MERGES_CACHE[key] = merges
+    t = bpe_merges_table(sf_dir, n_merges=n_merges)
+    merges = list(zip(t.column("left").to_pylist(),
+                      t.column("right").to_pylist()))
     return (ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"])

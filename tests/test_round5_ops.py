@@ -623,9 +623,9 @@ def test_bpe_encode_counts_matches_reference_encoder(ray_session):
     sf = "/root/testdata/sf0.001"
     if not os.path.exists(sf):
         pytest.skip("driver testdata absent")
-    merges = list(zip(
-        bpe_train_merges(sf, n_merges=8).column("left").to_pylist(),
-        bpe_train_merges(sf, n_merges=8).column("right").to_pylist()))
+    mt = bpe_train_merges(sf, n_merges=8)
+    merges = list(zip(mt.column("left").to_pylist(),
+                      mt.column("right").to_pylist()))
     ranks = {p: i for i, p in enumerate(merges)}
 
     def ref_encode_len(word):
