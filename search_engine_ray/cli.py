@@ -69,6 +69,9 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="bm25",
                    choices=["bm25", "reference"])
+    q.add_argument("--snippets-from", metavar="PAGES_DIR",
+                   help="attach a KWIC snippet column from the pages "
+                        "store (one scan amortized over all queries)")
 
     p = sub.add_parser("phrase",
                        help="exact token-sequence match from positional "
@@ -199,8 +202,13 @@ def main(argv=None) -> int:
         from search_engine_ray.query.distributed import DistributedSearchEngine
 
         eng = DistributedSearchEngine(args.index_dir)
-        table = search_many(eng, read_queries_file(args.queries_file),
-                            k=args.k, mode=args.mode)
+        qs = read_queries_file(args.queries_file)
+        table = search_many(eng, qs, k=args.k, mode=args.mode)
+        if args.snippets_from:
+            from search_engine_ray.ops.fulltext import attach_snippets
+
+            table = attach_snippets(args.index_dir, args.snippets_from,
+                                    table, qs)
         write_results_csv(table, args.out_csv)
         print(json.dumps({"queries": len(set(table.column('query_id')
                                              .to_pylist())),

@@ -303,3 +303,98 @@ def facet_counts(sf_dir: str, term: str = "spark"):
         "source": pa.array(out["source"], pa.string()),
         "lang": pa.array(out["lang"], pa.string()),
         "n_docs": pa.array(out["n_docs"], pa.int64())})
+
+
+class SnippetExtractor:
+    """Actor-pool UDF for attach_snippets: parser built once per actor;
+    each pages batch emits (query_id, doc_id, snippet) for the ranked
+    docs it contains."""
+
+    def __init__(self, cfg_kwargs: dict, wanted: dict, terms: dict,
+                 window: int):
+        from search_engine_ray.text.parser import Parser
+
+        self.parser = Parser(**cfg_kwargs)
+        self.wanted = wanted      # doc_id -> [query_id, ...]
+        self.terms = terms        # query_id -> parsed term list
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from search_engine_ray.ids import doc_id_for_url
+        from search_engine_ray.text.extract import extract_text
+
+        out_q, out_d, out_s = [], [], []
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        for url, html in zip(urls, htmls):
+            did = doc_id_for_url(url)
+            qids = self.wanted.get(did)
+            if qids is None:
+                continue
+            doc = self.parser.parse_page(url, extract_text(html))
+            toks = doc.tokens if doc is not None else []
+            for qid in qids:
+                pos = next((i for i, t in enumerate(toks)
+                            if t in self.terms[qid]), None)
+                if pos is None:
+                    snippet = ""
+                else:
+                    a = max(0, pos - self.window)
+                    snippet = " ".join(toks[a:pos + self.window + 1])
+                out_q.append(qid)
+                out_d.append(did)
+                out_s.append(snippet)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "snippet": pa.array(out_s, pa.string())})
+
+
+def attach_snippets(index_dir: str, pages_path: str, results: pa.Table,
+                    queries: "list[str]", window: int = 3) -> pa.Table:
+    """SERP rendering: the ``window``-token context around the first
+    query-term hit for EVERY (query_id, doc_id) row of a batch result
+    table — ONE streaming scan of the pages store amortized over all
+    queries (never a scan per query), with the index's OWN parser
+    config so snippet tokens are exactly the tokens the engine matched.
+    Docs outside the result set are skipped after a doc-id hash, so
+    per-batch work is membership + parse-only-the-hits; the broadcast
+    state is result-sized (k x |queries|), not corpus-sized.
+
+    Returns ``results`` with a ``snippet`` column appended ("" when a
+    ranked doc shows none of the query's terms — possible only in the
+    glove-blended reference mode)."""
+    import ray.data
+
+    from search_engine_ray.index import manifest as mf
+
+    man = mf.read_manifest(index_dir)
+    cfg = man["config"]
+    cfg_kwargs = {"stemming": cfg["stemming"],
+                  "tokenizer": cfg["tokenizer"],
+                  "harvest_page_url": cfg["harvest_page_url"],
+                  "raw_tokens": cfg["raw_tokens"]}
+    from search_engine_ray.text.parser import Parser
+
+    parser = Parser(**cfg_kwargs)
+    terms = {qi: set(parser.parse_sentence(q)[0])
+             for qi, q in enumerate(queries)}
+    wanted: dict[int, list[int]] = {}
+    for qid, did in zip(results.column("query_id").to_pylist(),
+                        results.column("doc_id").to_pylist()):
+        wanted.setdefault(int(did), []).append(int(qid))
+
+    snips = (ray.data.read_parquet(pages_path, columns=["url", "html"])
+             .map_batches(SnippetExtractor,
+                          fn_constructor_kwargs={
+                              "cfg_kwargs": cfg_kwargs,
+                              "wanted": wanted, "terms": terms,
+                              "window": window},
+                          batch_format="pyarrow", concurrency=2)
+             ).to_pandas()
+    import pandas as pd
+
+    res = results.to_pandas()
+    out = res.merge(snips, on=["query_id", "doc_id"], how="left")
+    out["snippet"] = out["snippet"].fillna("")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -116,3 +116,33 @@ def test_facet_counts_term_absent(ray_session):
     out = facet_counts(SF_DIR, term="nosuchterm")
     assert out.num_rows == 0
     assert out.column_names == ["source", "lang", "n_docs"]
+
+
+def test_attach_snippets_serp(built_index):
+    """attach_snippets joins a KWIC window onto every batch result row
+    via ONE pages scan; every bm25-ranked doc's snippet contains at
+    least one parsed query term, windows are bounded, and row
+    order/count of the result table is preserved."""
+    from search_engine_ray.ops.fulltext import attach_snippets
+    from search_engine_ray.query.batch import search_many
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+    from search_engine_ray.text.parser import Parser
+
+    out_dir, _, cfg, data_dir = built_index
+    eng = DistributedSearchEngine(out_dir, num_actors=2)
+    queries = ["covid vaccine", "data said", "zzznope"]
+    res = search_many(eng, queries, k=5, mode="bm25")
+    assert res.num_rows > 0
+    got = attach_snippets(out_dir, data_dir, res, queries, window=3)
+    assert got.num_rows == res.num_rows
+    assert got.column("doc_id").to_pylist() == \
+        res.column("doc_id").to_pylist()  # row order preserved
+    parser = Parser(tokenizer=cfg.tokenizer,
+                    harvest_page_url=cfg.harvest_page_url)
+    terms = {qi: set(parser.parse_sentence(q)[0])
+             for qi, q in enumerate(queries)}
+    for qid, snip in zip(got.column("query_id").to_pylist(),
+                         got.column("snippet").to_pylist()):
+        toks = snip.split()
+        assert 1 <= len(toks) <= 7  # window=3 -> at most 3+1+3
+        assert terms[qid] & set(toks), (qid, snip)
