@@ -458,6 +458,24 @@ def _caps_partial_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
     return t.set_column(i, "df_part", pa.nulls(t.num_rows, pa.int64()))
 
 
+def _filter_docmeta_file(src_f: str, dst_f: str,
+                         del_ids: np.ndarray) -> dict:
+    """Filter ONE docmeta partition file, dropping the deleted doc
+    ids; atomic write (temp + rename) under the stage commit log."""
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src_f)
+    t = t.filter(pc.invert(pc.is_in(
+        t.column("doc_id"), value_set=pa.array(del_ids, pa.int64()))))
+    tmp = dst_f + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(t, tmp, row_group_size=256)
+    os.replace(tmp, dst_f)
+    return {"rows": t.num_rows}
+
+
 def delete_docs(src_dir: str, doc_ids, out_dir: str) -> dict:
     """A new index at ``out_dir`` equal to ``src_dir`` with the given
     (hashed engine) doc ids REMOVED — the takedown / right-to-be-
@@ -475,7 +493,6 @@ def delete_docs(src_dir: str, doc_ids, out_dir: str) -> dict:
     Lucene-style deletes, which never re-run analysis)."""
     import hashlib
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data
 
@@ -494,28 +511,40 @@ def delete_docs(src_dir: str, doc_ids, out_dir: str) -> dict:
     counters: dict = {"deleted_ids": int(len(del_ids))}
 
     # ---- docmeta first: the filtered copy also yields the new corpus
-    # stats that must ride the dict shuffle as reserved rows
+    # stats that must ride the dict shuffle as reserved rows.  One
+    # DISTRIBUTED task per source file (same commit-log resume as every
+    # other stage); the driver never holds a docmeta table — at crawl
+    # scale docmeta is corpus-sized (ids + glove per doc).
     if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
-        mf.clear_stage(out_dir, "docmeta")
+        done = mf.committed_parts(out_dir, "docmeta", input_fp, cfg_fp)
+        if not done:
+            mf.clear_stage(out_dir, "docmeta")
         os.makedirs(docmeta_dir, exist_ok=True)
-        for f in sorted(glob.glob(
-                os.path.join(mf.stage_dir(src_dir, "docmeta"), "**",
-                             "*.parquet"), recursive=True)):
-            t = pq.read_table(f)
-            t = t.filter(pc.invert(pc.is_in(
-                t.column("doc_id"),
-                value_set=pa.array(del_ids, pa.int64()))))
-            pq.write_table(t, os.path.join(docmeta_dir,
-                                           os.path.basename(f)),
-                           row_group_size=256)
+        for stray in glob.glob(os.path.join(docmeta_dir, "*.tmp-*")):
+            os.remove(stray)
+        src_files = sorted(glob.glob(
+            os.path.join(mf.stage_dir(src_dir, "docmeta"), "**",
+                         "*.parquet"), recursive=True))
+        work = [(os.path.basename(f),
+                 (f, os.path.join(docmeta_dir, os.path.basename(f)),
+                  del_ids))
+                for f in src_files if os.path.basename(f) not in done]
+        _run_part_tasks(work, _filter_docmeta_file, out_dir=out_dir,
+                        stage="docmeta", input_fp=input_fp,
+                        config_fp=cfg_fp,
+                        crash_env="GRAFT_CRASH_DELETE_DOCMETA_AFTER")
         mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,
-                        config_fp=cfg_fp, counters={})
-    import pyarrow.dataset as pads
-
-    dm = pads.dataset(docmeta_dir, partitioning="hive")
-    kept = dm.to_table(columns=["doc_length"])
-    n_docs = kept.num_rows
-    sum_dl = int(pc.sum(kept.column("doc_length")).as_py() or 0)
+                        config_fp=cfg_fp,
+                        counters={"files": len(src_files)})
+    # new corpus stats as a DISTRIBUTED aggregate over the filtered
+    # docmeta (scalars reach the driver, never the rows)
+    out_files = sorted(glob.glob(os.path.join(docmeta_dir, "*.parquet")))
+    if out_files:
+        dl = ray.data.read_parquet(out_files, columns=["doc_length"])
+        n_docs = int(dl.count())
+        sum_dl = int(dl.sum("doc_length") or 0)
+    else:
+        n_docs, sum_dl = 0, 0
 
     spill_dir = os.path.join(_spill_base(out_dir), "_delete_spill")
 
