@@ -318,22 +318,33 @@ def merge_indexes(src_dirs: list[str], out_dir: str) -> dict:
     counters.update(n_docs=n_docs, sum_doc_length=sum_dl,
                     avg_doc_length=avg_dl)
 
-    # ---- docmeta: disjoint doc sets concatenate file-wise (at cluster
-    # scale this is an object-store/fs move, not a recompute); the g{i}
-    # prefix keeps names collision-free when two generations were built
-    # from same-named inputs
+    # ---- docmeta: disjoint doc sets concatenate file-wise — one COPY
+    # TASK per file under the stage commit log (file bytes move between
+    # workers and storage, never through the driver); the g{i} prefix
+    # keeps names collision-free when two generations were built from
+    # same-named inputs
     if not mf.stage_complete(out_dir, "docmeta", input_fp, cfg_fp):
-        mf.clear_stage(out_dir, "docmeta")
+        done = mf.committed_parts(out_dir, "docmeta", input_fp, cfg_fp)
+        if not done:
+            mf.clear_stage(out_dir, "docmeta")
         os.makedirs(docmeta_dir, exist_ok=True)
+        for stray in glob.glob(os.path.join(docmeta_dir, "*.tmp-*")):
+            os.remove(stray)
+        work = []
         n_files = 0
         for i, d in enumerate(src_dirs):
             for f in sorted(glob.glob(
                     os.path.join(mf.stage_dir(d, "docmeta"), "**",
                                  "*.parquet"), recursive=True)):
-                dst = os.path.join(docmeta_dir,
-                                   f"g{i:03d}-{os.path.basename(f)}")
-                shutil.copy2(f, dst)
+                name = f"g{i:03d}-{os.path.basename(f)}"
                 n_files += 1
+                if name not in done:
+                    work.append((name, (f, os.path.join(docmeta_dir,
+                                                        name))))
+        _run_part_tasks(work, _copy_file_task, out_dir=out_dir,
+                        stage="docmeta", input_fp=input_fp,
+                        config_fp=cfg_fp,
+                        crash_env="GRAFT_CRASH_MERGE_DOCMETA_AFTER")
         mf.commit_stage(out_dir, "docmeta", input_fp=input_fp,
                         config_fp=cfg_fp, counters={"files": n_files})
 
@@ -456,6 +467,16 @@ def _caps_partial_rows(batch: pa.Table, term_buckets: int) -> pa.Table:
     t = t.filter(pc.invert(pc.starts_with(t.column("term"), "\x01")))
     i = t.schema.get_field_index("df_part")
     return t.set_column(i, "df_part", pa.nulls(t.num_rows, pa.int64()))
+
+
+def _copy_file_task(src_f: str, dst_f: str) -> dict:
+    """Copy ONE docmeta partition file (atomic temp + rename)."""
+    import uuid
+
+    tmp = dst_f + f".tmp-{uuid.uuid4().hex[:8]}"
+    shutil.copy2(src_f, tmp)
+    os.replace(tmp, dst_f)
+    return {"bytes": os.path.getsize(dst_f)}
 
 
 def _filter_docmeta_file(src_f: str, dst_f: str,
