@@ -70,21 +70,8 @@ class MediaDecoder:
     def _wav_features(self, payload: bytes) -> np.ndarray:
         """(duration_s, sample_rate, channels, rms, peak, zero-cross rate)
         from PCM WAV — pure stdlib."""
-        import io
-        import wave
-
-        with wave.open(io.BytesIO(payload)) as w:
-            nf, sr, ch, sw = (w.getnframes(), w.getframerate(),
-                              w.getnchannels(), w.getsampwidth())
-            raw = w.readframes(nf)
-        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
-        if dtype is None:
-            raise NotImplementedError(f"WAV sample width {sw}")
-        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-        if sw == 1:
-            x -= 128.0
-        scale = float(2 ** (8 * sw - 1))
-        x /= scale
+        x, sr, ch = decode_wav(payload)
+        nf = len(x) // ch if ch else 0
         rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
         peak = float(np.max(np.abs(x))) if len(x) else 0.0
         zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
@@ -321,6 +308,27 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int, int]":
+    """PCM WAV bytes -> (interleaved float64 samples in [-1, 1],
+    sample_rate, channels) — pure stdlib ``wave``.  8/16/32-bit PCM;
+    anything else raises into the stage quarantine."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nf, sr, ch, sw = (w.getnframes(), w.getframerate(),
+                          w.getnchannels(), w.getsampwidth())
+        raw = w.readframes(nf)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x -= 128.0
+    x /= float(2 ** (8 * sw - 1))
+    return x, sr, ch
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """float[-1,1] mono -> 16-bit PCM WAV bytes (stdlib; test fixture +
     example of the payload contract)."""
@@ -342,6 +350,100 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     h, w, _ = pixels.shape
     return (f"P6\n{w} {h}\n255\n".encode()
             + pixels.astype(np.uint8).tobytes())
+
+
+# --------------------------------------------------- audio spectral stage
+class AudioFeaturizer:
+    """Spectral feature extraction over PCM WAV payloads — the speech-
+    pipeline analogue of the image decode stage (filterbank front-end a
+    real pipeline would feed to a VAD / language-ID / ASR model).
+
+    Pure numpy: Hann-windowed framed rFFT power spectra averaged over
+    frames, reduced to a fixed 14-float vector per payload:
+
+      [duration_s, sample_rate, channels, rms, zero_cross_rate,
+       centroid_hz, bandwidth_hz, rolloff85_hz, flatness,
+       band0..band3 energy fractions (equal quarters of [0, sr/2]),
+       n_frames]
+
+    Actor-pool stage (windows precomputed per frame size in ``__init__``
+    cache); quarantine contract identical to ``MediaDecoder`` (X106):
+    a malformed payload yields ``ok=False`` + ``err``, never a raise.
+    """
+
+    DIM = 14
+
+    def __init__(self, frame: int = 256, hop: int = 128):
+        self.frame = int(frame)
+        self.hop = int(hop)
+        self.window = np.hanning(self.frame)
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        x, sr, ch = decode_wav(payload)
+        if ch > 1:  # interleaved -> mono mixdown
+            x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+        dur = len(x) / sr if sr else 0.0
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+               if len(x) > 1 else 0.0)
+        if len(x) < self.frame:
+            x = np.pad(x, (0, self.frame - len(x)))
+        frames = np.lib.stride_tricks.sliding_window_view(
+            x, self.frame)[::self.hop]
+        spec = np.abs(np.fft.rfft(frames * self.window, axis=1)) ** 2
+        spec = spec.mean(axis=0)
+        freqs = np.fft.rfftfreq(self.frame, d=1.0 / sr if sr else 1.0)
+        total = float(spec.sum())
+        if total > 0.0:
+            centroid = float((freqs * spec).sum() / total)
+            bandwidth = float(np.sqrt(
+                ((freqs - centroid) ** 2 * spec).sum() / total))
+            rolloff = float(freqs[int(np.searchsorted(
+                np.cumsum(spec), 0.85 * total))])
+            body = spec[1:]  # DC excluded from the flatness ratio
+            flatness = float(np.exp(np.mean(np.log(body + 1e-12)))
+                             / (body.mean() + 1e-12))
+            # equal quarters of [0, sr/2]; digitize the bin freqs once
+            edges = np.array([0.25, 0.5, 0.75]) * (sr / 2.0)
+            bands = np.bincount(np.digitize(freqs, edges),
+                                weights=spec, minlength=4) / total
+        else:
+            centroid = bandwidth = rolloff = flatness = 0.0
+            bands = np.zeros(4)
+        return np.array([dur, float(sr), float(ch), rms, zcr,
+                         centroid, bandwidth, rolloff, flatness,
+                         *bands.tolist(), float(len(frames))])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, oks, errs = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                feats.append(self._features(payload))
+                oks.append(True)
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                feats.append(np.zeros(self.DIM))
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+        flat = pa.array(np.concatenate(feats) if feats else np.zeros(0),
+                        pa.float64())
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "features": pa.FixedSizeListArray.from_arrays(flat, self.DIM),
+            "ok": pa.array(oks, pa.bool_()),
+            "err": pa.array(errs, pa.string()),
+        })
+
+
+def audio_features(ds, *, frame: int = 256, hop: int = 128,
+                   batch_size: int = 64, concurrency: int = 2):
+    """The audio spectral-feature stage: small batches (wide binary
+    rows), actor pool, fixed-dim typed output."""
+    return ds.map_batches(
+        AudioFeaturizer,
+        fn_constructor_kwargs={"frame": frame, "hop": hop},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 def _pnm_header(payload: bytes, off: int = 0):

@@ -656,3 +656,83 @@ def test_bpe_encode_counts_matches_reference_encoder(ray_session):
     for _, row in docs.head(20).iterrows():
         want = sum(len(w) for w in simple_tokenize(row["text"]))
         assert got0[row["doc_id"]] == want
+
+
+def test_audio_featurizer_spectral_ground_truth(ray_session):
+    """AudioFeaturizer through the real Ray stage: a pure 1 kHz tone
+    must measure centroid ~1 kHz / tiny bandwidth / low flatness, white
+    noise must be flat with spread band energy, silence all-zero
+    spectral stats, and a corrupt payload quarantines (X106 contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.ops.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = encode_wav(0.5 * np.sin(2 * np.pi * 1000 * t), sr)
+    silence = encode_wav(np.zeros(sr), sr)
+    noise = encode_wav(
+        np.random.default_rng(0).uniform(-0.5, 0.5, sr), sr)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([tone, silence, noise, b"RIFFgarbage"],
+                            pa.binary()),
+    })
+    out = (audio_features(ray.data.from_arrow(tbl), batch_size=2)
+           .to_pandas().sort_values("media_id"))
+    assert out["ok"].tolist() == [True, True, True, False]
+    f = np.array(out["features"].tolist())
+    # layout: dur sr ch rms zcr centroid bw rolloff flat b0..b3 nframes
+    assert abs(f[0, 0] - 1.0) < 1e-9 and f[0, 1] == sr
+    assert abs(f[0, 5] - 1000.0) < 5.0          # tone centroid
+    assert f[0, 6] < 50.0                       # tone bandwidth tight
+    assert f[0, 9] + f[0, 10] > 0.99            # energy at the 1kHz edge
+    assert abs(f[0, 3] - 0.5 / np.sqrt(2)) < 0.01
+    assert f[1, 3] == 0.0 and f[1, 5] == 0.0 and f[1, 8] == 0.0
+    assert f[2, 8] > 0.9 > 10 * f[0, 8]         # noise flat, tone peaky
+    assert f[2, 11] + f[2, 12] > 0.4            # noise energy spread
+    assert abs(f[2, 5] - 2000.0) < 200.0        # white-noise centroid
+    assert (f[3] == 0).all()
+    assert "Error" in out["err"].iloc[3]
+
+
+def test_audio_featurizer_stereo_and_short(ray_session):
+    """Channel mixdown and shorter-than-one-frame padding paths."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_ray.ops.multimodal import AudioFeaturizer
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    left = 0.5 * np.sin(2 * np.pi * 500 * t)
+    # stereo: identical channels -> mono mixdown equals one channel
+    inter = np.empty(2 * sr)
+    inter[0::2] = left
+    inter[1::2] = left
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((inter * 32767).astype("<i2").tobytes())
+    stereo = buf.getvalue()
+    from search_engine_ray.ops.multimodal import encode_wav
+
+    short = encode_wav(0.3 * np.ones(40), sr)   # < one 256 frame
+    out = AudioFeaturizer()(pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([stereo, short], pa.binary()),
+    }))
+    f = np.array(out.column("features").to_pylist())
+    assert out.column("ok").to_pylist() == [True, True]
+    assert f[0, 2] == 2.0 and abs(f[0, 5] - 500.0) < 5.0
+    assert f[1, 13] == 1.0 and f[1, 3] > 0.0    # one padded frame
