@@ -253,6 +253,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # small_qty_revenue/part_supplier_diversity/disjunctive_revenue
         # ~ the in-cap TPC-H join-aggregate family,
         # snapshot_diff ~ exact_dedup anti-join)
+        # (round-5 additions past the cap: autocomplete shares the
+        # prefix_search family's in-cap dict-scan gate; dup_rate shares
+        # exact_dedup's in-cap fingerprint-shuffle gate)
+        "autocomplete_top5": sq.q_autocomplete,
+        "dup_rate_per_source": sq.q_dup_rate_per_source,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -422,6 +427,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bool_or_clean": sq.SQL_SEARCH_BOOL_OR_CLEAN,
         "search_and_not_clean": sq.SQL_SEARCH_AND_NOT_CLEAN,
         "prefix_search": sq.SQL_PREFIX_SEARCH,
+        "autocomplete_top5": sq.SQL_AUTOCOMPLETE,
+        "dup_rate_per_source": sq.SQL_DUP_RATE_PER_SOURCE,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

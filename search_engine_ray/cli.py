@@ -84,11 +84,15 @@ def main(argv=None) -> int:
 
     lk = sub.add_parser("lookup",
                         help="dictionary lookups: --prefix p (wildcard "
-                             "p*) or --fuzzy q (edit distance <= 1)")
+                             "p*), --fuzzy q (edit distance <= 1), or "
+                             "--complete p (top-k completions by df)")
     lk.add_argument("index_dir")
     g = lk.add_mutually_exclusive_group(required=True)
     g.add_argument("--prefix")
     g.add_argument("--fuzzy")
+    g.add_argument("--complete")
+    lk.add_argument("-k", type=int, default=5,
+                    help="completions per prefix (--complete only)")
 
     dl = sub.add_parser("delete",
                         help="new index without the given doc ids "
@@ -168,6 +172,15 @@ def main(argv=None) -> int:
             for term, df in zip(t.column("term").to_pylist(),
                                 t.column("df").to_pylist()):
                 print(f"{term}\t{df}")
+        elif args.complete is not None:
+            from search_engine_ray.ops.fulltext import autocomplete_index
+
+            t = autocomplete_index(args.index_dir, [args.complete],
+                                   k=args.k)
+            for rank, term, df in zip(t.column("rank").to_pylist(),
+                                      t.column("term").to_pylist(),
+                                      t.column("df").to_pylist()):
+                print(f"{rank}\t{term}\t{df}")
         else:
             t = fuzzy_terms_index(args.index_dir, args.fuzzy)
             for term, dist, df in zip(t.column("term").to_pylist(),

@@ -130,6 +130,65 @@ def exact_dedup(sf_dir: str):
     return bucketed_apply(tagged, ["doc_id"], attach)
 
 
+def dup_rate_per_source(sf_dir: str):
+    """(source, n_docs, n_distinct, n_dup): exact-duplicate pressure per
+    source/domain — the curation report that decides which hosts need
+    dedup attention before any is spent.  Same 128-bit fingerprint
+    shuffle shape as exact_dedup_ids: (source, fp) pairs pre-deduped
+    per batch with a partial count, complete (source, fp) groups meet
+    in one bucket shuffle, each bucket emits per-source partial
+    (rows, distinct) counts, and the driver merges source-dimension-
+    sized partials only — text never leaves its read task."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "text"])
+
+    def fp_pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        dig = b"".join(hashlib.blake2b(t.encode("utf-8"),
+                                       digest_size=16).digest()
+                       for t in texts)
+        both = np.frombuffer(dig, dtype="<i8").reshape(len(texts), 2) \
+            if texts else np.zeros((0, 2), np.int64)
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "fp_hi": both[:, 0], "fp_lo": both[:, 1]})
+        out = (df.groupby(["source", "fp_hi", "fp_lo"], sort=False)
+                 .size().rename("n").reset_index())
+        return pa.table({
+            "source": pa.array(out["source"], pa.string()),
+            "fp_hi": pa.array(out["fp_hi"], pa.int64()),
+            "fp_lo": pa.array(out["fp_lo"], pa.int64()),
+            "n": pa.array(out["n"], pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = (g.groupby(["source", "fp_hi", "fp_lo"], sort=False)
+                  ["n"].sum().reset_index())
+        return (pairs.groupby("source", sort=False)
+                .agg(n_docs=("n", "sum"), n_distinct=("n", "size"))
+                .reset_index())
+
+    parts = bucketed_apply(
+        ds.map_batches(fp_pairs, batch_format="pyarrow"),
+        ["source", "fp_hi", "fp_lo"], per_bucket).to_pandas()
+    if parts.empty:
+        z = pa.array([], pa.int64())
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": z, "n_distinct": z, "n_dup": z})
+    out = (parts.groupby("source", sort=True)[["n_docs", "n_distinct"]]
+           .sum().reset_index())
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "n_dup": pa.array(out["n_docs"] - out["n_distinct"], pa.int64()),
+    })
+
+
 # --------------------------------------------------------------- minhash
 class MinHasher:
     """Actor-pool UDF: word-3-gram shingles -> 64 minhashes -> LSH band

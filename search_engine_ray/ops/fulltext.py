@@ -230,6 +230,94 @@ def fuzzy_terms(sf_dir: str, q: str = "sow"):
     return fuzzy_terms_index(_clean_index(sf_dir)[0], q)
 
 
+def autocomplete_index(index_dir: str, prefixes, k: int = 5):
+    """Search-box autocomplete: the top-``k`` dictionary completions per
+    prefix ranked by df DESC (ties: term ASC), served from the bucketed
+    dict parquet of a BUILT index.
+
+    Scale shape: one distributed dict scan filters matches for ALL
+    prefixes at once; the collision winner rule + per-prefix top-k run
+    inside a term-keyed bucket shuffle (complete final-term groups per
+    bucket, so the max-``orig_term`` winner is decided before ranking —
+    a per-batch top-k could keep a loser row whose df differs), and only
+    ``n_buckets x len(prefixes) x k`` partial rows reach the driver.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    prefixes = list(prefixes)
+    empty = pa.table({"prefix": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+    files = dict_files_of(index_dir)
+    if not files or not prefixes:
+        return empty
+
+    def part(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term")
+        keep = pc.invert(pc.or_(pc.starts_with(terms, "\x00"),
+                                pc.starts_with(terms, "\x01")))
+        any_p = None
+        for p in prefixes:
+            m = pc.starts_with(terms, p)
+            any_p = m if any_p is None else pc.or_(any_p, m)
+        # per-batch pre-combine: the winner rule keeps the row of the
+        # max orig_term per final term — associative, so a partial max
+        # inside the batch is sound and shrinks the shuffle
+        df = batch.filter(pc.and_(keep, any_p)).to_pandas()
+        df = (df.sort_values(["term", "orig_term"])
+                .groupby("term", sort=False).last().reset_index())
+        # explicit types: a 0-match batch must not emit null-typed
+        # columns into the shuffle
+        return pa.table({
+            "term": pa.array(df["term"], pa.string()),
+            "orig_term": pa.array(df["orig_term"], pa.string()),
+            "df": pa.array(df["df"], pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        winners = (g.sort_values(["term", "orig_term"])
+                     .groupby("term", sort=False).last().reset_index())
+        outs = []
+        for p in prefixes:
+            sub = winners[winners["term"].str.startswith(p)]
+            top = sub.sort_values(["df", "term"],
+                                  ascending=[False, True]).head(k)
+            outs.append(pd.DataFrame({
+                "prefix": p, "term": top["term"], "df": top["df"]}))
+        return pd.concat(outs, ignore_index=True)
+
+    matches = (ray.data.read_parquet(
+        files, columns=["term", "orig_term", "df"])
+        .map_batches(part, batch_format="pyarrow"))
+    parts = bucketed_apply(matches, ["term"], per_bucket).to_pandas()
+    if parts.empty:
+        return empty
+    rows = []
+    for p in prefixes:
+        top = (parts[parts["prefix"] == p]
+               .sort_values(["df", "term"], ascending=[False, True])
+               .head(k).reset_index(drop=True))
+        top["rank"] = np.arange(1, len(top) + 1)
+        rows.append(top)
+    out = pd.concat(rows, ignore_index=True)
+    return pa.table({
+        "prefix": pa.array(out["prefix"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "df": pa.array(out["df"], pa.int64())})
+
+
+def autocomplete(sf_dir: str, prefixes=("s", "qu", "w"), k: int = 5):
+    """autocomplete_index over the clean index built from the sf_dir
+    documents table (the SQL-oracled driver entry)."""
+    from search_engine_ray.ops.sqlcheck import _clean_index
+
+    return autocomplete_index(_clean_index(sf_dir)[0], prefixes, k=k)
+
+
 def doc_snippets(sf_dir: str, term: str = "spark", window: int = 3):
     """(doc_id, snippet): the ``window``-token context around the FIRST
     occurrence of ``term`` in each matching doc — keyword-in-context

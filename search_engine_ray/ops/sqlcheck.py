@@ -213,6 +213,24 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
 
+def q_dup_rate_per_source(sf_dir: str):
+    """Exact-duplicate pressure per source (fingerprint shuffle; the
+    128-bit fp makes count-distinct collisions negligible at any
+    corpus size)."""
+    from search_engine_ray.ops.dedup import dup_rate_per_source
+
+    return dup_rate_per_source(sf_dir)
+
+
+SQL_DUP_RATE_PER_SOURCE = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct,
+       count(*) - count(DISTINCT text) AS n_dup
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_lang_counts(sf_dir: str):
     from search_engine_ray.ops.textstats import lang_counts
 
@@ -2383,6 +2401,33 @@ FROM documents
 WHERE list_contains({_TOKS_SQL}, 'spark')
 GROUP BY source, lang
 ORDER BY source, lang
+"""
+
+
+def q_autocomplete(sf_dir: str):
+    """Search-box autocomplete: top-5 dictionary completions per prefix
+    by df DESC (ties term ASC), served from the clean index dictionary
+    through the term-bucketed winner-rule shuffle."""
+    from search_engine_ray.ops.fulltext import autocomplete
+
+    return autocomplete(sf_dir, prefixes=("s", "qu", "w"), k=5)
+
+
+SQL_AUTOCOMPLETE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 2),
+ranked AS (
+  SELECT p.prefix, d.term, d.df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY d.df DESC, d.term) AS rank
+  FROM dict d
+  JOIN (SELECT * FROM (VALUES ('s'), ('qu'), ('w')) v(prefix)) p
+    ON d.term LIKE p.prefix || '%')
+SELECT prefix, rank, term, df FROM ranked WHERE rank <= 5
+ORDER BY prefix, rank
 """
 
 

@@ -96,3 +96,21 @@ def test_ray_session_survives_cli(ray_session):
     import ray
 
     assert ray.is_initialized()
+
+
+def test_lookup_complete_ranks_by_df(cli_index, capsys):
+    from search_engine_ray.ops.fulltext import prefix_search_index
+
+    rc = main(["lookup", cli_index, "--complete", "n", "-k", "3"])
+    assert rc == 0
+    lines = [ln.split("\t") for ln in
+             capsys.readouterr().out.strip().splitlines() if ln]
+    assert 0 < len(lines) <= 3
+    assert [int(r) for r, _, _ in lines] == list(range(1, len(lines) + 1))
+    dfs = [int(df) for _, _, df in lines]
+    assert dfs == sorted(dfs, reverse=True)
+    # equals brute-force ranking of the full prefix result
+    full = prefix_search_index(cli_index, "n").to_pandas()
+    want = (full.sort_values(["df", "term"], ascending=[False, True])
+            .head(3))
+    assert [t for _, t, _ in lines] == want["term"].tolist()

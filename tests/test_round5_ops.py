@@ -736,3 +736,54 @@ def test_audio_featurizer_stereo_and_short(ray_session):
     assert out.column("ok").to_pylist() == [True, True]
     assert f[0, 2] == 2.0 and abs(f[0, 5] - 500.0) < 5.0
     assert f[1, 13] == 1.0 and f[1, 3] > 0.0    # one padded frame
+
+
+def test_dup_rate_per_source_planted(ray_session, tmp_path):
+    """Planted exact duplicates: counts must be exact per source (the
+    sf corpora have no dups, so this is the real exercise)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.dedup import dup_rate_per_source
+
+    rows = (
+        [("a", "alpha beta")] * 3 + [("a", "gamma")] +
+        [("b", "alpha beta")] +          # same text, other source
+        [("b", f"doc {i}") for i in range(4)] + [("b", "doc 0")] +
+        [("c", "solo")])
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([t for _, t in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([s for s, _ in rows], pa.string()),
+        "n_chars": pa.array([len(t) for _, t in rows], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = dup_rate_per_source(str(tmp_path)).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT text) AS n_distinct,
+               count(*) - count(DISTINCT text) AS n_dup
+        FROM '{tmp_path}/documents.parquet'
+        GROUP BY source ORDER BY source""").df()
+    assert (got.values == want.values).all()
+    assert got.set_index("source")["n_dup"].to_dict() == {
+        "a": 2, "b": 1, "c": 0}
+
+
+def test_autocomplete_consistent_with_prefix_search():
+    """autocomplete's bucketed top-k must equal brute-force ranking of
+    the (winner-resolved) prefix_search result for every prefix."""
+    from search_engine_ray.ops.fulltext import autocomplete, prefix_search
+
+    sf = "/root/testdata/sf0.01"
+    got = autocomplete(sf, prefixes=("s", "w"), k=3).to_pandas()
+    for p in ("s", "w"):
+        full = prefix_search(sf, prefix=p).to_pandas()
+        want = (full.sort_values(["df", "term"],
+                                 ascending=[False, True]).head(3))
+        sub = got[got["prefix"] == p].sort_values("rank")
+        assert sub["term"].tolist() == want["term"].tolist()
+        assert sub["df"].tolist() == want["df"].tolist()
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
