@@ -46,16 +46,27 @@ def _hash64(data: bytes, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
+def _fp128(texts: list[str]) -> np.ndarray:
+    """128-bit blake2b text fingerprints as an (n, 2) int64 array — the
+    exact-dedup identity every fingerprint-shuffle op shares.  A 63-bit
+    key has ~5% birthday-collision odds at 10^9 docs; 127 bits make a
+    collision negligible at any corpus size for the same shuffle shape."""
+    dig = b"".join(hashlib.blake2b(t.encode("utf-8"),
+                                   digest_size=16).digest()
+                   for t in texts)
+    return (np.frombuffer(dig, dtype="<i8").reshape(len(texts), 2)
+            if texts else np.zeros((0, 2), np.int64))
+
+
 # ----------------------------------------------------------------- exact
 def exact_dedup_ids(sf_dir: str):
     """Surviving doc_ids of exact text dedup (min doc_id per distinct
     text) — the 100-TB core: ONLY (fp, doc_id) triples ride the
     fingerprint shuffle; text never leaves its read task.  The
-    fingerprint is 128-bit blake2 split across two int64 columns: a
-    63-bit key has ~5% birthday-collision odds at 10^9 docs (a collision
-    silently drops a distinct document), 127 bits make it negligible at
-    any corpus size for the same shuffle shape.  Compositions that need
-    just the keep-set (curate) use this directly."""
+    fingerprint is 128-bit blake2 split across two int64 columns
+    (`_fp128`): a 63-bit key would silently drop a distinct document on
+    a birthday collision.  Compositions that need just the keep-set
+    (curate) use this directly."""
     import pandas as pd
     import ray.data
 
@@ -65,12 +76,7 @@ def exact_dedup_ids(sf_dir: str):
                                columns=["doc_id", "text"])
 
     def fp_id(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        dig = b"".join(hashlib.blake2b(t.encode("utf-8"),
-                                       digest_size=16).digest()
-                       for t in texts)
-        both = np.frombuffer(dig, dtype="<i8").reshape(len(texts), 2) \
-            if texts else np.zeros((0, 2), np.int64)
+        both = _fp128(batch.column("text").to_pylist())
         return pa.table({"fp_hi": pa.array(both[:, 0], pa.int64()),
                          "fp_lo": pa.array(both[:, 1], pa.int64()),
                          "doc_id": batch.column("doc_id")})
@@ -148,27 +154,27 @@ def dup_rate_per_source(sf_dir: str):
                                columns=["source", "text"])
 
     def fp_pairs(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        dig = b"".join(hashlib.blake2b(t.encode("utf-8"),
-                                       digest_size=16).digest()
-                       for t in texts)
-        both = np.frombuffer(dig, dtype="<i8").reshape(len(texts), 2) \
-            if texts else np.zeros((0, 2), np.int64)
+        both = _fp128(batch.column("text").to_pylist())
         df = pd.DataFrame({
             "source": batch.column("source").to_pylist(),
             "fp_hi": both[:, 0], "fp_lo": both[:, 1]})
-        out = (df.groupby(["source", "fp_hi", "fp_lo"], sort=False)
+        # dropna=False everywhere: SQL GROUP BY keeps a NULL source
+        # group; pandas' default would silently drop those docs
+        out = (df.groupby(["source", "fp_hi", "fp_lo"], sort=False,
+                          dropna=False)
                  .size().rename("n").reset_index())
         return pa.table({
-            "source": pa.array(out["source"], pa.string()),
+            "source": pa.array(out["source"], pa.string(),
+                               from_pandas=True),
             "fp_hi": pa.array(out["fp_hi"], pa.int64()),
             "fp_lo": pa.array(out["fp_lo"], pa.int64()),
             "n": pa.array(out["n"], pa.int64())})
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = (g.groupby(["source", "fp_hi", "fp_lo"], sort=False)
+        pairs = (g.groupby(["source", "fp_hi", "fp_lo"], sort=False,
+                           dropna=False)
                   ["n"].sum().reset_index())
-        return (pairs.groupby("source", sort=False)
+        return (pairs.groupby("source", sort=False, dropna=False)
                 .agg(n_docs=("n", "sum"), n_distinct=("n", "size"))
                 .reset_index())
 
@@ -179,10 +185,10 @@ def dup_rate_per_source(sf_dir: str):
         z = pa.array([], pa.int64())
         return pa.table({"source": pa.array([], pa.string()),
                          "n_docs": z, "n_distinct": z, "n_dup": z})
-    out = (parts.groupby("source", sort=True)[["n_docs", "n_distinct"]]
-           .sum().reset_index())
+    out = (parts.groupby("source", sort=True, dropna=False)
+           [["n_docs", "n_distinct"]].sum().reset_index())
     return pa.table({
-        "source": pa.array(out["source"], pa.string()),
+        "source": pa.array(out["source"], pa.string(), from_pandas=True),
         "n_docs": pa.array(out["n_docs"], pa.int64()),
         "n_distinct": pa.array(out["n_distinct"], pa.int64()),
         "n_dup": pa.array(out["n_docs"] - out["n_distinct"], pa.int64()),

@@ -253,7 +253,9 @@ def autocomplete_index(index_dir: str, prefixes, k: int = 5):
                       "term": pa.array([], pa.string()),
                       "df": pa.array([], pa.int64())})
     files = dict_files_of(index_dir)
-    if not files or not prefixes:
+    # k <= 0 completes nothing (pandas head(-1) would instead return
+    # all-but-last — garbage ranks), matching the engine's k<0 => []
+    if not files or not prefixes or k <= 0:
         return empty
 
     def part(batch: pa.Table) -> pa.Table:
@@ -483,6 +485,10 @@ def attach_snippets(index_dir: str, pages_path: str, results: pa.Table,
     import pandas as pd
 
     res = results.to_pandas()
+    # a crash-interrupted pages store can hold the same url twice
+    # (append-then-marker write protocol) — collapse to one snippet per
+    # (query_id, doc_id) so the left-merge never duplicates ranked rows
+    snips = snips.drop_duplicates(["query_id", "doc_id"])
     out = res.merge(snips, on=["query_id", "doc_id"], how="left")
     out["snippet"] = out["snippet"].fillna("")
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -146,3 +146,40 @@ def test_attach_snippets_serp(built_index):
         toks = snip.split()
         assert 1 <= len(toks) <= 7  # window=3 -> at most 3+1+3
         assert terms[qid] & set(toks), (qid, snip)
+
+
+def test_attach_snippets_duplicated_pages_store(built_index, tmp_path):
+    """A crash-interrupted pages store can hold the same url twice
+    (append-then-marker protocol); the snippet join must still emit
+    exactly ONE row per ranked result, not expand duplicates."""
+    import shutil
+
+    from search_engine_ray.ops.fulltext import attach_snippets
+    from search_engine_ray.query.batch import search_many
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    out_dir, _, _, data_dir = built_index
+    dup_dir = tmp_path / "pages_dup"
+    dup_dir.mkdir()
+    shutil.copy(f"{data_dir}/pages.parquet", dup_dir / "pages.parquet")
+    shutil.copy(f"{data_dir}/pages.parquet", dup_dir / "pages2.parquet")
+    eng = DistributedSearchEngine(out_dir, num_actors=2)
+    queries = ["covid vaccine"]
+    res = search_many(eng, queries, k=5, mode="bm25")
+    assert res.num_rows > 0
+    got = attach_snippets(out_dir, str(dup_dir), res, queries, window=3)
+    assert got.num_rows == res.num_rows
+    assert got.column("doc_id").to_pylist() == \
+        res.column("doc_id").to_pylist()
+    assert all(s for s in got.column("snippet").to_pylist())
+
+
+def test_autocomplete_nonpositive_k(ray_session):
+    """k<=0 must complete nothing (head(-1) would return all-but-last)."""
+    from search_engine_ray.ops.fulltext import autocomplete
+
+    sf = "/root/testdata/sf0.01"
+    for k in (0, -1):
+        out = autocomplete(sf, prefixes=("s",), k=k)
+        assert out.num_rows == 0
+        assert out.column_names == ["prefix", "rank", "term", "df"]

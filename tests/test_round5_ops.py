@@ -751,7 +751,8 @@ def test_dup_rate_per_source_planted(ray_session, tmp_path):
         [("a", "alpha beta")] * 3 + [("a", "gamma")] +
         [("b", "alpha beta")] +          # same text, other source
         [("b", f"doc {i}") for i in range(4)] + [("b", "doc 0")] +
-        [("c", "solo")])
+        [("c", "solo")] +
+        [(None, "nul dup")] * 2 + [(None, "nul solo")])  # NULL group
     tbl = pa.table({
         "doc_id": pa.array(range(len(rows)), pa.int64()),
         "text": pa.array([t for _, t in rows], pa.string()),
@@ -767,9 +768,13 @@ def test_dup_rate_per_source_planted(ray_session, tmp_path):
                count(*) - count(DISTINCT text) AS n_dup
         FROM '{tmp_path}/documents.parquet'
         GROUP BY source ORDER BY source""").df()
+    # SQL keeps a NULL-source group (pandas' default groupby would
+    # silently drop those docs) — normalize NULL for the comparison
+    got["source"] = got["source"].fillna("<null>")
+    want["source"] = want["source"].fillna("<null>")
     assert (got.values == want.values).all()
     assert got.set_index("source")["n_dup"].to_dict() == {
-        "a": 2, "b": 1, "c": 0}
+        "a": 2, "b": 1, "c": 0, "<null>": 1}
 
 
 def test_autocomplete_consistent_with_prefix_search():
