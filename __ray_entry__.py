@@ -220,7 +220,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence_pmi": sq.q_term_cooccurrence_pmi,
         "phrase_match": sq.q_phrase_match,
         "source_quality_centroids": sq.q_source_quality_centroids,
-        "proximity_match": sq.q_proximity_match,
+        # iterative graph analytics (round 5, new family): click-graph
+        # PageRank — distributed edge extraction, integer-exact power
+        # iteration, unrolled-CTE SQL mirror.  Displaces the
+        # proximity_match SCAN row (shape-redundant with the in-cap
+        # phrase_match scan; its values are re-checked by
+        # proximity_match_indexed below).
+        "click_pagerank": sq.q_click_pagerank,
         "phrase_match_indexed": sq.q_phrase_match_indexed,
         "proximity_match_indexed": sq.q_proximity_match_indexed,
         # fulltext serving tier (round 5): prefix / fuzzy lookups over
@@ -258,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact_dedup's in-cap fingerprint-shuffle gate)
         "autocomplete_top5": sq.q_autocomplete,
         "dup_rate_per_source": sq.q_dup_rate_per_source,
+        "proximity_match": sq.q_proximity_match,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -429,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_search": sq.SQL_PREFIX_SEARCH,
         "autocomplete_top5": sq.SQL_AUTOCOMPLETE,
         "dup_rate_per_source": sq.SQL_DUP_RATE_PER_SOURCE,
+        "click_pagerank": sq.SQL_CLICK_PAGERANK,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

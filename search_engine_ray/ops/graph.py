@@ -1,0 +1,129 @@
+"""Graph analytics over the events click stream.
+
+The `events` table is a web click log: `props.k` is the page/item a
+user touched, so consecutive events of one user (ordered by ts,
+event_id) define a directed co-visitation edge k_prev -> k_next — the
+classic click-graph construction behind "important pages" ranking
+(Brin & Page's PageRank, public 1998 paper).
+
+Scale shape: edge EXTRACTION is the 100-TB-sized work and runs fully
+distributed — one user-keyed bucket shuffle (complete user streams per
+bucket), vectorized sort+shift pairing per bucket, per-bucket partial
+(src, dst, w) counts.  The NODE dimension (distinct `props.k`) is
+bounded by construction (a catalog / page-id space, not the event
+count), so the edge list the driver merges is at most |K|^2 rows and
+the power iteration itself is a node-dimension-sized numpy loop —
+the same partials-to-driver contract as label_centroids /
+funnel_conversion.  For web-scale node sets (10^9 urls) the iteration
+would instead route rank mass through a src-keyed shuffle join per
+step; that variant shares click_edges unchanged.
+
+All PageRank arithmetic is INTEGER (rank mass scaled by 1e12, floor
+division) so per-node sums are order-free and the DuckDB mirror
+(unrolled fixed-iteration CTEs, ops/sqlcheck.SQL_CLICK_PAGERANK)
+hash-matches exactly: contribution of edge (j -> i, w) is
+floor(r_j * w / wout_j), computed as the overflow-safe identity
+(r//wout)*w + ((r%wout)*w)//wout  (exact for any ints; the remainder
+product is < wout*w, so int64 holds it for wout, w < ~3e9), and
+r_i' = floor(0.15*S/N) + floor(85 * sum(contrib) / 100).  Dangling
+nodes (no out-edges) leak their mass — identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+RANK_SCALE = 10**12
+
+
+def click_edges(sf_dir: str):
+    """Directed co-visitation edges (src, dst, w): consecutive events
+    of one user ordered by (ts, event_id), node = props.k (events with
+    no parseable k are dropped before pairing).  Distributed: one
+    user-keyed bucket shuffle; each bucket holds its users' COMPLETE
+    streams, so sort+shift inside the bucket sees every consecutive
+    pair; emitted rows are per-bucket (src, dst) partial counts."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "props"])
+
+    def parse_k(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"),
+                             r'"k"\s*:\s*"?(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())  # null on no-match
+        t = pa.table({"event_id": batch.column("event_id"),
+                      "ts": batch.column("ts").cast(pa.int64()),
+                      "user_id": batch.column("user_id"),
+                      "k": k})
+        return t.filter(pc.is_valid(k))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        k = g["k"].to_numpy()
+        if len(k) < 2:
+            return pd.DataFrame({"src": np.zeros(0, np.int64),
+                                 "dst": np.zeros(0, np.int64),
+                                 "w": np.zeros(0, np.int64)})
+        m = uid[:-1] == uid[1:]
+        e = pd.DataFrame({"src": k[:-1][m], "dst": k[1:][m]})
+        out = (e.groupby(["src", "dst"], sort=False).size()
+                .rename("w").reset_index())
+        return out.astype({"src": np.int64, "dst": np.int64,
+                           "w": np.int64})
+
+    return bucketed_apply(ds.map_batches(parse_k, batch_format="pyarrow"),
+                          ["user_id"], pairs)
+
+
+def _empty_ranks() -> pa.Table:
+    return pa.table({"node": pa.array([], pa.int64()),
+                     "rank_e12": pa.array([], pa.int64())})
+
+
+def pagerank_from_edges(edges: pd.DataFrame, iters: int = 10,
+                        damping_pct: int = 85) -> pa.Table:
+    """Integer-exact power iteration over a merged (src, dst, w) edge
+    frame; see module docstring for the arithmetic contract."""
+    if edges.empty:
+        return _empty_ranks()
+    edges = (edges.groupby(["src", "dst"], sort=False)["w"].sum()
+                  .reset_index())
+    src = edges["src"].to_numpy(np.int64)
+    dst = edges["dst"].to_numpy(np.int64)
+    w = edges["w"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    wout = np.zeros(n, np.int64)
+    np.add.at(wout, si, w)
+    jump_pct = 100 - damping_pct
+    base = (jump_pct * RANK_SCALE) // (100 * n)
+    r = np.full(n, RANK_SCALE // n, np.int64)
+    wo = wout[si]  # > 0 for every edge's src by construction
+    for _ in range(iters):
+        rs = r[si]
+        contrib = (rs // wo) * w + ((rs % wo) * w) // wo
+        s = np.zeros(n, np.int64)
+        np.add.at(s, di, contrib)
+        r = base + (damping_pct * s) // 100
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank_e12": pa.array(r, pa.int64())})
+
+
+def click_pagerank(sf_dir: str, iters: int = 10) -> pa.Table:
+    """(node, rank_e12) PageRank of the click co-visitation graph,
+    ascending by node.  rank_e12 is the integer rank mass scaled by
+    1e12 (total mass <= 1e12; floor leak is deterministic)."""
+    edges = click_edges(sf_dir).to_pandas()
+    return pagerank_from_edges(edges, iters=iters)

@@ -2721,3 +2721,64 @@ ranked AS (
 SELECT event_type, window_start_s, event_id, value_e4, rank::BIGINT AS rank
 FROM ranked WHERE rank <= 3
 """
+
+
+def q_click_pagerank(sf_dir: str):
+    """PageRank over the click co-visitation graph (props.k nodes):
+    distributed edge extraction, integer-exact power iteration."""
+    from search_engine_ray.ops.graph import click_pagerank
+
+    return click_pagerank(sf_dir, iters=10)
+
+
+def _pagerank_sql(iters: int = 10, scale: int = 10**12,
+                  damping_pct: int = 85) -> str:
+    """Unrolled fixed-iteration PageRank mirror (recursive CTEs cannot
+    aggregate over the recursive reference, so each step is its own
+    CTE).  Same integer arithmetic as ops/graph.pagerank_from_edges:
+    the per-edge contribution identity (r//wout)*w + ((r%wout)*w)//wout
+    equals floor(r*w/wout) exactly, and DuckDB's BIGINT sums promote to
+    HUGEINT, so both sides are order-free and hash-identical."""
+    jump = 100 - damping_pct
+    steps = []
+    prev = "pr0"
+    for t in range(1, iters + 1):
+        steps.append(f"""pr{t} AS (
+  SELECT nodes.node,
+         ({jump} * {scale}) // (100 * (SELECT n FROM const))
+         + ({damping_pct} * COALESCE(c.s, 0)) // 100 AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           sum((p.r // o.wout) * e.w + ((p.r % o.wout) * e.w) // o.wout)
+             AS s
+    FROM edges e JOIN {prev} p ON p.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) c ON c.node = nodes.node
+)""")
+        prev = f"pr{t}"
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), evk AS (SELECT * FROM ev WHERE k IS NOT NULL),
+pairs AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM evk
+), edges AS (
+  SELECT src, dst, count(*) AS w FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), outdeg AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+const AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (
+  SELECT node, {scale} // (SELECT n FROM const) AS r FROM nodes
+), {', '.join(steps)}
+SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM {prev} ORDER BY node
+"""
+
+
+SQL_CLICK_PAGERANK = _pagerank_sql()

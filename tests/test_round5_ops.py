@@ -792,3 +792,62 @@ def test_autocomplete_consistent_with_prefix_search():
         assert sub["term"].tolist() == want["term"].tolist()
         assert sub["df"].tolist() == want["df"].tolist()
         assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_click_pagerank_planted_and_sql(ray_session, tmp_path):
+    """Planted click graph: a hub page every session returns to must
+    out-rank leaf pages; values match the unrolled-CTE DuckDB mirror
+    exactly (integer arithmetic on both sides).  Includes a null-k
+    event (dropped before pairing) and a single-event user (no edge)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.graph import click_pagerank
+    from search_engine_ray.ops.sqlcheck import SQL_CLICK_PAGERANK
+
+    # user 1: 0->1->0->2->0->3->0 (hub 0, every leaf returns to it);
+    # user 2: 1->2->3; user 3: solo;
+    # user 4 has a null-k event between 2 and 3 -> edge 2->3 still forms
+    rows = [(1, k) for k in (0, 1, 0, 2, 0, 3, 0)] + \
+           [(2, k) for k in (1, 2, 3)] + [(3, 7)] + \
+           [(4, 2), (4, None), (4, 3)]
+    n = len(rows)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                        for i in range(n)], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["view"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}" if k is None else '{"k": %d}' % k
+                           for _, k in rows], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = click_pagerank(str(tmp_path), iters=10).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    want = con.execute(SQL_CLICK_PAGERANK).df()
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["rank_e12"].tolist() == want["rank_e12"].tolist()
+    r = got.set_index("node")["rank_e12"]
+    assert 7 not in r.index          # solo user contributes no node
+    assert r[0] > r[1] and r[0] > r[2] and r[0] > r[3]  # hub wins
+    assert r.sum() <= 10**12         # mass never exceeds the scale
+
+
+def test_click_pagerank_cycle_symmetry():
+    """A 2-cycle with equal weights converges to equal ranks, and the
+    empty edge set returns the typed empty table."""
+    import pandas as pd
+
+    from search_engine_ray.ops.graph import pagerank_from_edges
+
+    out = pagerank_from_edges(pd.DataFrame(
+        {"src": [10, 20], "dst": [20, 10], "w": [3, 3]})).to_pandas()
+    assert out["rank_e12"].nunique() == 1
+    empty = pagerank_from_edges(pd.DataFrame(
+        {"src": [], "dst": [], "w": []}))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["node", "rank_e12"]
