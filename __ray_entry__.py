@@ -218,7 +218,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": sq.q_retention_cohorts,
         "customer_order_ranks": sq.q_customer_order_ranks,
         "term_cooccurrence_pmi": sq.q_term_cooccurrence_pmi,
-        "phrase_match": sq.q_phrase_match,
+        # trigram substring index (round 5, new family): infix search
+        # served from (tri -> doc) postings with exact verification.
+        # Displaces the phrase_match SCAN row (shape-redundant with the
+        # in-cap indexed rows; its values re-check phrase_match_indexed
+        # below, which shares its SQL mirror).
+        "substring_search": sq.q_substring_search,
         "source_quality_centroids": sq.q_source_quality_centroids,
         # iterative graph analytics (round 5, new family): click-graph
         # PageRank — distributed edge extraction, integer-exact power
@@ -265,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete_top5": sq.q_autocomplete,
         "dup_rate_per_source": sq.q_dup_rate_per_source,
         "proximity_match": sq.q_proximity_match,
+        "phrase_match": sq.q_phrase_match,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -437,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "autocomplete_top5": sq.SQL_AUTOCOMPLETE,
         "dup_rate_per_source": sq.SQL_DUP_RATE_PER_SOURCE,
         "click_pagerank": sq.SQL_CLICK_PAGERANK,
+        "substring_search": sq.SQL_SUBSTRING_SEARCH,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

@@ -2782,3 +2782,17 @@ SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM {prev} ORDER BY node
 
 
 SQL_CLICK_PAGERANK = _pagerank_sql()
+
+
+def q_substring_search(sf_dir: str):
+    """Infix search served from the trigram index (rarest-first posting
+    intersection + exact verify); the scan op is the same contract."""
+    from search_engine_ray.ops.substring import substring_search
+
+    return substring_search(sf_dir, needle="ter scan")
+
+
+SQL_SUBSTRING_SEARCH = """
+SELECT doc_id FROM documents WHERE contains(text, 'ter scan')
+ORDER BY doc_id
+"""

@@ -851,3 +851,77 @@ def test_click_pagerank_cycle_symmetry():
         {"src": [], "dst": [], "w": []}))
     assert empty.num_rows == 0
     assert empty.column_names == ["node", "rank_e12"]
+
+
+def test_substring_index_matches_scan_and_sql(ray_session):
+    """Trigram-index infix search == streaming scan == DuckDB contains()
+    on sf0.001, including a needle with an absent trigram (early exit)
+    and a short (<3-byte) needle that falls back to the scan."""
+    import duckdb
+
+    from search_engine_ray.ops.substring import (
+        substring_scan,
+        substring_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for needle in ("ter scan", "am merge", "spark"):
+        idx = substring_search(sf, needle).to_pandas()["doc_id"].tolist()
+        scan = substring_scan(sf, needle).to_pandas()["doc_id"].tolist()
+        want = duckdb.sql(
+            f"SELECT doc_id FROM '{sf}/documents.parquet' "
+            f"WHERE contains(text, '{needle}') ORDER BY doc_id"
+        ).df()["doc_id"].tolist()
+        assert idx == scan == want and len(want) > 0, needle
+    assert substring_search(sf, "zzqéxx").num_rows == 0
+    short = substring_search(sf, "ag").to_pandas()["doc_id"].tolist()
+    want = duckdb.sql(
+        f"SELECT doc_id FROM '{sf}/documents.parquet' "
+        "WHERE contains(text, 'ag') ORDER BY doc_id").df()["doc_id"]
+    assert short == want.tolist()
+
+
+def test_substring_index_beats_scan_latency(ray_session):
+    """The point of the trigram index: a warm indexed infix query beats
+    re-scanning the corpus."""
+    import time
+
+    from search_engine_ray.ops.substring import (
+        substring_scan,
+        substring_search,
+        trigram_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    trigram_index(sf)               # build outside the timed window
+    substring_search(sf, "am merge")  # warm the dataset handles
+    t0 = time.perf_counter()
+    substring_search(sf, "ter scan")
+    t_idx = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    substring_scan(sf, "ter scan")
+    t_scan = time.perf_counter() - t0
+    assert t_idx < t_scan, (t_idx, t_scan)
+
+
+def test_substring_unicode_needle(ray_session, tmp_path):
+    """UTF-8 multibyte needles: byte-trigram matching must agree with
+    character-level contains (UTF-8 self-synchronization)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.substring import substring_search
+
+    texts = ["der straße entlang gehen", "no match here at all",
+             "straßenbahn kommt", "stras se split tokens"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["de"] * 4, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = substring_search(
+        str(tmp_path), "straße").to_pandas()["doc_id"].tolist()
+    assert got == [0, 2]
