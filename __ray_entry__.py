@@ -271,6 +271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_per_source": sq.q_dup_rate_per_source,
         "proximity_match": sq.q_proximity_match,
         "phrase_match": sq.q_phrase_match,
+        # chunking is a per-doc streaming map; its shuffle-free shape is
+        # gated in-cap by doc_token_stats
+        "chunk_documents": sq.q_chunk_documents,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -444,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_per_source": sq.SQL_DUP_RATE_PER_SOURCE,
         "click_pagerank": sq.SQL_CLICK_PAGERANK,
         "substring_search": sq.SQL_SUBSTRING_SEARCH,
+        "chunk_documents": sq.SQL_CHUNK_DOCUMENTS,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

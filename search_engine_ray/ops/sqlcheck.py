@@ -2796,3 +2796,24 @@ SQL_SUBSTRING_SEARCH = """
 SELECT doc_id FROM documents WHERE contains(text, 'ter scan')
 ORDER BY doc_id
 """
+
+
+def q_chunk_documents(sf_dir: str):
+    """Per-doc sliding-window chunking (chunk=32, stride=24): one
+    streaming map, no shuffle; tails kept, doc boundaries respected."""
+    from search_engine_ray.ops.textstats import chunk_documents
+
+    return chunk_documents(sf_dir, chunk=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(i // 24 AS BIGINT) AS chunk_idx,
+       CAST(least(i + 32, len(t)) - i AS BIGINT) AS n_tokens,
+       array_to_string(t[i + 1 : least(i + 32, len(t))], ' ')
+         AS chunk_text
+FROM toks, UNNEST(range(0, len(t), 24)) AS u(i)
+"""

@@ -742,6 +742,46 @@ def packing_plan(sf_dir: str, chunk_tokens: int = 512,
     return grouped_apply(base, ["g"], per_group)
 
 
+def chunk_documents(sf_dir: str, chunk: int = 32, stride: int = 24):
+    """Per-doc sliding-window chunking (RAG / long-context training
+    prep): doc tokens -> overlapping windows of ``chunk`` tokens every
+    ``stride`` tokens.  Chunk i covers tokens [i*stride, i*stride+chunk)
+    for every i*stride < n, so tails shorter than ``chunk`` are kept
+    and every token lands in >=1 chunk.  Tokenization is a plain
+    single-space split, mirrored verbatim by the SQL oracle's
+    string_split — complementary to packing_plan (which packs ACROSS
+    docs); this op never crosses a doc boundary.
+
+    Scale shape: embarrassingly parallel — one streaming map_batches,
+    no shuffle, output ~n/stride rows per doc.  Returns
+    (doc_id, chunk_idx, n_tokens, chunk_text)."""
+    import ray.data
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        out_id, out_ci, out_n, out_tx = [], [], [], []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = t.split(" ")
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, stride)):
+                piece = toks[s:s + chunk]
+                out_id.append(ids[i])
+                out_ci.append(ci)
+                out_n.append(len(piece))
+                out_tx.append(" ".join(piece))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "chunk_idx": pa.array(np.asarray(out_ci, np.int64),
+                                  pa.int64()),
+            "n_tokens": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+            "chunk_text": pa.array(out_tx, pa.string())})
+
+    return (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(chunks, batch_format="pyarrow"))
+
+
 # whitespace class shared VERBATIM with the SQL oracle (RE2 and Python
 # `re` agree on this explicit ASCII class; bare \s would not — Python's
 # is unicode-wide on str).

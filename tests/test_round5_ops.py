@@ -925,3 +925,33 @@ def test_substring_unicode_needle(ray_session, tmp_path):
     got = substring_search(
         str(tmp_path), "straße").to_pandas()["doc_id"].tolist()
     assert got == [0, 2]
+
+
+def test_chunk_documents_sql_and_invariants(ray_session):
+    """Sliding-window chunking == the string_split SQL mirror at
+    sf0.001; every token lands in >=1 chunk, no chunk crosses a doc,
+    tails are kept."""
+    import duckdb
+
+    from search_engine_ray.ops.sqlcheck import SQL_CHUNK_DOCUMENTS
+    from search_engine_ray.ops.textstats import chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = (chunk_documents(sf, chunk=32, stride=24).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = (con.execute(SQL_CHUNK_DOCUMENTS).df()
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # invariants: chunk_idx dense from 0 per doc; full chunks are 32
+    # tokens; strides overlap by 8 (32-24) except the tail
+    for _, g in got.groupby("doc_id"):
+        assert g["chunk_idx"].tolist() == list(range(len(g)))
+        # exact window law: chunk i holds min(32, N - 24*i) tokens
+        n_tok = g["n_tokens"].to_numpy()
+        total = 24 * (len(g) - 1) + n_tok[-1]
+        want_n = np.minimum(32, total - 24 * np.arange(len(g)))
+        assert np.array_equal(n_tok, want_n)
+        assert 1 <= n_tok[-1] <= 32
