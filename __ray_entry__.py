@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chunking is a per-doc streaming map; its shuffle-free shape is
         # gated in-cap by doc_token_stats
         "chunk_documents": sq.q_chunk_documents,
+        # regex serving shares substring_search's in-cap trigram gate
+        "regex_search": sq.q_regex_search,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -448,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "click_pagerank": sq.SQL_CLICK_PAGERANK,
         "substring_search": sq.SQL_SUBSTRING_SEARCH,
         "chunk_documents": sq.SQL_CHUNK_DOCUMENTS,
+        "regex_search": sq.SQL_REGEX_SEARCH,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

@@ -2817,3 +2817,18 @@ SELECT doc_id,
          AS chunk_text
 FROM toks, UNNEST(range(0, len(t), 24)) AS u(i)
 """
+
+
+def q_regex_search(sf_dir: str):
+    """Regex search from the trigram index: mandatory-literal trigram
+    prune + RE2 verify (pyarrow and DuckDB share the RE2 engine)."""
+    from search_engine_ray.ops.substring import regex_search
+
+    return regex_search(sf_dir, pattern="ter (scan|merge)")
+
+
+SQL_REGEX_SEARCH = """
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'ter (scan|merge)')
+ORDER BY doc_id
+"""

@@ -57,8 +57,10 @@ def substring_scan(sf_dir: str, needle: str = "ter scan") -> pa.Table:
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    ids = (ds.map_batches(part, batch_format="pyarrow")
-             .to_pandas()["doc_id"].to_numpy())
+    df = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    # an all-empty-blocks dataset can surface with no columns
+    ids = df["doc_id"].to_numpy() if "doc_id" in df.columns \
+        else np.zeros(0, np.int64)
     return _doc_ids_table(np.sort(ids))
 
 
@@ -160,5 +162,144 @@ def substring_search(sf_dir: str, needle: str = "ter scan") -> pa.Table:
         filter=pads.field("doc_id").isin(pa.array(cand, pa.int64())),
         columns=["doc_id", "text"])
     m = pc.match_substring(docs.column("text"), needle)
+    hits = docs.filter(m).column("doc_id").to_numpy()
+    return _doc_ids_table(np.sort(hits))
+
+
+def _required_literal(pattern: str) -> str | None:
+    """The longest literal run a match MUST contain (>= 3 bytes), or
+    None when the pattern resists conservative analysis.  Walks the
+    pattern once: quantifiers that make the previous atom optional or
+    repeatable drop/close the current run, classes/groups/wildcards
+    close it, a TOP-LEVEL alternation invalidates everything (either
+    branch may match).  Closed runs stay mandatory because every
+    remaining construct (group, class, anchor, quantifier) constrains
+    OTHER positions, never un-requires already-scanned plain literals.
+    Conservative by construction: returning None only costs a scan."""
+    import re as _re
+
+    # inline flag groups ((?i), (?s:...), ...) change matching semantics
+    # for the REST of the pattern — e.g. (?i)abc matches ABC, so "abc"
+    # is no longer a mandatory byte literal.  Bail to the scan.
+    if _re.search(r"\(\?[aiLmsux-]+[):]", pattern):
+        return None
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def close():
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return None
+            nxt = pattern[i + 1]
+            if nxt.isalnum():  # \d \w \s \b \A \Z \1 ... -> class/anchor
+                close()
+            else:              # escaped punctuation is a literal
+                # a quantifier after it must still drop it
+                if i + 2 < n and pattern[i + 2] in "?*{":
+                    close()
+                else:
+                    cur.append(nxt)
+            i += 2
+            continue
+        if c == "|":
+            return None  # top-level alternation: nothing is mandatory
+        if c in "?*{":
+            if cur:
+                cur.pop()  # previous literal became optional/repeated
+            close()
+            if c == "{":
+                j = pattern.find("}", i)
+                if j < 0:
+                    return None
+                i = j + 1
+                continue
+        elif c == "+":
+            close()  # previous char required, but contiguity ends
+        elif c == "(":
+            depth = 1
+            j = i + 1
+            while j < n and depth:
+                if pattern[j] == "\\":
+                    j += 2
+                    continue
+                depth += {"(": 1, ")": -1}.get(pattern[j], 0)
+                j += 1
+            if depth:
+                return None
+            close()
+            i = j
+            continue
+        elif c == "[":
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            if j >= n:
+                return None
+            close()
+            i = j + 1
+            continue
+        elif c in ".^$":
+            close()
+        else:
+            cur.append(c)
+        i += 1
+    close()
+    best = max(runs, key=lambda r: len(r.encode("utf-8")), default="")
+    return best if len(best.encode("utf-8")) >= 3 else None
+
+
+def regex_scan(sf_dir: str, pattern: str = "ter (scan|merge)") -> pa.Table:
+    """doc_ids (ascending) whose text matches ``pattern`` — one
+    streaming RE2 scan (pyarrow match_substring_regex; DuckDB's
+    regexp_matches is the same RE2 engine, so the SQL mirror agrees
+    on the full RE2 syntax, not just a tested subset)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    def part(batch: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(batch.column("text"), pattern)
+        return batch.filter(m).select(["doc_id"])
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    df = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    # an all-empty-blocks dataset can surface with no columns
+    ids = df["doc_id"].to_numpy() if "doc_id" in df.columns \
+        else np.zeros(0, np.int64)
+    return _doc_ids_table(np.sort(ids))
+
+
+def regex_search(sf_dir: str, pattern: str = "ter (scan|merge)") -> pa.Table:
+    """Regex search served from the trigram index (the design's actual
+    use-case, Cox 2012): a mandatory literal extracted from the pattern
+    prunes candidates through the trigram postings, then RE2 verifies
+    exactly.  Patterns with no extractable >=3-byte literal fall back
+    to the scan — same result contract either way."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    lit = _required_literal(pattern)
+    if lit is None:
+        return regex_scan(sf_dir, pattern)
+    cand_tbl = substring_search(sf_dir, lit)
+    cand = cand_tbl.column("doc_id").to_numpy()
+    if len(cand) == 0:
+        return _doc_ids_table([])
+    docs = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet")).to_table(
+        filter=pads.field("doc_id").isin(pa.array(cand, pa.int64())),
+        columns=["doc_id", "text"])
+    m = pc.match_substring_regex(docs.column("text"), pattern)
     hits = docs.filter(m).column("doc_id").to_numpy()
     return _doc_ids_table(np.sort(hits))

@@ -955,3 +955,61 @@ def test_chunk_documents_sql_and_invariants(ray_session):
         want_n = np.minimum(32, total - 24 * np.arange(len(g)))
         assert np.array_equal(n_tok, want_n)
         assert 1 <= n_tok[-1] <= 32
+
+
+def test_regex_search_matches_scan_and_sql(ray_session):
+    """Trigram-pruned regex search == streaming RE2 scan == DuckDB
+    regexp_matches, for literal-prunable patterns, no-literal fallback
+    patterns, and a no-match pattern."""
+    import duckdb
+
+    from search_engine_ray.ops.substring import regex_scan, regex_search
+
+    sf = "/root/testdata/sf0.001"
+    pats = ["ter (scan|merge)", "fast [a-z]*er",   # prunable literal
+            "(query|scan) stream",                  # literal after group
+            "a|bcd",                                # top-level alt: scan
+            "zz(q|x)nope"]                          # no match
+    for p in pats:
+        idx = regex_search(sf, p).to_pandas()["doc_id"].tolist()
+        scan = regex_scan(sf, p).to_pandas()["doc_id"].tolist()
+        want = duckdb.sql(
+            f"SELECT doc_id FROM '{sf}/documents.parquet' "
+            f"WHERE regexp_matches(text, '{p}') ORDER BY doc_id"
+        ).df()["doc_id"].tolist()
+        assert idx == scan == want, p
+    assert regex_search(sf, "ter (scan|merge)").num_rows > 0
+
+
+def test_required_literal_properties():
+    """Every extracted literal really is mandatory: any string matching
+    the pattern (RE2 semantics via Python re on these constructs) must
+    contain the literal."""
+    import re
+
+    from search_engine_ray.ops.substring import _required_literal
+
+    cases = {
+        "ter (scan|merge)": "ter ",
+        "fast [a-z]*er": "fast ",
+        "(query|scan) stream": " stream",
+        "a|bcd": None,
+        "colou?r": "colo",
+        r"ab\.cde": "ab.cde",
+        "x{2,3}yzw": "yzw",
+        "(?i)abcdef": None,   # inline flag: abc is NOT mandatory
+        "ab": None,           # too short
+    }
+    for pat, want in cases.items():
+        assert _required_literal(pat) == want, pat
+    # property check on matchable examples
+    probes = {
+        "ter (scan|merge)": ["xxter scanyy", "ter merge"],
+        "colou?r": ["color", "colour"],
+        "x{2,3}yzw": ["xxyzw", "xxxyzw"],
+    }
+    for pat, strs in probes.items():
+        lit = _required_literal(pat)
+        for s in strs:
+            assert re.search(pat, s), (pat, s)
+            assert lit in s, (pat, lit, s)
