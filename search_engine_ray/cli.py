@@ -6,6 +6,7 @@ output_path, stemming, queries, num_docs_to_retrieve),
     python -m search_engine_ray.cli search <index_dir> <query...> [--k N] [--mode bm25|reference|bm25_wand]
     python -m search_engine_ray.cli batch  <index_dir> <queries_file> <out_csv> [--k N]
     python -m search_engine_ray.cli phrase <index_dir> <term...> [--window N]
+    python -m search_engine_ray.cli grep   <corpus_dir> <pattern> [--regex] [--scan]
     python -m search_engine_ray.cli merge  <index_dir>... <out_dir>
 
 Owns its Ray session (guarded init), unlike the library/driver contract.
@@ -93,6 +94,16 @@ def main(argv=None) -> int:
     g.add_argument("--complete")
     lk.add_argument("-k", type=int, default=5,
                     help="completions per prefix (--complete only)")
+
+    gp = sub.add_parser("grep",
+                        help="substring (default) or --regex search over "
+                             "a corpus dir's documents.parquet, served "
+                             "from the trigram index (--scan bypasses "
+                             "it); prints matching doc ids")
+    gp.add_argument("corpus_dir")
+    gp.add_argument("pattern")
+    gp.add_argument("--regex", action="store_true")
+    gp.add_argument("--scan", action="store_true")
 
     dl = sub.add_parser("delete",
                         help="new index without the given doc ids "
@@ -187,6 +198,15 @@ def main(argv=None) -> int:
                                       t.column("dist").to_pylist(),
                                       t.column("df").to_pylist()):
                 print(f"{term}\t{dist}\t{df}")
+    elif args.cmd == "grep":
+        from search_engine_ray.ops import substring as _ss
+
+        fn = ((_ss.regex_scan if args.scan else _ss.regex_search)
+              if args.regex else
+              (_ss.substring_scan if args.scan else _ss.substring_search))
+        for d in fn(args.corpus_dir, args.pattern).column(
+                "doc_id").to_pylist():
+            print(f"doc id: {d}")
     elif args.cmd == "delete":
         from search_engine_ray.index.merge import delete_docs
 

@@ -114,3 +114,19 @@ def test_lookup_complete_ranks_by_df(cli_index, capsys):
     want = (full.sort_values(["df", "term"], ascending=[False, True])
             .head(3))
     assert [t for _, t, _ in lines] == want["term"].tolist()
+
+
+def test_grep_substring_and_regex(ray_session, capsys):
+    """grep serves infix and regex queries over a corpus dir; indexed
+    and --scan paths agree."""
+    sf = "/root/testdata/sf0.001"
+    rc = main(["grep", sf, "ter scan"])
+    assert rc == 0
+    idx_out = capsys.readouterr().out
+    rc = main(["grep", sf, "ter scan", "--scan"])
+    assert rc == 0
+    assert capsys.readouterr().out == idx_out
+    assert idx_out.count("doc id: ") == 32  # oracle count (test above)
+    rc = main(["grep", sf, "ter (scan|merge)", "--regex"])
+    assert rc == 0
+    assert capsys.readouterr().out.count("doc id: ") == 64
