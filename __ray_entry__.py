@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": sq.q_chunk_documents,
         # regex serving shares substring_search's in-cap trigram gate
         "regex_search": sq.q_regex_search,
+        # epoch_order's two-phase prefix-scan shape is gated in-cap by
+        # token_budget_mix
+        "epoch_order": sq.q_epoch_order,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -451,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_search": sq.SQL_SUBSTRING_SEARCH,
         "chunk_documents": sq.SQL_CHUNK_DOCUMENTS,
         "regex_search": sq.SQL_REGEX_SEARCH,
+        "epoch_order": sq.SQL_EPOCH_ORDER,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

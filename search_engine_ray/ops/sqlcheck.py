@@ -2832,3 +2832,19 @@ SELECT doc_id FROM documents
 WHERE regexp_matches(text, 'ter (scan|merge)')
 ORDER BY doc_id
 """
+
+
+def q_epoch_order(sf_dir: str):
+    """Deterministic epoch shuffle: global rank under a seeded md5 key
+    (two-phase hash-range prefix scan; no global sort-and-enumerate)."""
+    from search_engine_ray.ops.textstats import epoch_order
+
+    return epoch_order(sf_dir, seed=0)
+
+
+SQL_EPOCH_ORDER = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5(concat('0:', doc_id)), doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+"""

@@ -813,6 +813,60 @@ def norm_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def epoch_order(sf_dir: str, seed: int = 0):
+    """Deterministic epoch shuffle: the global training order
+    (doc_id, pos) where pos is the doc's rank under
+    ``md5(seed || ':' || doc_id)`` — a reproducible full-corpus shuffle
+    with NO random state to ship (any worker, any epoch, any restart
+    recomputes the same order from the seed alone; change the seed per
+    epoch for a fresh permutation).  This is the data-ordering step of
+    a training pipeline, mirrored exactly by SQL row_number over the
+    same md5 key.
+
+    Scale shape: a global rank without a global sort-and-enumerate —
+    the hash key's FIRST BYTE partitions the order into 256 contiguous
+    key ranges whose counts reach the driver (256 rows at any corpus
+    size); the driver cumsums them into range offsets and each range
+    sorts and enumerates independently (the packing_plan two-phase
+    prefix-scan shape, keyed by hash range instead of doc group)."""
+    import hashlib as _h
+
+    import ray
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_sum, grouped_apply
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keys = [_h.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids]
+        return pa.table({
+            "g": pa.array(np.array([int(k[:2], 16) for k in keys],
+                                   np.int64), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "key": pa.array(keys, pa.string()),
+            "one": pa.array(np.ones(len(ids), np.int64), pa.int64())})
+
+    base = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(keyed, batch_format="pyarrow"))
+    totals = (bucketed_sum(base.select_columns(["g", "one"]),
+                           ["g"], ["one"], rename={"one": "tot"})
+              .to_pandas().sort_values("g"))
+    off = np.concatenate([[0], np.cumsum(totals["tot"].to_numpy())[:-1]])
+    offsets = dict(zip(totals["g"].astype(int), off.astype(int)))
+    off_ref = ray.put(offsets)
+
+    def per_range(grp: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)[int(grp["g"].iloc[0])]
+        grp = grp.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": grp["doc_id"].astype("int64"),
+            "pos": (o + np.arange(len(grp))).astype("int64")})
+
+    return grouped_apply(base.select_columns(["g", "doc_id", "key"]),
+                         ["g"], per_range)
+
+
 def stratified_sample_k(sf_dir: str, k: int = 20):
     """Stratified sampling: EXACTLY ``k`` docs per source, chosen by
     deterministic content-hash order (md5 low 64 bits, doc_id

@@ -1013,3 +1013,32 @@ def test_required_literal_properties():
         for s in strs:
             assert re.search(pat, s), (pat, s)
             assert lit in s, (pat, lit, s)
+
+
+def test_epoch_order_sql_and_seed_properties(ray_session):
+    """Global hash-shuffle rank == SQL row_number mirror; a permutation
+    of 0..N-1; different seeds give different orders, same seed is
+    stable across runs."""
+    import duckdb
+
+    from search_engine_ray.ops.sqlcheck import SQL_EPOCH_ORDER
+    from search_engine_ray.ops.textstats import epoch_order
+
+    sf = "/root/testdata/sf0.001"
+    got = (epoch_order(sf, seed=0).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = (con.execute(SQL_EPOCH_ORDER).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["pos"].tolist() == want["pos"].tolist()
+    assert sorted(got["pos"]) == list(range(len(got)))  # permutation
+    again = (epoch_order(sf, seed=0).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert got["pos"].tolist() == again["pos"].tolist()  # reproducible
+    other = (epoch_order(sf, seed=1).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert got["pos"].tolist() != other["pos"].tolist()  # fresh epoch
+    assert sorted(other["pos"]) == list(range(len(other)))
