@@ -367,22 +367,6 @@ class MinHasher:
         })
 
 
-class ShingleBlobs:
-    """Actor-pool UDF: doc -> sorted unique 63-bit shingle hashes as one
-    binary blob (the payload the verify shuffles ship instead of text)."""
-
-    def __init__(self, ngram: int = 3):
-        self.mh = MinHasher(ngram=ngram)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sh = self.mh._doc_shingles64(batch.column("text").to_pylist())
-        blobs = [np.unique((s & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
-                           .astype(np.int64)).tobytes() for s in sh]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "blob": pa.array(blobs, pa.binary())})
-
-
 # Per-worker-process singletons: these stages run as TASK fns (no actor
 # pool, so they never reserve CPUs away from the groupby stages they feed
 # — two pools + a shuffle can deadlock a small cluster); Ray reuses
@@ -396,18 +380,6 @@ def _worker_minhasher() -> "MinHasher":
         mh = MinHasher()
         _WORKER_STATE["minhasher"] = mh
     return mh
-
-
-def minhash_band_rows(batch: pa.Table) -> pa.Table:
-    return _worker_minhasher()(batch)
-
-
-def shingle_blob_rows(batch: pa.Table) -> pa.Table:
-    sb = _WORKER_STATE.get("shingler")
-    if sb is None:
-        sb = ShingleBlobs()
-        _WORKER_STATE["shingler"] = sb
-    return sb(batch)
 
 
 def minhash_fused_rows(batch: pa.Table) -> pa.Table:

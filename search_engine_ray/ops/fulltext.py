@@ -375,9 +375,18 @@ def facet_counts(sf_dir: str, term: str = "spark"):
              for t in batch.column("text").to_pylist()], pa.string())
         mask = pc.match_substring(joined, needle)
         hit = batch.select(["source", "lang"]).filter(mask).to_pandas()
-        out = (hit.groupby(["source", "lang"], sort=False)
+        # dropna=False: SQL GROUP BY keeps NULL source/lang groups;
+        # pandas' default would silently drop those docs (same rule as
+        # dup_rate_per_source)
+        out = (hit.groupby(["source", "lang"], sort=False, dropna=False)
                   .size().rename("n_docs").reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # explicit types: an all-NULL source/lang batch must not decay
+        # to float64 and poison Ray's schema unification
+        return pa.table({
+            "source": pa.array(out["source"], pa.string(),
+                               from_pandas=True),
+            "lang": pa.array(out["lang"], pa.string(), from_pandas=True),
+            "n_docs": pa.array(out["n_docs"], pa.int64())})
 
     partials = (ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -387,11 +396,12 @@ def facet_counts(sf_dir: str, term: str = "spark"):
         return pa.table({"source": pa.array([], pa.string()),
                          "lang": pa.array([], pa.string()),
                          "n_docs": pa.array([], pa.int64())})
-    out = (partials.groupby(["source", "lang"], sort=True)["n_docs"]
+    out = (partials.groupby(["source", "lang"], sort=True,
+                            dropna=False)["n_docs"]
            .sum().reset_index())
     return pa.table({
-        "source": pa.array(out["source"], pa.string()),
-        "lang": pa.array(out["lang"], pa.string()),
+        "source": pa.array(out["source"], pa.string(), from_pandas=True),
+        "lang": pa.array(out["lang"], pa.string(), from_pandas=True),
         "n_docs": pa.array(out["n_docs"], pa.int64())})
 
 

@@ -40,14 +40,44 @@ import pyarrow as pa
 RANK_SCALE = 10**12
 
 
+_INT_TOKEN = None  # compiled lazily (module import stays light)
+
+
+def _k_value(obj) -> int | None:
+    """The node id of one parsed props object under the EXACT rule the
+    SQL mirror applies — `json_extract_string(props, '$.k')` gated by
+    an integer-token regex: top-level "k" only, JSON ints (in int64
+    range) and integer-token strings count; floats (whose extracted
+    token carries '.'/'e'), bools, nested objects, arrays and null do
+    not.  A substring regex over the raw JSON would diverge on nested
+    {"a":{"k":3}} and on float tokens — hence real parsing."""
+    global _INT_TOKEN
+    if _INT_TOKEN is None:
+        import re
+
+        _INT_TOKEN = re.compile(r"-?\d+")
+    v = obj.get("k") if isinstance(obj, dict) else None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v if -(1 << 63) <= v < (1 << 63) else None
+    if isinstance(v, str) and _INT_TOKEN.fullmatch(v):
+        iv = int(v)
+        return iv if -(1 << 63) <= iv < (1 << 63) else None
+    return None
+
+
 def click_edges(sf_dir: str):
     """Directed co-visitation edges (src, dst, w): consecutive events
     of one user ordered by (ts, event_id), node = props.k (events with
-    no parseable k are dropped before pairing).  Distributed: one
+    no integer-valued top-level k are dropped before pairing — see
+    `_k_value`; malformed-JSON rows are dropped too, where the SQL
+    oracle's json_extract would instead error).  Distributed: one
     user-keyed bucket shuffle; each bucket holds its users' COMPLETE
     streams, so sort+shift inside the bucket sees every consecutive
     pair; emitted rows are per-bucket (src, dst) partial counts."""
-    import pyarrow.compute as pc
+    import json
+
     import ray.data
 
     from search_engine_ray.ops.shuffle import bucketed_apply
@@ -57,14 +87,21 @@ def click_edges(sf_dir: str):
         columns=["event_id", "ts", "user_id", "props"])
 
     def parse_k(batch: pa.Table) -> pa.Table:
-        m = pc.extract_regex(batch.column("props"),
-                             r'"k"\s*:\s*"?(?P<k>-?\d+)')
-        k = pc.struct_field(m, "k").cast(pa.int64())  # null on no-match
+        ks = np.zeros(batch.num_rows, np.int64)
+        ok = np.zeros(batch.num_rows, bool)
+        for i, s in enumerate(batch.column("props").to_pylist()):
+            try:
+                v = _k_value(json.loads(s)) if s is not None else None
+            except ValueError:
+                v = None
+            if v is not None:
+                ks[i] = v
+                ok[i] = True
         t = pa.table({"event_id": batch.column("event_id"),
                       "ts": batch.column("ts").cast(pa.int64()),
                       "user_id": batch.column("user_id"),
-                      "k": k})
-        return t.filter(pc.is_valid(k))
+                      "k": pa.array(ks, pa.int64())})
+        return t.filter(pa.array(ok))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])

@@ -142,7 +142,9 @@ class MediaDecoder:
                 feats.append(np.zeros(self.dim))
                 oks.append(False)
                 errs.append(f"{type(e).__name__}: {e}"[:200])
-            sizes.append(len(payload))
+            # a NULL payload must quarantine like any bad row, not
+            # TypeError out of the stage on len(None)
+            sizes.append(len(payload) if payload is not None else 0)
         flat = pa.array(np.concatenate(feats) if feats else
                         np.zeros(0), pa.float64())
         return pa.table({

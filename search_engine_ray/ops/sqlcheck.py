@@ -2758,8 +2758,13 @@ def _pagerank_sql(iters: int = 10, scale: int = 10**12,
         prev = f"pr{t}"
     return f"""
 WITH ev AS (
+  -- integer-token gate: TRY_CAST alone would ROUND float tokens
+  -- ('1.5' -> 2), diverging from the op's ints-only node rule
   SELECT user_id, ts, event_id,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN regexp_matches(
+                json_extract_string(props, '$.k'), '^-?[0-9]+$')
+              THEN TRY_CAST(
+                json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events
 ), evk AS (SELECT * FROM ev WHERE k IS NOT NULL),
 pairs AS (

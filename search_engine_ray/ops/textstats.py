@@ -175,18 +175,6 @@ def md5_fp64(texts: "list[str]") -> np.ndarray:
          for t in texts], dtype=np.uint64)
 
 
-def fingerprint64(batch: pa.Table) -> pa.Table:
-    """64-bit blake2 content fingerprint per doc (exact-dup key)."""
-    texts = batch.column("text").to_pylist()
-    fps = [int.from_bytes(
-        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
-        & 0x7FFF_FFFF_FFFF_FFFF for t in texts]
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
-        "fp": pa.array(fps, pa.int64()),
-    })
-
-
 # ---------------------------------------------------------------- pipelines
 def term_df_simple(sf_dir: str):
     """df per simple-tokenizer term over `documents`, df > 1 — the A1

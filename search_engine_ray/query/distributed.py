@@ -422,10 +422,7 @@ class DistributedSearchEngine:
             ids = sorted(i for part in ray.get(futures) for i in part)
             return ids[:k]
         # ship only the df entries the query needs (tiny broadcast)
-        df_small = {t: self.df_map[t] for t in set(query)
-                    if t in self.df_map}
-        orig_small = {t: self._caps_orig[t] for t in set(query)
-                      if t in self._caps_orig}
+        df_small, orig_small = self._ship_maps(query)
         futures = [a.search_local.remote(query, k, mode, df_small,
                                          orig_small)
                    for a in self.actors]

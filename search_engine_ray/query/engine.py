@@ -796,8 +796,11 @@ class SearchEngine:
             1 - cfg.bm25_b + cfg.bm25_b * dl[:, None] / self.avg_dl)
         bm25 = ((qidf[None, :] * dtf * (cfg.bm25_k1 + 1)) / denom).sum(axis=1)
 
-        pos, found = self._meta_for(cand)
+        # glove first: on a cold index _meta_for would build the ids/ts
+        # sidecar WITHOUT glove and _ensure_glove would then rebuild all
+        # three files — two full docmeta scans instead of one
         self._ensure_glove()
+        pos, found = self._meta_for(cand)
         gmat = self._meta_glove[pos] * found[:, None]
         ts = self._meta["ts"][pos] * found
         gnum = gmat @ qg

@@ -812,6 +812,14 @@ def test_click_pagerank_planted_and_sql(ray_session, tmp_path):
     rows = [(1, k) for k in (0, 1, 0, 2, 0, 3, 0)] + \
            [(2, k) for k in (1, 2, 3)] + [(3, 7)] + \
            [(4, 2), (4, None), (4, 3)]
+    props = ["{}" if k is None else '{"k": %d}' % k for _, k in rows]
+    # user 5 exercises the k-extraction rule: int, nested (dropped),
+    # string-int, float (dropped), bool (dropped), int -> edges
+    # 1->5 and 5->2 only
+    tricky = ['{"k": 1}', '{"a": {"k": 9}}', '{"k": "5"}',
+              '{"k": 1.5}', '{"k": true}', '{"k": 2}']
+    rows += [(5, None)] * len(tricky)
+    props += tricky
     n = len(rows)
     tbl = pa.table({
         "event_id": pa.array(range(n), pa.int64()),
@@ -820,8 +828,7 @@ def test_click_pagerank_planted_and_sql(ray_session, tmp_path):
         "user_id": pa.array([u for u, _ in rows], pa.int64()),
         "event_type": pa.array(["view"] * n, pa.string()),
         "value": pa.array([1.0] * n, pa.float64()),
-        "props": pa.array(["{}" if k is None else '{"k": %d}' % k
-                           for _, k in rows], pa.string()),
+        "props": pa.array(props, pa.string()),
     })
     pq.write_table(tbl, tmp_path / "events.parquet")
     got = click_pagerank(str(tmp_path), iters=10).to_pandas()
@@ -833,6 +840,8 @@ def test_click_pagerank_planted_and_sql(ray_session, tmp_path):
     assert got["rank_e12"].tolist() == want["rank_e12"].tolist()
     r = got.set_index("node")["rank_e12"]
     assert 7 not in r.index          # solo user contributes no node
+    assert 9 not in r.index          # nested {"a":{"k":9}} is NOT a k
+    assert 5 in r.index              # string-int "5" IS a k
     assert r[0] > r[1] and r[0] > r[2] and r[0] > r[3]  # hub wins
     assert r.sum() <= 10**12         # mass never exceeds the scale
 
