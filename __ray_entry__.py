@@ -135,6 +135,12 @@ def _embedding_pca(sf_dir: str):
     return embedding_pca_projection(sf_dir)
 
 
+def _quality_lr(sf_dir: str):
+    from search_engine_ray.ops.mlquality import quality_lr_scores
+
+    return quality_lr_scores(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (adapter
     -> parse -> dict -> sharded postings -> docmeta) and run the BM25
@@ -344,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_8": _kmeans_assign,
         "cms_term_estimates": _cms_term_estimates,
         "embedding_pca_projection": _embedding_pca,
+        # trained quality classifier: sigmoid scores are not
+        # SQL-mirrorable bit-exactly (libm exp); gated by the
+        # rule-recovery + determinism units instead
+        "quality_lr_scores": _quality_lr,
     }
 
 

@@ -1051,3 +1051,47 @@ def test_epoch_order_sql_and_seed_properties(ray_session):
              .sort_values("doc_id").reset_index(drop=True))
     assert got["pos"].tolist() != other["pos"].tolist()  # fresh epoch
     assert sorted(other["pos"]) == list(range(len(other)))
+
+
+def test_quality_lr_recovers_rule_and_is_deterministic(ray_session):
+    """The distilled quality classifier must recover its weak-label
+    rule (n_chars >= 150) from surface features at accuracy 1.0 on the
+    fixture corpus, and training must be exactly deterministic
+    (fsum-reduced Newton partials)."""
+    from search_engine_ray.ops.mlquality import quality_lr_scores
+
+    sf = "/root/testdata/sf0.001"
+    out = (quality_lr_scores(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 500
+    pred = (out["score_pct"] >= 50).astype(int)
+    assert (pred == out["label"]).mean() == 1.0
+    again = (quality_lr_scores(sf).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert out["score_pct"].tolist() == again["score_pct"].tolist()
+    assert 0 < out["label"].mean() < 1  # both classes present
+
+
+def test_lr_train_planted_separable(ray_session):
+    """Newton-IRLS on a planted linearly-separable feature set drives
+    every margin the right way (weights finite thanks to the ridge)."""
+    import ray.data
+
+    from search_engine_ray.ops.mlquality import _FEATS, lr_train_weights
+
+    rng = np.random.default_rng(7)
+    n = 400
+    # a real margin around the boundary: finite Newton steps place the
+    # threshold within it, so every label is recoverable
+    x1 = rng.uniform(0.2, 2.0, size=n) * rng.choice([-1, 1], size=n)
+    y = (x1 > 0).astype(np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "label": pa.array(y, pa.int64()),
+        _FEATS[0]: pa.array(x1, pa.float64()),
+        **{f: pa.array(np.zeros(n), pa.float64()) for f in _FEATS[1:]},
+    })
+    w = lr_train_weights(ray.data.from_arrow(tbl))
+    assert np.all(np.isfinite(w))
+    z = w[0] + w[1] * x1
+    assert (((z > 0).astype(int) == y).mean()) == 1.0
