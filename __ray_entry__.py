@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # epoch_order's two-phase prefix-scan shape is gated in-cap by
         # token_budget_mix
         "epoch_order": sq.q_epoch_order,
+        # hashed_bow's shuffle-free per-doc map shape is gated in-cap
+        # by doc_token_stats
+        "hashed_bow": sq.q_hashed_bow,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -465,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": sq.SQL_CHUNK_DOCUMENTS,
         "regex_search": sq.SQL_REGEX_SEARCH,
         "epoch_order": sq.SQL_EPOCH_ORDER,
+        "hashed_bow": sq.SQL_HASHED_BOW,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

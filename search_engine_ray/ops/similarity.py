@@ -114,6 +114,64 @@ def knn_brute(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
     return _merge_topk(parts, "cosine", ascending=False, k=k)
 
 
+class HashedBow:
+    """Actor-pool UDF: feature-hashing ('hashing trick', Weinberger et
+    al. 2009) bag-of-words — token -> dim = int(md5(token)[:8], 16) %
+    dims, no vocabulary to build or ship.  The per-actor token->dim
+    memo makes the md5 amortize to one hash per DISTINCT token per
+    actor (zipf corpora repeat tokens heavily)."""
+
+    def __init__(self, dims: int = 64):
+        self.dims = dims
+        self.memo: dict[str, int] = {}
+
+    def _dim(self, tok: str) -> int:
+        d = self.memo.get(tok)
+        if d is None:
+            import hashlib
+
+            d = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8],
+                    16) % self.dims
+            if len(self.memo) < 1_000_000:  # vocab-bounded memo
+                self.memo[tok] = d
+        return d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_dim, out_tf = [], [], []
+        ids = batch.column("doc_id").to_numpy()
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            counts: dict[int, int] = {}
+            for tok in t.split(" "):
+                if tok:
+                    d = self._dim(tok)
+                    counts[d] = counts.get(d, 0) + 1
+            for d in sorted(counts):
+                out_id.append(ids[i])
+                out_dim.append(d)
+                out_tf.append(counts[d])
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "dim": pa.array(np.asarray(out_dim, np.int64), pa.int64()),
+            "tf": pa.array(np.asarray(out_tf, np.int64), pa.int64())})
+
+
+def hashed_bow(sf_dir: str, dims: int = 64):
+    """Sparse (doc_id, dim, tf) feature-hashed bag-of-words embeddings
+    — model-free doc vectors for the ANN/clustering stack, with NO
+    global vocabulary pass and no state to broadcast.  Embarrassingly
+    parallel: one streaming actor-pool map, rows complete per doc
+    inside its batch, no shuffle.  Tokenization is the plain
+    single-space split its SQL mirror uses (string_split + unnest +
+    md5)."""
+    import ray.data
+
+    return (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(HashedBow, fn_constructor_kwargs={"dims": dims},
+                     batch_format="pyarrow", concurrency=2))
+
+
 def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
             n_centroids: int = 16, nprobe: int = 4):
     """IVF-style ANN: deterministic centroids from a seeded sample (3

@@ -2853,3 +2853,24 @@ SELECT doc_id,
          ORDER BY md5(concat('0:', doc_id)), doc_id) - 1 AS BIGINT) AS pos
 FROM documents
 """
+
+
+def q_hashed_bow(sf_dir: str):
+    """Feature-hashed bag-of-words (hashing trick): sparse (doc_id,
+    dim, tf) doc vectors with no vocabulary pass."""
+    from search_engine_ray.ops.similarity import hashed_bow
+
+    return hashed_bow(sf_dir, dims=64)
+
+
+SQL_HASHED_BOW = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64
+            AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE tok <> ''
+GROUP BY doc_id, dim
+"""

@@ -1095,3 +1095,29 @@ def test_lr_train_planted_separable(ray_session):
     assert np.all(np.isfinite(w))
     z = w[0] + w[1] * x1
     assert (((z > 0).astype(int) == y).mean()) == 1.0
+
+
+def test_hashed_bow_matches_sql(ray_session):
+    """Feature-hashed BoW == the md5 SQL mirror at sf0.001; norms are
+    token counts (mass conservation)."""
+    import duckdb
+
+    from search_engine_ray.ops.similarity import hashed_bow
+    from search_engine_ray.ops.sqlcheck import SQL_HASHED_BOW
+
+    sf = "/root/testdata/sf0.001"
+    got = (hashed_bow(sf).to_pandas()
+           .sort_values(["doc_id", "dim"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = (con.execute(SQL_HASHED_BOW).df()
+            .sort_values(["doc_id", "dim"]).reset_index(drop=True))
+    assert got.values.tolist() == want.values.tolist()
+    # per-doc tf mass == non-empty token count
+    tok = duckdb.sql(
+        f"SELECT doc_id, len(list_filter(string_split(text, ' '), "
+        f"x -> x <> '')) AS n FROM '{sf}/documents.parquet'"
+    ).df().set_index("doc_id")["n"]
+    mass = got.groupby("doc_id")["tf"].sum()
+    assert (mass == tok.loc[mass.index]).all()
