@@ -286,8 +286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token_budget_mix
         "epoch_order": sq.q_epoch_order,
         # hashed_bow's shuffle-free per-doc map shape is gated in-cap
-        # by doc_token_stats
+        # by doc_token_stats; text_knn_hashed's partial-top-k merge by
+        # knn_cosine_top10
         "hashed_bow": sq.q_hashed_bow,
+        "text_knn_hashed": sq.q_text_knn_hashed,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -469,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_search": sq.SQL_REGEX_SEARCH,
         "epoch_order": sq.SQL_EPOCH_ORDER,
         "hashed_bow": sq.SQL_HASHED_BOW,
+        "text_knn_hashed": sq.SQL_TEXT_KNN_HASHED,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

@@ -172,6 +172,62 @@ def hashed_bow(sf_dir: str, dims: int = 64):
                      batch_format="pyarrow", concurrency=2))
 
 
+def text_knn_hashed(sf_dir: str, query_doc_id: int = 3, k: int = 10,
+                    dims: int = 64):
+    """Model-free text similarity: top-``k`` docs by INTEGER dot
+    product of feature-hashed BoW vectors against one query doc —
+    exact arithmetic end to end, so the SQL self-join mirror
+    hash-matches (float cosine would drift on sum order).  Composition
+    proof for the hashing trick: text -> hashed_bow -> broadcast query
+    vector -> per-batch dense dot + partial top-k -> one k-sized
+    driver merge.  Ties break ascending doc_id."""
+    import ray
+    import ray.data
+
+    qrow = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .filter(expr=f"doc_id == {query_doc_id}").take(1))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "dot": pa.array([], pa.int64())})
+    if not qrow:
+        return empty
+    qvec = np.zeros(dims, np.int64)
+    enc = HashedBow(dims)
+    for tok in qrow[0]["text"].split(" "):
+        if tok:
+            qvec[enc._dim(tok)] += 1
+    q_ref = ray.put(qvec)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids != query_doc_id
+        bow = HashedBow(dims)(batch.filter(pa.array(keep)))
+        d = bow.column("doc_id").to_numpy()
+        dim = bow.column("dim").to_numpy()
+        tf = bow.column("tf").to_numpy()
+        if len(d) == 0:
+            return empty
+        uniq, inv = np.unique(d, return_inverse=True)
+        dots = np.zeros(len(uniq), np.int64)
+        np.add.at(dots, inv, tf * ray.get(q_ref)[dim])
+        top = _topk_ties_by_id(dots.astype(np.float64), uniq,
+                               min(k, len(uniq)), ascending=False)
+        return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
+                         "dot": pa.array(dots[top], pa.int64())})
+
+    parts = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(partial_topk, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return empty
+    out = (parts.sort_values(["dot", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "dot": pa.array(out["dot"], pa.int64())})
+
+
 def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
             n_centroids: int = 16, nprobe: int = 4):
     """IVF-style ANN: deterministic centroids from a seeded sample (3

@@ -2874,3 +2874,29 @@ SELECT doc_id,
 FROM toks WHERE tok <> ''
 GROUP BY doc_id, dim
 """
+
+
+def q_text_knn_hashed(sf_dir: str):
+    """Model-free text kNN: integer dot product of feature-hashed BoW
+    vectors vs doc 3 (exact arithmetic; ties break by doc_id)."""
+    from search_engine_ray.ops.similarity import text_knn_hashed
+
+    return text_knn_hashed(sf_dir, query_doc_id=3, k=10)
+
+
+SQL_TEXT_KNN_HASHED = """
+WITH v AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64
+              AS BIGINT) AS dim,
+         count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, dim
+), q AS (SELECT dim, tf FROM v WHERE doc_id = 3)
+SELECT v.doc_id, CAST(sum(v.tf * q.tf) AS BIGINT) AS dot
+FROM v JOIN q USING (dim)
+WHERE v.doc_id <> 3
+GROUP BY v.doc_id
+ORDER BY dot DESC, v.doc_id LIMIT 10
+"""

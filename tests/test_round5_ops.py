@@ -1121,3 +1121,25 @@ def test_hashed_bow_matches_sql(ray_session):
     ).df().set_index("doc_id")["n"]
     mass = got.groupby("doc_id")["tf"].sum()
     assert (mass == tok.loc[mass.index]).all()
+
+
+def test_text_knn_hashed_matches_sql(ray_session):
+    """Hashed-BoW integer-dot kNN == the SQL self-join mirror, and a
+    missing query doc returns the typed empty table."""
+    import duckdb
+
+    from search_engine_ray.ops.similarity import text_knn_hashed
+    from search_engine_ray.ops.sqlcheck import SQL_TEXT_KNN_HASHED
+
+    sf = "/root/testdata/sf0.001"
+    got = text_knn_hashed(sf, query_doc_id=3, k=10).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = con.execute(SQL_TEXT_KNN_HASHED).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["dot"].tolist() == want["dot"].tolist()
+    assert len(got) == 10 and got["dot"].is_monotonic_decreasing
+    missing = text_knn_hashed(sf, query_doc_id=10**12)
+    assert missing.num_rows == 0
+    assert missing.column_names == ["doc_id", "dot"]
