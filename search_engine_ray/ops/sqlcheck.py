@@ -2900,3 +2900,20 @@ WHERE v.doc_id <> 3
 GROUP BY v.doc_id
 ORDER BY dot DESC, v.doc_id LIMIT 10
 """
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance-1 self-join over customer names via deletion-
+    signature blocking + exact verify (the SQL mirror is the brute
+    cross join, proving the blocking loses nothing)."""
+    from search_engine_ray.ops.linkage import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(sf_dir)
+
+
+SQL_FUZZY_NAME_PAIRS = """
+SELECT a.c_custkey AS k1, b.c_custkey AS k2
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY k1, k2
+"""

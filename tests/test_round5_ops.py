@@ -1143,3 +1143,49 @@ def test_text_knn_hashed_matches_sql(ray_session):
     missing = text_knn_hashed(sf, query_doc_id=10**12)
     assert missing.num_rows == 0
     assert missing.column_names == ["doc_id", "dot"]
+
+
+def test_fuzzy_name_pairs_matches_brute_sql(ray_session):
+    """Deletion-signature blocked edit<=1 self-join == the brute-force
+    cross-join oracle (recall 1.0 by the signature property; precision
+    1.0 by the exact verify)."""
+    import duckdb
+
+    from search_engine_ray.ops.linkage import fuzzy_name_pairs
+    from search_engine_ray.ops.sqlcheck import SQL_FUZZY_NAME_PAIRS
+
+    sf = "/root/testdata/sf0.001"
+    got = (fuzzy_name_pairs(sf).to_pandas()
+           .sort_values(["k1", "k2"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"'{sf}/customer.parquet'")
+    want = con.execute(SQL_FUZZY_NAME_PAIRS).df()
+    assert got["k1"].tolist() == want["k1"].tolist()
+    assert got["k2"].tolist() == want["k2"].tolist()
+    assert len(got) > 0
+
+
+def test_ed1_identity_vs_brute_dp():
+    """The lcp+lcs one-edit identity == real levenshtein<=1 on random
+    short strings (property check, incl. transpositions which are 2)."""
+    from search_engine_ray.ops.linkage import _ed1
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[n]
+
+    rng = np.random.default_rng(11)
+    alpha = "abc"
+    for _ in range(300):
+        la, lb = rng.integers(0, 6, size=2)
+        a = "".join(rng.choice(list(alpha), size=la))
+        b = "".join(rng.choice(list(alpha), size=lb))
+        assert _ed1(a, b) == (lev(a, b) <= 1), (a, b)
