@@ -291,8 +291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_bow": sq.q_hashed_bow,
         "text_knn_hashed": sq.q_text_knn_hashed,
         # fuzzy_name_pairs' block+verify shuffle shape is gated in-cap
-        # by ngram_jaccard_dups / winnow_shared_pairs
+        # by ngram_jaccard_dups / winnow_shared_pairs; percolate's
+        # streaming contains shape by phrase_match
         "fuzzy_name_pairs": sq.q_fuzzy_name_pairs,
+        "percolate": sq.q_percolate,
         "index_dict_deleted": sq.q_index_dict_deleted,
         "topk_per_window": sq.q_topk_per_window,
         "search_bool_or_clean": sq.q_search_bool_or_clean,
@@ -476,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_bow": sq.SQL_HASHED_BOW,
         "text_knn_hashed": sq.SQL_TEXT_KNN_HASHED,
         "fuzzy_name_pairs": sq.SQL_FUZZY_NAME_PAIRS,
+        "percolate": sq.SQL_PERCOLATE,
         "fuzzy_terms": sq.SQL_FUZZY_TERMS,
         "doc_snippets": sq.SQL_DOC_SNIPPETS,
         "facet_counts": sq.SQL_FACET_COUNTS,

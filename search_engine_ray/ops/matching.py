@@ -155,3 +155,60 @@ def proximity_match_indexed(sf_dir: str, t1: str = "query",
     return pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "min_gap": pa.array([r[1] for r in rows], pa.int64())})
+
+
+DEFAULT_STANDING_QUERIES = {
+    1: ["spark", "data"],
+    2: ["query", "scan"],
+    3: ["zzznope"],
+}
+
+
+def percolate(sf_dir: str, queries=None):
+    """Standing queries / percolation (the reverse of search, the
+    alerting primitive): which stored boolean-AND term queries match
+    each document of the stream.  ``queries`` is {query_id: [terms]};
+    emits (doc_id, query_id) per match.
+
+    Scale shape: the query registry is broadcast state evaluated
+    vectorized per batch — one space-joined token string per doc, one
+    Arrow match_substring kernel per distinct query term, AND-folded
+    per query — so the corpus streams once regardless of query count.
+    Alerting registries are bounded (thousands); at millions of stored
+    queries the right structure inverts the QUERIES (route each doc by
+    its terms through a query-term index) — the corpus-side streaming
+    shape here is unchanged by that upgrade."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    if queries is None:
+        queries = DEFAULT_STANDING_QUERIES
+    qitems = sorted((int(q), [t for t in terms])
+                    for q, terms in queries.items())
+
+    def match(batch: pa.Table) -> pa.Table:
+        toks = [simple_tokenize(t)
+                for t in batch.column("text").to_pylist()]
+        joined = pa.array([" " + " ".join(ts) + " " for ts in toks],
+                          pa.string())
+        ids = batch.column("doc_id").to_numpy()
+        terms = {t for _, ts in qitems for t in ts}
+        member = {t: pc.match_substring(joined, f" {t} ")
+                  .to_numpy(zero_copy_only=False) for t in terms}
+        out_doc, out_q = [], []
+        for qid, ts in qitems:
+            hit = np.ones(len(ids), bool)
+            for t in ts:
+                hit &= member[t]
+            out_doc.extend(ids[hit].tolist())
+            out_q.extend([qid] * int(hit.sum()))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out_doc, np.int64),
+                               pa.int64()),
+            "query_id": pa.array(np.asarray(out_q, np.int64),
+                                 pa.int64())})
+
+    return (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(match, batch_format="pyarrow"))

@@ -2917,3 +2917,27 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY k1, k2
 """
+
+
+def q_percolate(sf_dir: str):
+    """Standing-query percolation: which stored boolean-AND queries
+    match each doc (broadcast registry, one streaming corpus pass)."""
+    from search_engine_ray.ops.matching import percolate
+
+    return percolate(sf_dir)
+
+
+SQL_PERCOLATE = f"""
+WITH t AS (
+  SELECT doc_id,
+         ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS j
+  FROM documents)
+SELECT doc_id, CAST(1 AS BIGINT) AS query_id FROM t
+WHERE position(' spark ' IN j) > 0 AND position(' data ' IN j) > 0
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT) FROM t
+WHERE position(' query ' IN j) > 0 AND position(' scan ' IN j) > 0
+UNION ALL
+SELECT doc_id, CAST(3 AS BIGINT) FROM t
+WHERE position(' zzznope ' IN j) > 0
+"""

@@ -1189,3 +1189,27 @@ def test_ed1_identity_vs_brute_dp():
         a = "".join(rng.choice(list(alpha), size=la))
         b = "".join(rng.choice(list(alpha), size=lb))
         assert _ed1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_percolate_matches_sql(ray_session):
+    """Standing-query percolation == the per-query position() SQL; the
+    never-matching stored query contributes zero rows; a custom
+    registry behaves."""
+    import duckdb
+
+    from search_engine_ray.ops.matching import percolate
+    from search_engine_ray.ops.sqlcheck import SQL_PERCOLATE
+
+    sf = "/root/testdata/sf0.001"
+    got = (percolate(sf).to_pandas()
+           .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = (con.execute(SQL_PERCOLATE).df()
+            .sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["query_id"] == 3).sum() == 0   # zzznope never matches
+    assert (got["query_id"] == 1).sum() > 0
+    custom = percolate(sf, {7: ["spark"]}).to_pandas()
+    assert set(custom["query_id"]) == {7} and len(custom) > 0
