@@ -55,7 +55,10 @@ def _k_value(obj) -> int | None:
     if _INT_TOKEN is None:
         import re
 
-        _INT_TOKEN = re.compile(r"-?\d+")
+        # ASCII digits only: the mirror's '^-?[0-9]+$' never matches
+        # Unicode digits, but Python's \d (and int()) would accept
+        # them — '"٥٣"' must NOT become node 53 here
+        _INT_TOKEN = re.compile(r"-?[0-9]+")
     v = obj.get("k") if isinstance(obj, dict) else None
     if isinstance(v, bool):
         return None

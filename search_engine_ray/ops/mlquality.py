@@ -127,7 +127,11 @@ def quality_lr_scores(sf_dir: str, iters: int = 8):
     percent (stable across float jitter for row-level gates)."""
     import ray
 
-    feats = _feature_table(sf_dir)
+    # materialize HERE so the scoring pass reuses the same feature
+    # blocks the training passes read — otherwise lr_train_weights'
+    # internal materialize is local to it and scoring would re-read
+    # and re-featurize the whole corpus once more
+    feats = _feature_table(sf_dir).materialize()
     w = lr_train_weights(feats, iters=iters)
     w_ref = ray.put(w)
 

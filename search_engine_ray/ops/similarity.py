@@ -211,6 +211,13 @@ def text_knn_hashed(sf_dir: str, query_doc_id: int = 3, k: int = 10,
         uniq, inv = np.unique(d, return_inverse=True)
         dots = np.zeros(len(uniq), np.int64)
         np.add.at(dots, inv, tf * ray.get(q_ref)[dim])
+        # dot == 0 docs share no hashed dim with the query: the SQL
+        # mirror's inner join never emits them, so neither may we
+        # (they would pad the top-k on sparse/empty query vectors)
+        pos = dots > 0
+        uniq, dots = uniq[pos], dots[pos]
+        if len(uniq) == 0:
+            return empty
         top = _topk_ties_by_id(dots.astype(np.float64), uniq,
                                min(k, len(uniq)), ascending=False)
         return pa.table({"doc_id": pa.array(uniq[top], pa.int64()),
