@@ -22,6 +22,13 @@ edit distance <= 1 with the lcp+lcs identity (exactly levenshtein<=1,
 same rule as ops/fulltext._one_edit_mask).  Nothing quadratic in the
 table ever materializes; the SQL mirror IS the brute-force cross join,
 which is the point — it proves the blocking loses nothing.
+
+One quadratic hazard is inherent to the PROBLEM, not the blocking: m
+records with IDENTICAL values form m(m-1)/2 pairs by definition (the
+SQL mirror enumerates them too).  On a corpus where exact-duplicate
+names are heavy, collapse identical values first (exact_dedup's
+fingerprint shuffle) and run this join over the distinct values — the
+edit-distance structure lives between distinct strings.
 """
 
 from __future__ import annotations
