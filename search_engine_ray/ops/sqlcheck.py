@@ -2084,6 +2084,44 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+def q_dup_passages(sf_dir: str):
+    from search_engine_ray.ops.textstats import dup_passages
+
+    return dup_passages(sf_dir)
+
+
+# gaps-and-islands over duplicated 5-gram positions: equal-length
+# intervals sorted by start have sorted ends, so a new island begins
+# exactly when p - lag(p) > 5 (the op's merge_islands uses the same law)
+SQL_DUP_PASSAGES = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+pos AS (SELECT doc_id, p, array_to_string(ts[p:p + 4], ' ') AS g
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS p
+              FROM base)),
+df AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS df FROM pos GROUP BY g),
+dup AS (SELECT p.doc_id, p.p FROM pos p JOIN df ON p.g = df.g
+        WHERE df.df >= 2),
+brk AS (SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                    OR p - lag(p) OVER w > 5 THEN 1 ELSE 0 END AS b
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+isl AS (SELECT doc_id, p,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk),
+spans AS (SELECT doc_id, island, max(p) - min(p) + 5 AS len
+          FROM isl GROUP BY doc_id, island),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_passages,
+               sum(len)::BIGINT AS dup_tokens,
+               max(len)::BIGINT AS max_passage
+        FROM spans GROUP BY doc_id)
+SELECT d.doc_id, coalesce(per.n_passages, 0)::BIGINT AS n_passages,
+       coalesce(per.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(per.max_passage, 0)::BIGINT AS max_passage
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def q_token_budget_mix(sf_dir: str):
     from search_engine_ray.ops.textstats import token_budget_mix
 

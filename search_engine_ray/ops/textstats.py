@@ -1955,3 +1955,143 @@ def bpe_encode_counts(sf_dir: str, n_merges: int = 12):
         columns=["doc_id", "text"])
         .map_batches(BpeEncoder, fn_constructor_kwargs={"merges": merges},
                      batch_format="pyarrow", concurrency=2))
+
+
+def dup_passages(sf_dir: str, n: int = 5):
+    """Maximal duplicated-PASSAGE spans per document — the positional
+    refinement of :func:`dup_ngram_fraction` (which only counts dup
+    n-gram positions): merge the positions of every cross-doc-duplicated
+    ``n``-gram into maximal contiguous token spans (RefinedWeb's "exact
+    substring" curation signal, passage granularity).  Output per doc:
+    ``n_passages`` (maximal spans), ``dup_tokens`` (total tokens covered
+    by spans), ``max_passage`` (longest span, tokens); zero rows for
+    docs with no duplicated text.
+
+    Plan (no broadcasts, three bounded shuffles): one scan emits per-doc
+    distinct grams with their 1-based POSITION LISTS plus a p=0 sentinel
+    per doc; gram df is one bucketed count over the (unique) (doc, gram)
+    rows; df rides back via a gram-keyed tagged union whose buckets
+    explode only the DUPLICATED grams' positions; a doc-keyed bucketed
+    pass merges each doc's sorted positions into maximal islands
+    (equal-length intervals sorted by start have sorted ends, so a span
+    breaks exactly when p - prev_p > n) and reduces to the three stats.
+    Shuffle volume is bounded by the dup-position count — at web scale
+    that is the boilerplate fraction of the corpus, not the corpus."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def doc_gram_positions(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_g: list[str] = []
+        out_ps: list[list[int]] = []
+        for i, t in zip(ids, texts):
+            out_id.append(int(i))
+            out_g.append("")        # sentinel: doc survives with zeros
+            out_ps.append([0])
+            ts = simple_tokenize(t)
+            if len(ts) >= n:
+                grams: dict[str, list[int]] = {}
+                for j in range(len(ts) - n + 1):
+                    grams.setdefault(" ".join(ts[j:j + n]),
+                                     []).append(j + 1)  # 1-based like SQL
+                for g, ps in grams.items():
+                    out_id.append(int(i))
+                    out_g.append(g)
+                    out_ps.append(ps)
+        return pa.table({
+            "g": pa.array(out_g, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "ps": pa.array(out_ps, pa.list_(pa.int64()))})
+
+    rows = (ray.data.read_parquet(path, columns=["doc_id", "text"])
+            .map_batches(doc_gram_positions, batch_format="pyarrow"))
+
+    def df_prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.not_equal(batch.column("g"), pa.scalar("")))
+        return pa.table({
+            "g": sub.column("g"),
+            "one": pa.array(np.ones(sub.num_rows, dtype=np.int64))})
+
+    dfs = bucketed_sum(rows.map_batches(df_prep, batch_format="pyarrow"),
+                       ["g"], ["one"], rename={"one": "df"})
+
+    def tag_df(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        return pa.table({
+            "g": batch.column("g"),
+            "doc_id": pa.array(np.zeros(nr, dtype=np.int64)),
+            "ps": pa.array([[]] * nr, pa.list_(pa.int64())),
+            "df": batch.column("df").cast(pa.int64()),
+            "side": pa.array(np.zeros(nr, dtype=np.int8))})
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        return batch.append_column(
+            "df", pa.array(np.zeros(nr, dtype=np.int64))).append_column(
+            "side", pa.array(np.ones(nr, dtype=np.int8)))
+
+    union = (dfs.map_batches(tag_df, batch_format="pyarrow")
+             .union(rows.map_batches(tag_rows, batch_format="pyarrow")))
+
+    def explode_dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.loc[g["side"] == 0, ["g", "df"]]
+        d = g.loc[g["side"] == 1, ["g", "doc_id", "ps"]]
+        sent = d["g"].to_numpy() == ""
+        m_ = d.loc[~sent].merge(cnt, on="g", how="left")
+        dup = m_[m_["df"].fillna(0).to_numpy(dtype=np.int64) >= 2]
+        lens = np.fromiter((len(x) for x in dup["ps"]),
+                           dtype=np.int64, count=len(dup))
+        out_ids = np.repeat(dup["doc_id"].to_numpy(np.int64), lens)
+        out_ps = (np.concatenate([np.asarray(x, dtype=np.int64)
+                                  for x in dup["ps"]])
+                  if len(dup) else np.array([], dtype=np.int64))
+        sents = d.loc[sent, "doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": np.concatenate([out_ids, sents]),
+            "p": np.concatenate([out_ps,
+                                 np.zeros(len(sents), dtype=np.int64)])})
+
+    dup_pos = bucketed_apply(union, ["g"], explode_dup_positions)
+
+    def merge_islands(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["doc_id", "p"])
+        ids = d["doc_id"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        real = p > 0
+        ids_r, p_r = ids[real], p[real]
+        if len(ids_r):
+            brk = np.empty(len(ids_r), dtype=bool)
+            brk[0] = True
+            brk[1:] = (ids_r[1:] != ids_r[:-1]) | (p_r[1:] - p_r[:-1] > n)
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(ids_r))
+            span_len = (p_r[ends - 1] + n - 1) - p_r[starts] + 1
+            per = pd.DataFrame({"doc_id": ids_r[starts], "len": span_len})
+            stats = (per.groupby("doc_id", sort=False)["len"]
+                     .agg(n_passages="count", dup_tokens="sum",
+                          max_passage="max").reset_index())
+        else:
+            stats = pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_passages": pd.Series([], dtype="int64"),
+                "dup_tokens": pd.Series([], dtype="int64"),
+                "max_passage": pd.Series([], dtype="int64")})
+        have = set(stats["doc_id"].tolist())
+        miss = np.array(sorted(set(np.unique(ids).tolist()) - have),
+                        dtype=np.int64)
+        if len(miss):
+            zeros = np.zeros(len(miss), dtype=np.int64)
+            stats = pd.concat([stats, pd.DataFrame({
+                "doc_id": miss, "n_passages": zeros,
+                "dup_tokens": zeros, "max_passage": zeros})],
+                ignore_index=True)
+        for c in ("n_passages", "dup_tokens", "max_passage"):
+            stats[c] = stats[c].astype("int64")
+        return stats
+
+    return bucketed_apply(dup_pos, ["doc_id"], merge_islands)

@@ -1213,3 +1213,46 @@ def test_percolate_matches_sql(ray_session):
     assert (got["query_id"] == 1).sum() > 0
     custom = percolate(sf, {7: ["spark"]}).to_pandas()
     assert set(custom["query_id"]) == {7} and len(custom) > 0
+
+
+def test_dup_passages_planted_spans(ray_session, tmp_path):
+    """Maximal-span law on planted data: overlapping duplicated 5-grams
+    merge into ONE maximal passage; two shared spans separated by unique
+    text stay separate islands; singleton text reports zeros."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.textstats import dup_passages
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel " \
+             "india juliet kilo lima"                      # 12 tokens
+    span2 = "one two three four five six"                  # 6 tokens
+    texts = [
+        # doc 0: shared passage embedded in unique text
+        "zz0 qq0 " + shared + " ww0 yy0",
+        # doc 1: same passage, different surroundings + second span
+        "aa1 " + shared + " bb1 cc1 dd1 ee1 ff1 " + span2,
+        # doc 2: carries only the second span
+        span2 + " gg2 hh2",
+        # doc 3: no duplicated text at all
+        "totally unique words nothing shared anywhere here",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (dup_passages(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    rows = {int(r.doc_id): (int(r.n_passages), int(r.dup_tokens),
+                            int(r.max_passage))
+            for r in got.itertuples()}
+    # doc 0: the 12-token passage = 8 overlapping 5-grams -> ONE island
+    assert rows[0] == (1, 12, 12)
+    # doc 1: 12-token passage + 6-token span -> two islands
+    assert rows[1] == (2, 18, 12)
+    assert rows[2] == (1, 6, 6)
+    assert rows[3] == (0, 0, 0)
+    assert len(got) == 4
