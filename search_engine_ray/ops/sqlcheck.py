@@ -2122,6 +2122,34 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 
+def q_strip_dup_passages(sf_dir: str):
+    from search_engine_ray.ops.textstats import strip_dup_passages
+
+    return strip_dup_passages(sf_dir)
+
+
+SQL_STRIP_DUP_PASSAGES = f"""
+WITH base AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+pos AS (SELECT doc_id, p, array_to_string(ts[p:p + 4], ' ') AS g
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS p
+              FROM base)),
+df AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS df FROM pos GROUP BY g),
+dup AS (SELECT p.doc_id, p.p FROM pos p JOIN df ON p.g = df.g
+        WHERE df.df >= 2),
+covered AS (SELECT DISTINCT doc_id, tp FROM
+            (SELECT doc_id, unnest(range(p, p + 5)) AS tp FROM dup)),
+toks AS (SELECT doc_id, unnest(ts) AS tok,
+                unnest(range(1, len(ts) + 1)) AS tp FROM base),
+clean AS (SELECT t.doc_id,
+                 string_agg(t.tok, ' ' ORDER BY t.tp) AS clean_text
+          FROM toks t LEFT JOIN covered c
+               ON t.doc_id = c.doc_id AND t.tp = c.tp
+          WHERE c.tp IS NULL GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(clean.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN clean ON d.doc_id = clean.doc_id
+"""
+
+
 def q_token_budget_mix(sf_dir: str):
     from search_engine_ray.ops.textstats import token_budget_mix
 

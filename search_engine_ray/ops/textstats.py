@@ -1957,26 +1957,19 @@ def bpe_encode_counts(sf_dir: str, n_merges: int = 12):
                      batch_format="pyarrow", concurrency=2))
 
 
-def dup_passages(sf_dir: str, n: int = 5):
-    """Maximal duplicated-PASSAGE spans per document — the positional
-    refinement of :func:`dup_ngram_fraction` (which only counts dup
-    n-gram positions): merge the positions of every cross-doc-duplicated
-    ``n``-gram into maximal contiguous token spans (RefinedWeb's "exact
-    substring" curation signal, passage granularity).  Output per doc:
-    ``n_passages`` (maximal spans), ``dup_tokens`` (total tokens covered
-    by spans), ``max_passage`` (longest span, tokens); zero rows for
-    docs with no duplicated text.
+def _dup_gram_positions(sf_dir: str, n: int):
+    """Shared front half of :func:`dup_passages` /
+    :func:`strip_dup_passages`: a Dataset of (doc_id, p) rows, one per
+    1-based position of a cross-doc-duplicated ``n``-gram, plus a p=0
+    sentinel per doc so gram-less docs survive downstream left-joins.
 
-    Plan (no broadcasts, three bounded shuffles): one scan emits per-doc
+    Plan (no broadcasts, two bounded shuffles): one scan emits per-doc
     distinct grams with their 1-based POSITION LISTS plus a p=0 sentinel
     per doc; gram df is one bucketed count over the (unique) (doc, gram)
     rows; df rides back via a gram-keyed tagged union whose buckets
-    explode only the DUPLICATED grams' positions; a doc-keyed bucketed
-    pass merges each doc's sorted positions into maximal islands
-    (equal-length intervals sorted by start have sorted ends, so a span
-    breaks exactly when p - prev_p > n) and reduces to the three stats.
-    Shuffle volume is bounded by the dup-position count — at web scale
-    that is the boilerplate fraction of the corpus, not the corpus."""
+    explode only the DUPLICATED grams' positions.  Shuffle volume is
+    bounded by the dup-position count — at web scale that is the
+    boilerplate fraction of the corpus, not the corpus."""
     import ray.data
 
     from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
@@ -2056,7 +2049,27 @@ def dup_passages(sf_dir: str, n: int = 5):
             "p": np.concatenate([out_ps,
                                  np.zeros(len(sents), dtype=np.int64)])})
 
-    dup_pos = bucketed_apply(union, ["g"], explode_dup_positions)
+    return bucketed_apply(union, ["g"], explode_dup_positions)
+
+
+def dup_passages(sf_dir: str, n: int = 5):
+    """Maximal duplicated-PASSAGE spans per document — the positional
+    refinement of :func:`dup_ngram_fraction` (which only counts dup
+    n-gram positions): merge the positions of every cross-doc-duplicated
+    ``n``-gram into maximal contiguous token spans (RefinedWeb's "exact
+    substring" curation signal, passage granularity).  Output per doc:
+    ``n_passages`` (maximal spans), ``dup_tokens`` (total tokens covered
+    by spans), ``max_passage`` (longest span, tokens); zero rows for
+    docs with no duplicated text.
+
+    Adds ONE doc-keyed bucketed shuffle on top of
+    :func:`_dup_gram_positions`: each doc's sorted positions merge into
+    maximal islands (equal-length intervals sorted by start have sorted
+    ends, so a span breaks exactly when p - prev_p > n) and reduce to
+    the three stats."""
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    dup_pos = _dup_gram_positions(sf_dir, n)
 
     def merge_islands(g: pd.DataFrame) -> pd.DataFrame:
         d = g.sort_values(["doc_id", "p"])
@@ -2095,3 +2108,85 @@ def dup_passages(sf_dir: str, n: int = 5):
         return stats
 
     return bucketed_apply(dup_pos, ["doc_id"], merge_islands)
+
+
+def strip_dup_passages(sf_dir: str, n: int = 5):
+    """Dedup APPLY at passage granularity: rewrite every document's
+    token stream with all cross-doc-duplicated spans REMOVED (the
+    RefinedWeb/Lee-et-al. "exact substring deduplication" transform,
+    symmetric variant: a span duplicated anywhere is dropped from every
+    doc carrying it).  Output (doc_id, clean_text) for the whole corpus
+    — clean_text is the space-joined surviving tokens of the `simple`
+    tokenizer stream, possibly empty.
+
+    Composition: :func:`_dup_gram_positions` (dup-position volume only)
+    tagged-union-shuffled on doc_id against the token stream; each
+    bucket expands dup positions to covered token indexes vectorized
+    (np.repeat + offset ravel) and masks them out of the doc's tokens.
+    The doc-keyed shuffle carries the corpus text once — inherent to a
+    rewrite op whose OUTPUT is the corpus."""
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    dup_pos = _dup_gram_positions(sf_dir, n)
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch.column("p"), 0))
+        nr = sub.num_rows
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "p": sub.column("p"),
+            "toks": pa.array([""] * nr, pa.string()),
+            "side": pa.array(np.zeros(nr, dtype=np.int8))})
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        nr = batch.num_rows
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "p": pa.array(np.zeros(nr, dtype=np.int64)),
+            "toks": pa.array([" ".join(simple_tokenize(t))
+                              for t in texts], pa.string()),
+            "side": pa.array(np.ones(nr, dtype=np.int8))})
+
+    docs = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pyarrow"))
+    union = dup_pos.map_batches(tag_dup, batch_format="pyarrow").union(docs)
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g["side"] == 0]
+        # expand each dup position to its n covered token indexes,
+        # grouped into per-doc sorted unique arrays
+        cov: dict[int, np.ndarray] = {}
+        if len(dup):
+            d_ids = np.repeat(dup["doc_id"].to_numpy(np.int64), n)
+            tps = (dup["p"].to_numpy(np.int64)[:, None]
+                   + np.arange(n, dtype=np.int64)).ravel()
+            order = np.lexsort((tps, d_ids))
+            d_ids, tps = d_ids[order], tps[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], d_ids[1:] != d_ids[:-1]]))
+            ends = np.append(starts[1:], len(d_ids))
+            for s, e in zip(starts, ends):
+                cov[int(d_ids[s])] = np.unique(tps[s:e])
+        rows = g[g["side"] == 1]
+        out_id, out_txt = [], []
+        for i, toks in zip(rows["doc_id"].to_numpy(np.int64),
+                           rows["toks"]):
+            ts = toks.split(" ") if toks else []
+            c = cov.get(int(i))
+            if c is not None and len(ts):
+                keep = np.ones(len(ts), dtype=bool)
+                keep[c - 1] = False        # positions are 1-based
+                ts = [t for t, k in zip(ts, keep) if k]
+            out_id.append(int(i))
+            out_txt.append(" ".join(ts))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "clean_text": pd.Series(out_txt, dtype="object")})
+
+    return bucketed_apply(union, ["doc_id"], rewrite)

@@ -1256,3 +1256,48 @@ def test_dup_passages_planted_spans(ray_session, tmp_path):
     assert rows[2] == (1, 6, 6)
     assert rows[3] == (0, 0, 0)
     assert len(got) == 4
+
+
+def test_strip_dup_passages_planted(ray_session, tmp_path):
+    """APPLY law on the planted-span fixture: removed-token count per
+    doc equals dup_passages' dup_tokens, surviving text keeps original
+    token order, and fully-unique docs round-trip unchanged."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.textstats import dup_passages
+    from search_engine_ray.ops.textstats import strip_dup_passages
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel " \
+             "india juliet kilo lima"
+    texts = [
+        "zz0 qq0 " + shared + " ww0 yy0",
+        "aa1 " + shared + " bb1",
+        "totally unique words nothing shared anywhere here",
+        "",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    clean = {int(r.doc_id): r.clean_text
+             for r in strip_dup_passages(str(tmp_path)).to_pandas()
+             .itertuples()}
+    spans = {int(r.doc_id): int(r.dup_tokens)
+             for r in dup_passages(str(tmp_path)).to_pandas()
+             .itertuples()}
+    assert len(clean) == 4
+    for i, t in enumerate(texts):
+        orig = simple_tokenize(t)
+        kept = clean[i].split(" ") if clean[i] else []
+        assert len(orig) - len(kept) == spans[i], i
+        # surviving tokens preserve original order (subsequence check)
+        it = iter(orig)
+        assert all(k in it for k in kept), i
+    assert clean[0] == "zz0 qq0 ww0 yy0"
+    assert clean[2] == texts[2]
+    assert clean[3] == ""
