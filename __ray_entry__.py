@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_fraction": sq.q_dup_ngram_fraction,
         "dup_passages": sq.q_dup_passages,
         "strip_dup_passages": sq.q_strip_dup_passages,
+        "dsir_logratio": sq.q_dsir_logratio,
         "token_budget_mix": sq.q_token_budget_mix,
         # round-4/5 op families rotated INTO the driver cap this round
         # (round-4 verdict #7); the rows they displaced are
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": sq.SQL_DUP_NGRAM_FRACTION,
         "dup_passages": sq.SQL_DUP_PASSAGES,
         "strip_dup_passages": sq.SQL_STRIP_DUP_PASSAGES,
+        "dsir_logratio": sq.SQL_DSIR_LOGRATIO,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,
         "dataset_profile": sq.SQL_DATASET_PROFILE,

@@ -2150,6 +2150,37 @@ FROM documents d LEFT JOIN clean ON d.doc_id = clean.doc_id
 """
 
 
+def q_dsir_logratio(sf_dir: str):
+    from search_engine_ray.ops.textstats import dsir_logratio
+
+    return dsir_logratio(sf_dir)
+
+
+SQL_DSIR_LOGRATIO = f"""
+WITH base AS (SELECT doc_id, lang, {_TOKS_SQL} AS ts FROM documents),
+toks AS (SELECT doc_id, lang, unnest(ts) AS w FROM base),
+cc AS (SELECT w, count(*)::BIGINT AS c,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tc
+       FROM toks GROUP BY w),
+consts AS (SELECT floor(ln((SELECT sum(c) FROM cc)
+                          + (SELECT count(*) FROM cc)) * 1000000
+                        + 0.5)::BIGINT
+                - floor(ln((SELECT sum(tc) FROM cc)
+                          + (SELECT count(*) FROM cc)) * 1000000
+                        + 0.5)::BIGINT AS k),
+lp AS (SELECT t.doc_id,
+              floor(ln(cc.tc + 1) * 1000000 + 0.5)::BIGINT
+            - floor(ln(cc.c + 1) * 1000000 + 0.5)::BIGINT AS l
+       FROM toks t JOIN cc ON t.w = cc.w),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(l)::BIGINT AS s
+        FROM lp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       (coalesce(per.s, 0) + coalesce(per.n_tokens, 0)
+        * (SELECT k FROM consts))::BIGINT AS llr_e6
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def q_token_budget_mix(sf_dir: str):
     from search_engine_ray.ops.textstats import token_budget_mix
 

@@ -2190,3 +2190,127 @@ def strip_dup_passages(sf_dir: str, n: int = 5):
             "clean_text": pd.Series(out_txt, dtype="object")})
 
     return bucketed_apply(union, ["doc_id"], rewrite)
+
+
+def dsir_logratio(sf_dir: str, target_lang: str = "en"):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    with unigram features: score every document by the log importance
+    ratio ``sum_w m(w) * [ln P_target(w) - ln P_corpus(w)]`` where the
+    target distribution is estimated from the ``lang == target_lang``
+    subset and the raw distribution from the whole corpus, both add-one
+    smoothed over the SHARED corpus vocabulary.  High scores = docs that
+    look like the target domain; resample proportionally to curate.
+
+    Per-token log-probs are e6-integer-rounded BEFORE the sum
+    (``fl6(x) = floor(x*1e6 + 0.5)``, same exactness contract as
+    :func:`bigram_lm_nll`) so reduce order cannot move the result and
+    the DuckDB oracle hashes identically.
+
+    Plan: per-doc distinct-token multiplicities (plus a m=0 sentinel)
+    from one scan; ONE bucketed sum produces the vocab-bounded
+    (w, corpus_count, target_count) model side, materialized once (model
+    scale = vocabulary, not corpus); scoring attaches counts via a
+    w-keyed tagged-union shuffle with per-doc pre-combine, then a
+    doc-keyed sum; the two corpus-wide constants fold in vectorized at
+    the end (driver holds two scalars, never a table)."""
+    from collections import Counter
+
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def fl6(x: np.ndarray) -> np.ndarray:
+        return np.floor(np.log(x) * 1e6 + 0.5).astype(np.int64)
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_w, out_m, out_mt = [], [], [], []
+        for i, lg, t in zip(ids, langs, texts):
+            out_id.append(int(i))
+            out_w.append("")
+            out_m.append(0)
+            out_mt.append(0)
+            tgt = 1 if lg == target_lang else 0
+            for w, m in Counter(simple_tokenize(t)).items():
+                out_id.append(int(i))
+                out_w.append(w)
+                out_m.append(int(m))
+                out_mt.append(int(m) * tgt)
+        return pa.table({
+            "w": pa.array(out_w, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "m": pa.array(out_m, pa.int64()),
+            "mt": pa.array(out_mt, pa.int64())})
+
+    rows = (ray.data.read_parquet(path,
+                                  columns=["doc_id", "lang", "text"])
+            .map_batches(doc_tokens, batch_format="pyarrow"))
+
+    def count_prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch.column("m"), 0))
+        return sub.select(["w", "m", "mt"])
+
+    counts = bucketed_sum(
+        rows.map_batches(count_prep, batch_format="pyarrow"),
+        ["w"], ["m", "mt"], rename={"m": "cc", "mt": "tc"}).materialize()
+    v_size = counts.count()
+    from ray.data.aggregate import Sum
+    tot = counts.aggregate(Sum("cc", alias_name="ctot"),
+                           Sum("tc", alias_name="ttot"))
+    c_tot, t_tot = int(tot["ctot"]), int(tot["ttot"])
+    # the two corpus constants of the smoothed log-ratio
+    const_e6 = int(np.floor(np.log(c_tot + v_size) * 1e6 + 0.5)
+                   - np.floor(np.log(t_tot + v_size) * 1e6 + 0.5))
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "w": batch.column("w"),
+            "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "m": pa.array(np.zeros(n, dtype=np.int64)),
+            "cc": batch.column("cc").cast(pa.int64()),
+            "tc": batch.column("tc").cast(pa.int64()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "w": batch.column("w"),
+            "doc_id": batch.column("doc_id"),
+            "m": batch.column("m"),
+            "cc": pa.array(np.zeros(n, dtype=np.int64)),
+            "tc": pa.array(np.zeros(n, dtype=np.int64)),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    union = (counts.map_batches(tag_counts, batch_format="pyarrow")
+             .union(rows.map_batches(tag_rows, batch_format="pyarrow")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        model = g.loc[g["side"] == 0, ["w", "cc", "tc"]]
+        d = g.loc[g["side"] == 1, ["w", "doc_id", "m"]]
+        m_ = d.merge(model, on="w", how="left")
+        mm = m_["m"].to_numpy(dtype=np.int64)
+        cc_ = m_["cc"].fillna(0).to_numpy(dtype=np.int64)
+        tc_ = m_["tc"].fillna(0).to_numpy(dtype=np.int64)
+        part = mm * (fl6(tc_ + 1) - fl6(cc_ + 1))
+        out = pd.DataFrame({"doc_id": m_["doc_id"].to_numpy(np.int64),
+                            "n_tokens": mm, "part_e6": part})
+        return (out.groupby("doc_id", sort=False)[["n_tokens", "part_e6"]]
+                .sum().reset_index())
+
+    per = bucketed_apply(union, ["w"], attach)
+    summed = bucketed_sum(per, ["doc_id"], ["n_tokens", "part_e6"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_tokens").to_numpy().astype(np.int64)
+        part = batch.column("part_e6").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "llr_e6": pa.array(part + nt * const_e6, pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")

@@ -1301,3 +1301,34 @@ def test_strip_dup_passages_planted(ray_session, tmp_path):
     assert clean[0] == "zz0 qq0 ww0 yy0"
     assert clean[2] == texts[2]
     assert clean[3] == ""
+
+
+def test_dsir_logratio_prefers_target_lang(ray_session, tmp_path):
+    """Planted DSIR sanity: docs made of target-language-only vocabulary
+    score strictly higher than docs of never-in-target vocabulary, and
+    empty docs land at exactly 0."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.textstats import dsir_logratio
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox likes the brown dog",
+             "der schnelle braune fuchs springt gerne hoch",
+             ""]
+    langs = ["en", "en", "de", "en"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = {int(r.doc_id): (int(r.n_tokens), int(r.llr_e6))
+           for r in dsir_logratio(str(tmp_path)).to_pandas().itertuples()}
+    assert len(got) == 4
+    assert got[3] == (0, 0)
+    # per-token ratio: en-only vocab > de-only vocab
+    assert got[0][1] / got[0][0] > got[2][1] / got[2][0]
+    assert got[1][1] / got[1][0] > got[2][1] / got[2][0]
+    assert got[2][1] < 0
