@@ -61,6 +61,12 @@ def _built_index(sf_dir: str) -> str:
     return index
 
 
+def _index_storage_profile(sf_dir: str):
+    from search_engine_ray.ops.profiling import index_storage_profile
+
+    return index_storage_profile(_built_index(sf_dir))
+
+
 def _search_topk(sf_dir: str, mode: str):
     import pyarrow as pa
 
@@ -351,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (non-SQL-expressible semantics: full tokenizer,
         # glove-blended reference scoring, LSH/IVF approximation) ---
         "index_dictionary_full": index_dictionary,
+        "index_storage_profile": _index_storage_profile,
         "search_reference_top10": lambda sf: _search_topk(sf, "reference"),
         "minhash_near_dups": lambda sf: minhash_near_dup_pairs(sf),
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),

@@ -202,3 +202,85 @@ def compact_parquet(src_dir: str, dst_dir: str,
         "n_files_in": pa.array([len(files_in)], pa.int64()),
         "n_files_out": pa.array([len(files_out)], pa.int64()),
         "n_rows": pa.array([n_rows], pa.int64())})
+
+
+def index_storage_profile(index_dir: str):
+    """Per-TBUCKET storage profile of a built inverted index — the
+    observability surface for the build's central partitioning
+    assumption (term-hash buckets x doc shards bound reducer volume and
+    head-term skew; see index/build.py module docstring).  One row per
+    tbucket: posting SEGMENTS (term x doc-shard rows), total postings,
+    bytes per varbyte stream family (docids / per-posting stats /
+    block-max metadata / positions), and the docid compression ratio
+    ``cr_docids_e4 = floor(docids_bytes * 1e4 / (8 * postings))``
+    (varbyte+delta vs raw int64, e4 fixed-point).  A skewed tbucket —
+    postings far above the mean — is the signal to raise term_buckets
+    or re-salt before it becomes a straggler at cluster scale.
+
+    Plan: one columns-pruned scan of the postings parquet (hive tbucket
+    rides along), per-batch vectorized reduceat partials, then ONE
+    Ray-native groupby over the tbucket-bounded key domain (= the
+    partition grid width, never corpus-scaled)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    stats_cols = ("tf_vb", "dl_vb", "mtf_vb", "uniq_vb")
+    blk_cols = ("blk_last", "blk_max", "blk_doc_off", "blk_tf_off")
+    need = ["n", "docids_vb", "pos_vb", *stats_cols, *blk_cols]
+
+    ds = ray.data.read_parquet(os.path.join(index_dir, "postings"),
+                               columns=need + ["tbucket"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = batch.column("tbucket").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy().astype(np.int64)
+
+        def blen(c: str) -> np.ndarray:
+            return pc.binary_length(batch.column(c)).to_numpy().astype(
+                np.int64)
+
+        dby = blen("docids_vb")
+        sby = np.zeros(len(tb), dtype=np.int64)
+        for c in stats_cols:
+            sby += blen(c)
+        bby = np.zeros(len(tb), dtype=np.int64)
+        for c in blk_cols:
+            bby += blen(c)
+        pby = blen("pos_vb")
+        order = np.argsort(tb, kind="stable")
+        tb_o = tb[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], tb_o[1:] != tb_o[:-1]]))
+        red = lambda a: np.add.reduceat(a[order], starts)  # noqa: E731
+        return pa.table({
+            "tbucket": pa.array(tb_o[starts], pa.int64()),
+            "segments": pa.array(np.diff(
+                np.append(starts, len(tb_o))).astype(np.int64)),
+            "postings": pa.array(red(n), pa.int64()),
+            "docids_bytes": pa.array(red(dby), pa.int64()),
+            "stats_bytes": pa.array(red(sby), pa.int64()),
+            "blockmeta_bytes": pa.array(red(bby), pa.int64()),
+            "pos_bytes": pa.array(red(pby), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("tbucket")
+           .aggregate(Sum("segments", alias_name="segments"),
+                      Sum("postings", alias_name="postings"),
+                      Sum("docids_bytes", alias_name="docids_bytes"),
+                      Sum("stats_bytes", alias_name="stats_bytes"),
+                      Sum("blockmeta_bytes",
+                          alias_name="blockmeta_bytes"),
+                      Sum("pos_bytes", alias_name="pos_bytes")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch.column("postings").to_numpy().astype(np.int64)
+        d = batch.column("docids_bytes").to_numpy().astype(np.int64)
+        cr = np.zeros(len(p), dtype=np.int64)
+        nz = p > 0
+        cr[nz] = d[nz] * 10000 // (8 * p[nz])
+        return batch.append_column("cr_docids_e4", pa.array(cr, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

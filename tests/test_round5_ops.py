@@ -1332,3 +1332,31 @@ def test_dsir_logratio_prefers_target_lang(ray_session, tmp_path):
     assert got[0][1] / got[0][0] > got[2][1] / got[2][0]
     assert got[1][1] / got[1][0] > got[2][1] / got[2][0]
     assert got[2][1] < 0
+
+
+def test_index_storage_profile_invariants(ray_session, built_index):
+    """Profile totals must reconcile exactly with the postings parquet:
+    segments == file rows, postings == sum(n), byte totals == actual
+    binary lengths; the compression ratio is positive and below raw."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.profiling import index_storage_profile
+
+    out_dir = built_index[0]
+    got = index_storage_profile(out_dir).to_pandas()
+    files = _glob.glob(os.path.join(out_dir, "postings", "**",
+                                    "*.parquet"), recursive=True)
+    t = pq.read_table(files, columns=["n", "docids_vb"])
+    assert int(got["segments"].sum()) == t.num_rows
+    assert int(got["postings"].sum()) == int(
+        pd.Series(t.column("n").to_pylist()).sum())
+    assert int(got["docids_bytes"].sum()) == int(
+        sum(len(x) for x in t.column("docids_vb").to_pylist()))
+    nz = got[got["postings"] > 0]
+    assert (nz["cr_docids_e4"] > 0).all()
+    assert (nz["cr_docids_e4"] < 80000).all()  # strictly beats raw int64
+    assert got["tbucket"].is_unique
