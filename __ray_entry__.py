@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": sq.q_lang_counts,
         "events_tumbling_1h": sq.q_tumbling,
         "bm25_topk_simple": sq.q_bm25_topk,
+        "hybrid_rrf_top10": sq.q_hybrid_rrf,
         "winnow_fingerprints": sq.q_winnow_fingerprints,
         "contamination_4gram": sq.q_contamination,
         "source_mix_sample": sq.q_source_mix,
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": sq.SQL_QUALITY_FILTER,
         "knn_cosine_top10": sq.SQL_KNN,
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
+        "hybrid_rrf_top10": sq.SQL_HYBRID_RRF,
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
         "ngram_jaccard_dups": sq.SQL_NGRAM_JACCARD,
         "near_dup_keep_ids": sq.SQL_NEAR_DUP_KEEP,

@@ -429,6 +429,75 @@ SELECT rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
 FROM ranked WHERE rank <= 20
 """
 
+# the shared CTE chain of SQL_BM25_TOPK, reusable by fusion mirrors
+_BM25_CTES = SQL_BM25_TOPK[SQL_BM25_TOPK.index("WITH "):
+                           SQL_BM25_TOPK.index("\nSELECT rank")]
+
+
+def q_hybrid_rrf(sf_dir: str, k: int = 10, rrf_k: int = 60):
+    """Reciprocal-rank fusion of two retrieval signals — BM25 text
+    relevance (top-20, the exact q_bm25_topk list) and a document
+    quality prior (top-20 by n_chars desc) — the standard hybrid-search
+    blend (Cormack et al. RRF): ``rrf = sum_lists 1/(60 + rank)``, here
+    in exact integer e6 (``1000000 // (60 + rank)``) so the fused
+    ranking is reduce-order-proof and SQL-hashable.  Docs on one list
+    only get the other side as 0 — plain RRF over the union.
+
+    Distributed shape: the BM25 side is the existing partials pipeline;
+    the quality side is a per-batch local top-20 prefilter (each batch
+    yields <= 20 candidate rows) merged once — nothing corpus-sized
+    leaves the scan."""
+    import os as _os
+
+    import ray as _ray
+    import ray.data
+
+    bm = q_bm25_topk(sf_dir, k=20).to_pandas()
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        d = batch.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    cand = pa.concat_tables(
+        [r for r in (_ray.get(ref) for ref in
+                     ds.map_batches(local_top, batch_format="pyarrow")
+                     .to_arrow_refs()) if r.num_rows]).to_pandas()
+    qual = cand.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).head(20)
+    qual = qual.assign(rank=np.arange(1, len(qual) + 1))
+
+    contrib: dict[int, int] = {}
+    for df_ in (bm[["doc_id", "rank"]], qual[["doc_id", "rank"]]):
+        for did, r in zip(df_["doc_id"].astype(int),
+                          df_["rank"].astype(int)):
+            contrib[did] = contrib.get(did, 0) + 1_000_000 // (rrf_k + r)
+    fused = sorted(contrib.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_e6": pa.array([s for _, s in fused], pa.int64()),
+    })
+
+
+SQL_HYBRID_RRF = f"""
+{_BM25_CTES},
+bm AS (SELECT doc_id, rank FROM ranked WHERE rank <= 20),
+qual AS (SELECT doc_id,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+         FROM documents QUALIFY rank <= 20),
+u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM bm
+      UNION ALL
+      SELECT doc_id, 1000000 // (60 + rank) AS c FROM qual),
+fused AS (SELECT doc_id, sum(c)::BIGINT AS rrf_e6 FROM u GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rank,
+       doc_id, rrf_e6
+FROM fused QUALIFY rank <= 10
+"""
+
 
 # ----------------------------------------------------------------------- knn
 def q_knn(sf_dir: str):
