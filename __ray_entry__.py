@@ -61,6 +61,12 @@ def _built_index(sf_dir: str) -> str:
     return index
 
 
+def _semdedup_keep(sf_dir: str):
+    from search_engine_ray.ops.similarity import semdedup_keep_ids
+
+    return semdedup_keep_ids(sf_dir)
+
+
 def _index_storage_profile(sf_dir: str):
     from search_engine_ray.ops.profiling import index_storage_profile
 
@@ -369,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_doc_membership": _bloom_membership,
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,
+        "semdedup_keep_ids": _semdedup_keep,
         "cms_term_estimates": _cms_term_estimates,
         "embedding_pca_projection": _embedding_pca,
         # trained quality classifier: sigmoid scores are not

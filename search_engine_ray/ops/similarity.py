@@ -723,3 +723,79 @@ def source_quality_centroid_sums(sf_dir: str, min_tokens: int = 55):
 
     per = bucketed_apply(docs.union(embs), ["key"], per_bucket)
     return bucketed_sum(per, ["source", "dim"], ["sum_e4", "n"])
+
+
+def semdedup_keep_ids(sf_dir: str, k: int = 8, threshold: float = 0.95):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication that bounds
+    the quadratic — k-means cluster the embeddings, then run exact
+    cosine dedup only WITHIN each cluster, dropping every vector whose
+    cosine to a lower-vec_id vector of the same cluster is
+    >= ``threshold`` (deterministic keep-first greedy over the full
+    in-cluster pair set).  Returns the surviving (vec_id) Dataset.
+
+    At corpus scale ``k`` is chosen so clusters hold ~10k-100k vectors
+    (the paper uses ~100k clusters on LAION) — per-cluster all-pairs is
+    then a bounded dense matmul per reduce task, and cross-cluster
+    near-dups are the accepted recall loss that makes the method linear
+    instead of quadratic.  Composition: :func:`kmeans_assign` (broadcast
+    centroids, integer-exact reduce) -> vec_id-keyed tagged-union attach
+    of the embeddings -> cluster-keyed bucketed dedup; nothing
+    corpus-sized is broadcast or driver-materialized."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    assign = kmeans_assign(sf_dir, k=k)
+    embs = _read_embeddings(sf_dir)
+
+    def tag_assign(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "cluster": batch.column("cluster").cast(pa.int64()),
+            "embedding": pa.array([[]] * n, pa.list_(pa.float64())),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def tag_embs(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = batch.num_rows
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "cluster": pa.array(np.full(n, -1, dtype=np.int64)),
+            "embedding": emb.cast(pa.list_(pa.float64())),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
+
+    union = (assign.map_batches(tag_assign, batch_format="pyarrow")
+             .union(embs.map_batches(tag_embs, batch_format="pyarrow")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == 0, ["vec_id", "cluster"]]
+        e = g.loc[g["side"] == 1, ["vec_id", "embedding"]]
+        m = a.merge(e, on="vec_id", how="inner")
+        return m[["cluster", "vec_id", "embedding"]]
+
+    rows = bucketed_apply(union, ["vec_id"], attach)
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby("cluster", sort=False):
+            sub = sub.sort_values("vec_id")
+            ids = sub["vec_id"].to_numpy(np.int64)
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in sub["embedding"]])
+            nrm = np.linalg.norm(x, axis=1)
+            nrm[nrm == 0.0] = 1.0          # zero vectors: cos := 0
+            xn = x / nrm[:, None]
+            gme = xn @ xn.T
+            # drop j if any i<j (vec_id order) has cos >= threshold
+            iu = np.triu(gme >= threshold, k=1)
+            keep = ~iu.any(axis=0)
+            out.append(pd.DataFrame({"vec_id": ids[keep]}))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"vec_id":
+                                   pd.Series([], dtype="int64")}))
+
+    return bucketed_apply(rows, ["cluster"], dedup_cluster)

@@ -1360,3 +1360,38 @@ def test_index_storage_profile_invariants(ray_session, built_index):
     assert (nz["cr_docids_e4"] > 0).all()
     assert (nz["cr_docids_e4"] < 80000).all()  # strictly beats raw int64
     assert got["tbucket"].is_unique
+
+
+def test_semdedup_keeps_one_per_planted_group(ray_session, tmp_path):
+    """Planted SemDeDup: two groups of (near-)identical vectors in far
+    corners keep only their min vec_id; distinct singletons all
+    survive; scaled copies (cos == 1) dedup regardless of norm."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.similarity import semdedup_keep_ids
+
+    # the k=4 seeds are the 4 SMALLEST vec_ids — keep those in four
+    # distinct directions so each planted dup group lands in one cluster
+    base_a = np.array([10.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 10.0, 0.0, 0.0])
+    vecs = {
+        0: base_a, 8: base_a * 2.0, 9: base_a + 1e-4,   # group A
+        1: base_b, 7: base_b * 0.5,                      # group B
+        2: np.array([0.0, 0.0, 10.0, 0.0]),              # singletons
+        4: np.array([0.0, 0.0, 0.0, 10.0]),
+        5: np.array([5.0, 5.0, 0.0, 0.0]),
+    }
+    ids = sorted(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, vecs[i])) for i in ids],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    kept = sorted(semdedup_keep_ids(str(tmp_path), k=4, threshold=0.95)
+                  .to_pandas()["vec_id"].tolist())
+    assert 0 in kept and 8 not in kept and 9 not in kept
+    assert 1 in kept and 7 not in kept
+    assert {2, 4, 5} <= set(kept)
+    assert kept == [0, 1, 2, 4, 5]
