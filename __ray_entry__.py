@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": sq.q_tumbling,
         "bm25_topk_simple": sq.q_bm25_topk,
         "hybrid_rrf_top10": sq.q_hybrid_rrf,
+        "bm25_diversified_top10": sq.q_bm25_diversified,
         "winnow_fingerprints": sq.q_winnow_fingerprints,
         "contamination_4gram": sq.q_contamination,
         "source_mix_sample": sq.q_source_mix,
@@ -408,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top10": sq.SQL_KNN,
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
         "hybrid_rrf_top10": sq.SQL_HYBRID_RRF,
+        "bm25_diversified_top10": sq.SQL_BM25_DIVERSIFIED,
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
         "ngram_jaccard_dups": sq.SQL_NGRAM_JACCARD,
         "near_dup_keep_ids": sq.SQL_NEAR_DUP_KEEP,

@@ -483,6 +483,68 @@ def q_hybrid_rrf(sf_dir: str, k: int = 10, rrf_k: int = 60):
     })
 
 
+def q_bm25_diversified(sf_dir: str, k: int = 10, per_source: int = 2):
+    """Result diversification: the BM25 top-20 list re-ranked with an
+    at-most-``per_source`` cap per document source (the SERP rule that
+    one site cannot fill the page).  Within a source docs keep their
+    BM25 order; the capped survivors re-rank globally by (score desc,
+    doc_id).  The source attach is a 20-row semi-join pushed into the
+    scan (doc_id filter), not a corpus shuffle."""
+    import os as _os
+
+    import ray as _ray
+    import ray.data
+
+    bm = q_bm25_topk(sf_dir, k=20).to_pandas()
+    want = set(bm["doc_id"].astype(int).tolist())
+
+    ds = ray.data.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(
+            batch.column("doc_id"),
+            value_set=pa.array(sorted(want), pa.int64())))
+
+    src = pa.concat_tables(
+        [r for r in (_ray.get(ref) for ref in
+                     ds.map_batches(pick, batch_format="pyarrow")
+                     .to_arrow_refs()) if r.num_rows]).to_pandas()
+    m = bm.merge(src, on="doc_id").sort_values("rank")
+    m["nsrc"] = m.groupby("source", sort=False).cumcount()
+    kept = (m[m["nsrc"] < per_source]
+            .sort_values(["score_e6", "doc_id"],
+                         ascending=[False, True]).head(k))
+    return pa.table({
+        "rank": pa.array(range(1, len(kept) + 1), pa.int64()),
+        "doc_id": pa.array(kept["doc_id"].astype(int).tolist(),
+                           pa.int64()),
+        "source": pa.array(kept["source"].astype(str).tolist(),
+                           pa.string()),
+        "score_e6": pa.array(kept["score_e6"].astype(int).tolist(),
+                             pa.int64()),
+    })
+
+
+SQL_BM25_DIVERSIFIED = f"""
+{_BM25_CTES},
+bm AS (SELECT r.doc_id, r.rank,
+              round(r.score * 1000000)::BIGINT AS score_e6, d.source
+       FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+       WHERE r.rank <= 20),
+capped AS (SELECT doc_id, source, score_e6,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY rank) AS nsrc
+           FROM bm)
+SELECT row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank,
+       doc_id, source, score_e6
+FROM capped WHERE nsrc <= 2
+QUALIFY rank <= 10
+"""
+
+
 SQL_HYBRID_RRF = f"""
 {_BM25_CTES},
 bm AS (SELECT doc_id, rank FROM ranked WHERE rank <= 20),
