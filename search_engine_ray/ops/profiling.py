@@ -233,7 +233,16 @@ def index_storage_profile(index_dir: str):
     ds = ray.data.read_parquet(os.path.join(index_dir, "postings"),
                                columns=need + ["tbucket"])
 
+    out_fields = [("tbucket", pa.int64()), ("segments", pa.int64()),
+                  ("postings", pa.int64()), ("docids_bytes", pa.int64()),
+                  ("stats_bytes", pa.int64()),
+                  ("blockmeta_bytes", pa.int64()),
+                  ("pos_bytes", pa.int64())]
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({nm: pa.array([], type=t)
+                             for nm, t in out_fields})
         tb = batch.column("tbucket").to_numpy(
             zero_copy_only=False).astype(np.int64)
         n = batch.column("n").to_numpy().astype(np.int64)

@@ -729,9 +729,11 @@ def semdedup_keep_ids(sf_dir: str, k: int = 8, threshold: float = 0.95):
     """SemDeDup (Abbas et al. 2023): semantic deduplication that bounds
     the quadratic — k-means cluster the embeddings, then run exact
     cosine dedup only WITHIN each cluster, dropping every vector whose
-    cosine to a lower-vec_id vector of the same cluster is
-    >= ``threshold`` (deterministic keep-first greedy over the full
-    in-cluster pair set).  Returns the surviving (vec_id) Dataset.
+    cosine to an already-KEPT lower-vec_id vector of the same cluster
+    is >= ``threshold`` (deterministic keep-first greedy: a vector
+    whose only near-dups were themselves dropped SURVIVES — transitive
+    chains do not collapse to one survivor).  Returns the surviving
+    (vec_id) Dataset.
 
     At corpus scale ``k`` is chosen so clusters hold ~10k-100k vectors
     (the paper uses ~100k clusters on LAION) — per-cluster all-pairs is
@@ -790,9 +792,13 @@ def semdedup_keep_ids(sf_dir: str, k: int = 8, threshold: float = 0.95):
             nrm[nrm == 0.0] = 1.0          # zero vectors: cos := 0
             xn = x / nrm[:, None]
             gme = xn @ xn.T
-            # drop j if any i<j (vec_id order) has cos >= threshold
-            iu = np.triu(gme >= threshold, k=1)
-            keep = ~iu.any(axis=0)
+            # keep-first greedy in vec_id order: drop j only if a KEPT
+            # i<j has cos >= threshold (an O(m^2) scan like the matmul
+            # above — the cluster bound is what keeps m small)
+            near = gme >= threshold
+            keep = np.zeros(len(ids), dtype=bool)
+            for j in range(len(ids)):
+                keep[j] = not near[j, :j][keep[:j]].any()
             out.append(pd.DataFrame({"vec_id": ids[keep]}))
         return (pd.concat(out, ignore_index=True) if out
                 else pd.DataFrame({"vec_id":

@@ -404,8 +404,8 @@ def q_bm25_topk(sf_dir: str, k: int = 20):
 
 
 _bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
-SQL_BM25_TOPK = f"""
-WITH toks AS (
+# the CTE chain shared by SQL_BM25_TOPK and the fusion mirrors
+_BM25_CTES = f"""WITH toks AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
 dl AS (SELECT doc_id, len({_TOKS_SQL}) AS dl FROM documents),
 stats AS (SELECT count(*) AS n_docs,
@@ -424,14 +424,13 @@ contrib AS (
 scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
 ranked AS (SELECT doc_id, score,
                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-           FROM scored)
+           FROM scored)"""
+
+SQL_BM25_TOPK = f"""
+{_BM25_CTES}
 SELECT rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
 FROM ranked WHERE rank <= 20
 """
-
-# the shared CTE chain of SQL_BM25_TOPK, reusable by fusion mirrors
-_BM25_CTES = SQL_BM25_TOPK[SQL_BM25_TOPK.index("WITH "):
-                           SQL_BM25_TOPK.index("\nSELECT rank")]
 
 
 def q_hybrid_rrf(sf_dir: str, k: int = 10, rrf_k: int = 60):

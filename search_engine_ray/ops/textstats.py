@@ -1960,16 +1960,19 @@ def bpe_encode_counts(sf_dir: str, n_merges: int = 12):
 def _dup_gram_positions(sf_dir: str, n: int):
     """Shared front half of :func:`dup_passages` /
     :func:`strip_dup_passages`: a Dataset of (doc_id, p) rows, one per
-    1-based position of a cross-doc-duplicated ``n``-gram, plus a p=0
-    sentinel per doc so gram-less docs survive downstream left-joins.
+    1-based position of a cross-doc-duplicated ``n``-gram.  REAL rows
+    only — doc presence for gram-less docs is the caller's job on its
+    own doc_id-keyed shuffle (a per-doc sentinel here would hash every
+    document into the ONE bucket of the empty gram, a corpus-sized
+    straggler in the exact dimension this shuffle bounds).
 
     Plan (no broadcasts, two bounded shuffles): one scan emits per-doc
-    distinct grams with their 1-based POSITION LISTS plus a p=0 sentinel
-    per doc; gram df is one bucketed count over the (unique) (doc, gram)
-    rows; df rides back via a gram-keyed tagged union whose buckets
-    explode only the DUPLICATED grams' positions.  Shuffle volume is
-    bounded by the dup-position count — at web scale that is the
-    boilerplate fraction of the corpus, not the corpus."""
+    distinct grams with their 1-based POSITION LISTS; gram df is one
+    bucketed count over the (unique) (doc, gram) rows; df rides back
+    via a gram-keyed tagged union whose buckets explode only the
+    DUPLICATED grams' positions.  Shuffle volume is bounded by the
+    dup-position count — at web scale that is the boilerplate fraction
+    of the corpus, not the corpus."""
     import ray.data
 
     from search_engine_ray.ops.shuffle import bucketed_apply, bucketed_sum
@@ -1983,9 +1986,6 @@ def _dup_gram_positions(sf_dir: str, n: int):
         out_g: list[str] = []
         out_ps: list[list[int]] = []
         for i, t in zip(ids, texts):
-            out_id.append(int(i))
-            out_g.append("")        # sentinel: doc survives with zeros
-            out_ps.append([0])
             ts = simple_tokenize(t)
             if len(ts) >= n:
                 grams: dict[str, list[int]] = {}
@@ -2005,10 +2005,9 @@ def _dup_gram_positions(sf_dir: str, n: int):
             .map_batches(doc_gram_positions, batch_format="pyarrow"))
 
     def df_prep(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.not_equal(batch.column("g"), pa.scalar("")))
         return pa.table({
-            "g": sub.column("g"),
-            "one": pa.array(np.ones(sub.num_rows, dtype=np.int64))})
+            "g": batch.column("g"),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
 
     dfs = bucketed_sum(rows.map_batches(df_prep, batch_format="pyarrow"),
                        ["g"], ["one"], rename={"one": "df"})
@@ -2034,8 +2033,7 @@ def _dup_gram_positions(sf_dir: str, n: int):
     def explode_dup_positions(g: pd.DataFrame) -> pd.DataFrame:
         cnt = g.loc[g["side"] == 0, ["g", "df"]]
         d = g.loc[g["side"] == 1, ["g", "doc_id", "ps"]]
-        sent = d["g"].to_numpy() == ""
-        m_ = d.loc[~sent].merge(cnt, on="g", how="left")
+        m_ = d.merge(cnt, on="g", how="left")
         dup = m_[m_["df"].fillna(0).to_numpy(dtype=np.int64) >= 2]
         lens = np.fromiter((len(x) for x in dup["ps"]),
                            dtype=np.int64, count=len(dup))
@@ -2043,11 +2041,9 @@ def _dup_gram_positions(sf_dir: str, n: int):
         out_ps = (np.concatenate([np.asarray(x, dtype=np.int64)
                                   for x in dup["ps"]])
                   if len(dup) else np.array([], dtype=np.int64))
-        sents = d.loc[sent, "doc_id"].to_numpy(np.int64)
         return pd.DataFrame({
-            "doc_id": np.concatenate([out_ids, sents]),
-            "p": np.concatenate([out_ps,
-                                 np.zeros(len(sents), dtype=np.int64)])})
+            "doc_id": pd.Series(out_ids, dtype="int64"),
+            "p": pd.Series(out_ps, dtype="int64")})
 
     return bucketed_apply(union, ["g"], explode_dup_positions)
 
@@ -2066,10 +2062,22 @@ def dup_passages(sf_dir: str, n: int = 5):
     :func:`_dup_gram_positions`: each doc's sorted positions merge into
     maximal islands (equal-length intervals sorted by start have sorted
     ends, so a span breaks exactly when p - prev_p > n) and reduce to
-    the three stats."""
+    the three stats.  Doc presence rides THIS shuffle as one p=0 row
+    per doc from a doc_id-only scan — keyed by doc_id it spreads over
+    every bucket, unlike a gram-side sentinel (one-bucket straggler)."""
+    import ray.data
+
     from search_engine_ray.ops.shuffle import bucketed_apply
 
-    dup_pos = _dup_gram_positions(sf_dir, n)
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "p": pa.array(np.zeros(batch.num_rows, dtype=np.int64))})
+
+    presence = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(zero_rows, batch_format="pyarrow"))
+    dup_pos = _dup_gram_positions(sf_dir, n).union(presence)
 
     def merge_islands(g: pd.DataFrame) -> pd.DataFrame:
         d = g.sort_values(["doc_id", "p"])
@@ -2132,11 +2140,10 @@ def strip_dup_passages(sf_dir: str, n: int = 5):
     dup_pos = _dup_gram_positions(sf_dir, n)
 
     def tag_dup(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.greater(batch.column("p"), 0))
-        nr = sub.num_rows
+        nr = batch.num_rows
         return pa.table({
-            "doc_id": sub.column("doc_id"),
-            "p": sub.column("p"),
+            "doc_id": batch.column("doc_id"),
+            "p": batch.column("p"),
             "toks": pa.array([""] * nr, pa.string()),
             "side": pa.array(np.zeros(nr, dtype=np.int8))})
 
@@ -2206,8 +2213,8 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en"):
     :func:`bigram_lm_nll`) so reduce order cannot move the result and
     the DuckDB oracle hashes identically.
 
-    Plan: per-doc distinct-token multiplicities (plus a m=0 sentinel)
-    from one scan; ONE bucketed sum produces the vocab-bounded
+    Plan: per-doc distinct-token multiplicities from one scan; ONE
+    bucketed sum produces the vocab-bounded
     (w, corpus_count, target_count) model side, materialized once (model
     scale = vocabulary, not corpus); scoring attaches counts via a
     w-keyed tagged-union shuffle with per-doc pre-combine, then a
@@ -2230,10 +2237,6 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en"):
         texts = batch.column("text").to_pylist()
         out_id, out_w, out_m, out_mt = [], [], [], []
         for i, lg, t in zip(ids, langs, texts):
-            out_id.append(int(i))
-            out_w.append("")
-            out_m.append(0)
-            out_mt.append(0)
             tgt = 1 if lg == target_lang else 0
             for w, m in Counter(simple_tokenize(t)).items():
                 out_id.append(int(i))
@@ -2251,8 +2254,7 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en"):
             .map_batches(doc_tokens, batch_format="pyarrow"))
 
     def count_prep(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.greater(batch.column("m"), 0))
-        return sub.select(["w", "m", "mt"])
+        return batch.select(["w", "m", "mt"])
 
     counts = bucketed_sum(
         rows.map_batches(count_prep, batch_format="pyarrow"),
@@ -2303,7 +2305,19 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en"):
                 .sum().reset_index())
 
     per = bucketed_apply(union, ["w"], attach)
-    summed = bucketed_sum(per, ["doc_id"], ["n_tokens", "part_e6"])
+    # doc presence rides the doc_id-keyed shuffle as one zero row per
+    # doc (a w="" sentinel would hash every document into ONE bucket of
+    # the w-keyed shuffle above — a corpus-sized straggler)
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_tokens": pa.array(z), "part_e6": pa.array(z)})
+
+    presence = (ray.data.read_parquet(path, columns=["doc_id"])
+                .map_batches(zero_rows, batch_format="pyarrow"))
+    summed = bucketed_sum(per.union(presence), ["doc_id"],
+                          ["n_tokens", "part_e6"])
 
     def finish(batch: pa.Table) -> pa.Table:
         nt = batch.column("n_tokens").to_numpy().astype(np.int64)

@@ -1395,3 +1395,36 @@ def test_semdedup_keeps_one_per_planted_group(ray_session, tmp_path):
     assert 1 in kept and 7 not in kept
     assert {2, 4, 5} <= set(kept)
     assert kept == [0, 1, 2, 4, 5]
+
+
+def test_semdedup_keep_first_chain(ray_session, tmp_path):
+    """Keep-first greedy law: in a chain a~b, b~c, a!~c (ids 0<20<21),
+    b drops against kept a, but c SURVIVES because its only near-dup b
+    was itself dropped — transitive chains must not collapse."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.similarity import semdedup_keep_ids
+
+    d15, d30 = np.deg2rad(15.0), np.deg2rad(30.0)
+    vecs = {
+        0: np.array([10.0, 0.0, 0.0, 0.0]),                      # a
+        1: np.array([0.0, 10.0, 0.0, 0.0]),                      # seed
+        2: np.array([0.0, 0.0, 10.0, 0.0]),                      # seed
+        4: np.array([0.0, 0.0, 0.0, 10.0]),                      # seed
+        20: 10 * np.array([np.cos(d15), np.sin(d15), 0.0, 0.0]),  # b
+        21: 10 * np.array([np.cos(d30), np.sin(d30), 0.0, 0.0]),  # c
+    }
+    # cos(a,b)=cos(b,c)=cos15=0.966>=0.95; cos(a,c)=cos30=0.866<0.95
+    ids = sorted(vecs)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, vecs[i])) for i in ids],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    kept = sorted(semdedup_keep_ids(str(tmp_path), k=4, threshold=0.95)
+                  .to_pandas()["vec_id"].tolist())
+    assert 20 not in kept          # near kept 0
+    assert 21 in kept              # near only the DROPPED 20
+    assert {0, 1, 2, 4} <= set(kept)
