@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": sq.q_embedding_near_dups,
         "ngram_jaccard_dups": sq.q_ngram_jaccard,
         "near_dup_keep_ids": sq.q_near_dup_keep,
+        "near_dup_cluster_sizes": sq.q_near_dup_cluster_sizes,
         "langid_pred": sq.q_langid_pred,
         "winnow_shared_pairs": sq.q_winnow_shared_pairs,
         "events_asof_join": sq.q_asof_join,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
         "ngram_jaccard_dups": sq.SQL_NGRAM_JACCARD,
         "near_dup_keep_ids": sq.SQL_NEAR_DUP_KEEP,
+        "near_dup_cluster_sizes": sq.SQL_NEAR_DUP_CLUSTER_SIZES,
         "langid_pred": sq.SQL_LANGID_PRED,
         "fingerprint_md5": sq.SQL_FINGERPRINT_MD5,
         "winnow_fingerprints": sq.SQL_WINNOW_FINGERPRINTS,

@@ -1238,3 +1238,64 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95,
     # distinct across tables (same pair, same cosine in every table it
     # collides in) — the distributed pair-keyed groupby, no driver set
     return _dedup_pairs(cand)
+
+
+def near_dup_cluster_sizes(sf_dir: str, threshold: float = 0.6):
+    """Dedup REPORT: the size distribution of near-dup connected
+    components — one row per distinct component size with the number of
+    clusters at that size, singletons (docs in no near-dup pair)
+    included as size 1.  The shape of this histogram is the curation
+    decision surface: a heavy tail of giant clusters means templated
+    boilerplate (drop whole clusters), a mass at size 2 means mirrors
+    (keep one of each).
+
+    Composition: exact n-gram-Jaccard pairs -> :func:`connected_min_labels`
+    -> a label-keyed bucketed size count -> a distinct-size-bounded
+    final count; the singleton row is ``n_docs - n_clustered_nodes``
+    (edge-built components always have >= 2 nodes), two scalar counts
+    — nothing corpus-sized reaches the driver."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from search_engine_ray.ops.shuffle import bucketed_sum
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    labels = connected_min_labels(pairs).materialize()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": batch.column("label").cast(pa.int64()),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+
+    sizes = bucketed_sum(labels.map_batches(ones, batch_format="pyarrow"),
+                         ["label"], ["one"], rename={"one": "size"})
+    hist = (sizes.groupby("size")
+            .aggregate(Count(alias_name="n_clusters")))
+
+    n_docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).count()
+    n_nodes = labels.count()
+    singleton = pa.table({
+        "size": pa.array([1], pa.int64()),
+        "n_clusters": pa.array([n_docs - n_nodes], pa.int64())})
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "size": batch.column("size").cast(pa.int64()),
+            "n_clusters": batch.column("n_clusters").cast(pa.int64())})
+
+    out = hist.map_batches(norm, batch_format="pyarrow").union(
+        ray.data.from_arrow(singleton))
+    # merge the singleton row with any same-size row and drop zero rows
+    # (size-1 components cannot come from edges, but stay safe)
+    from ray.data.aggregate import Sum
+    merged = out.groupby("size").aggregate(
+        Sum("n_clusters", alias_name="n_clusters"))
+
+    def drop_zero(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("n_clusters"), 0))
+
+    return merged.map_batches(drop_zero, batch_format="pyarrow")

@@ -748,8 +748,9 @@ def q_near_dup_keep(sf_dir: str):
 
 # transitive closure by recursive CTE mirrors the distributed min-label
 # propagation's fixpoint exactly (both converge to per-component minima)
-SQL_NEAR_DUP_KEEP = f"""
-WITH RECURSIVE
+# the recursive component-labelling chain shared by the near-dup keep
+# and cluster-size mirrors
+_NEARDUP_CTES = f"""WITH RECURSIVE
 tl AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 toks AS (SELECT doc_id, unnest(toks) AS t,
                 generate_subscripts(toks, 1) AS pos FROM tl),
@@ -773,10 +774,30 @@ walk(x, r) AS (
   SELECT x, x FROM (SELECT DISTINCT x FROM und)
   UNION
   SELECT u.x, w.r FROM und u JOIN walk w ON w.x = u.y),
-roots AS (SELECT x, min(r) AS root FROM walk GROUP BY x)
+roots AS (SELECT x, min(r) AS root FROM walk GROUP BY x)"""
+
+SQL_NEAR_DUP_KEEP = f"""
+{_NEARDUP_CTES}
 SELECT d.doc_id FROM documents d
 LEFT JOIN roots ON d.doc_id = roots.x
 WHERE roots.x IS NULL OR roots.root = d.doc_id
+"""
+
+
+def q_near_dup_cluster_sizes(sf_dir: str):
+    from search_engine_ray.ops.dedup import near_dup_cluster_sizes
+
+    return near_dup_cluster_sizes(sf_dir)
+
+
+SQL_NEAR_DUP_CLUSTER_SIZES = f"""
+{_NEARDUP_CTES},
+sizes AS (SELECT root, count(*)::BIGINT AS size FROM roots GROUP BY root),
+alln AS (SELECT size FROM sizes
+         UNION ALL
+         SELECT 1::BIGINT AS size FROM documents d
+         LEFT JOIN roots ON d.doc_id = roots.x WHERE roots.x IS NULL)
+SELECT size, count(*)::BIGINT AS n_clusters FROM alln GROUP BY size
 """
 
 

@@ -1428,3 +1428,25 @@ def test_semdedup_keep_first_chain(ray_session, tmp_path):
     assert 20 not in kept          # near kept 0
     assert 21 in kept              # near only the DROPPED 20
     assert {0, 1, 2, 4} <= set(kept)
+
+
+def test_near_dup_cluster_sizes_all_singletons(ray_session, tmp_path):
+    """A corpus with no near-dup pair collapses to one histogram row:
+    (size=1, n_clusters=n_docs)."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.dedup import near_dup_cluster_sizes
+
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "one two three four five six seven",
+             "red orange yellow green blue indigo"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["t"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = near_dup_cluster_sizes(str(tmp_path)).to_pandas()
+    assert got.values.tolist() == [[1, 3]]
