@@ -67,6 +67,26 @@ def _semdedup_keep(sf_dir: str):
     return semdedup_keep_ids(sf_dir)
 
 
+def _search_explain_stats(sf_dir: str):
+    """Rows-only: block-max WAND pruning counters per fixture query
+    (results are parity-gated against mode="bm25" by the suite)."""
+    import pyarrow as pa
+
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(_built_index(sf_dir))
+    rows = {k: [] for k in ("query_id", "terms", "postings_total",
+                            "full_evals", "bm_skips", "pivot_advances",
+                            "heap_inserts")}
+    for qid, q in enumerate(_FLAGSHIP_QUERIES):
+        _, st = eng.search_explain(q, k=10)
+        rows["query_id"].append(qid)
+        for k in ("terms", "postings_total", "full_evals", "bm_skips",
+                  "pivot_advances", "heap_inserts"):
+            rows[k].append(int(st.get(k, 0)))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
 def _index_storage_profile(sf_dir: str):
     from search_engine_ray.ops.profiling import index_storage_profile
 
@@ -367,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # glove-blended reference scoring, LSH/IVF approximation) ---
         "index_dictionary_full": index_dictionary,
         "index_storage_profile": _index_storage_profile,
+        "search_explain_stats": _search_explain_stats,
         "search_reference_top10": lambda sf: _search_topk(sf, "reference"),
         "minhash_near_dups": lambda sf: minhash_near_dup_pairs(sf),
         "simhash_near_dups": lambda sf: simhash_near_dup_pairs(sf),

@@ -858,7 +858,29 @@ class SearchEngine:
         ts = self._meta["ts"][pos] * found
         return _topk_reference_order(scores, cand, ts, k)
 
-    def _search_bm25_wand(self, query: list[str], k: int):
+    def search_explain(self, query_text: str, k: int = 10):
+        """EXPLAIN for the block-max WAND path: run the query and return
+        ``(results, stats)`` where stats counts the pruning work —
+        ``terms``/``postings_total`` (candidate volume), ``full_evals``
+        (docs actually scored), ``bm_skips`` (pivots rejected by the
+        block-max refinement), ``pivot_advances`` (lists skipped forward
+        past a pivot), ``heap_inserts``.  ``full_evals /
+        postings_total`` is the fraction of the candidate space the
+        dynamic pruning actually touched — the observability surface
+        for block_size tuning."""
+        if k <= 0:
+            return [], {}
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return [], {}
+        self.prefetch(query)
+        stats: dict[str, int] = {
+            "terms": 0, "postings_total": 0, "full_evals": 0,
+            "bm_skips": 0, "pivot_advances": 0, "heap_inserts": 0}
+        return self._search_bm25_wand(query, k, stats=stats), stats
+
+    def _search_bm25_wand(self, query: list[str], k: int,
+                          stats: dict | None = None):
         """Block-max WAND over merged per-term streams (block metadata
         recomputed on the merged doc-sorted arrays); identical results to
         TAAT (same float contributions, summed per doc)."""
@@ -886,6 +908,10 @@ class SearchEngine:
                 "blk_ub": blk_ub,
                 "cur": 0,
             })
+        if stats is not None:
+            stats["terms"] = len(streams)
+            stats["postings_total"] = int(sum(len(s["ids"])
+                                              for s in streams))
         if not streams:
             return []
         import heapq
@@ -941,12 +967,20 @@ class SearchEngine:
                     for s in aligned:
                         score += float(s["contrib"][s["cur"]])
                         s["cur"] += 1
+                    if stats is not None:
+                        stats["full_evals"] += 1
                     entry = (score, ts_of(pivot), pivot)
                     if len(heap) < k:
                         heapq.heappush(heap, entry)
+                        if stats is not None:
+                            stats["heap_inserts"] += 1
                     elif entry > heap[0]:
                         heapq.heapreplace(heap, entry)
+                        if stats is not None:
+                            stats["heap_inserts"] += 1
                 else:
+                    if stats is not None:
+                        stats["bm_skips"] += 1
                     # BMW skip: next candidate is bounded by the smallest
                     # aligned block end AND the next list's current doc,
                     # so no reachable scorer combination is skipped
@@ -961,6 +995,8 @@ class SearchEngine:
                         s["cur"] = c + int(np.searchsorted(
                             s["ids"][c:], candidate))
             else:
+                if stats is not None:
+                    stats["pivot_advances"] += 1
                 # advance lists before the pivot up to it
                 for s in live[:pivot_i + 1]:
                     c = s["cur"]

@@ -1450,3 +1450,26 @@ def test_near_dup_cluster_sizes_all_singletons(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "documents.parquet")
     got = near_dup_cluster_sizes(str(tmp_path)).to_pandas()
     assert got.values.tolist() == [[1, 3]]
+
+
+def test_search_explain_parity_and_counter_laws(ray_session, built_index):
+    """search_explain returns EXACTLY mode="bm25_wand" results (the
+    counters are observation, not behavior) and its counters obey the
+    pruning laws: full_evals <= postings_total, heap_inserts <=
+    full_evals, empty parse -> empty stats."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    for q in ["covid vaccine", "nasa launch rocket", "the",
+              "zzznope covid", "water"]:
+        res, st = eng.search_explain(q, k=10)
+        assert res == eng.search(q, k=10, mode="bm25_wand"), q
+        assert res == eng.search(q, k=10, mode="bm25"), q
+        if st:
+            assert st["full_evals"] <= st["postings_total"], q
+            assert st["heap_inserts"] <= st["full_evals"], q
+            # no posting stream at all (unknown/pruned terms) -> no hits
+            if st["terms"] == 0:
+                assert res == [], q
+    res, st = eng.search_explain("the and of", k=10)  # stopword-only
+    assert res == [] and st == {}
