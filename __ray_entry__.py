@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": sq.q_tumbling,
         "bm25_topk_simple": sq.q_bm25_topk,
         "hybrid_rrf_top10": sq.q_hybrid_rrf,
+        "hybrid_text_vector_top10": sq.q_hybrid_text_vector,
         "bm25_diversified_top10": sq.q_bm25_diversified,
         "winnow_fingerprints": sq.q_winnow_fingerprints,
         "contamination_4gram": sq.q_contamination,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top10": sq.SQL_KNN,
         "bm25_topk_simple": sq.SQL_BM25_TOPK,
         "hybrid_rrf_top10": sq.SQL_HYBRID_RRF,
+        "hybrid_text_vector_top10": sq.SQL_HYBRID_TEXT_VECTOR,
         "bm25_diversified_top10": sq.SQL_BM25_DIVERSIFIED,
         "embedding_near_dups": sq.SQL_EMBEDDING_NEAR_DUPS,
         "ngram_jaccard_dups": sq.SQL_NGRAM_JACCARD,

@@ -544,6 +544,56 @@ QUALIFY rank <= 10
 """
 
 
+def q_hybrid_text_vector(sf_dir: str, k: int = 10, rrf_k: int = 60):
+    """TRUE text+vector hybrid search (doc_id and vec_id are 1:1 in
+    this corpus): RRF-fuse the BM25 top-20 for the fixture term query
+    with the exact-cosine top-20 for the fixture query VECTOR (vec 0) —
+    the now-standard dense+sparse retrieval blend, in the same exact
+    integer arithmetic as :func:`q_hybrid_rrf`.  Both sides are
+    existing distributed operators (BM25 partials pipeline; per-batch
+    partial top-k cosine vs a broadcast query matrix)."""
+    from search_engine_ray.ops.similarity import knn_brute
+
+    bm = q_bm25_topk(sf_dir, k=20).to_pandas()
+    kn = knn_brute(sf_dir, query_vec_ids=(0,), k=20).to_pandas()
+
+    contrib: dict[int, int] = {}
+    for df_ in (bm[["doc_id", "rank"]],
+                kn.rename(columns={"vec_id": "doc_id"})[["doc_id",
+                                                         "rank"]]):
+        for did, r in zip(df_["doc_id"].astype(int),
+                          df_["rank"].astype(int)):
+            contrib[did] = contrib.get(did, 0) + 1_000_000 // (rrf_k + r)
+    fused = sorted(contrib.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(fused) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_e6": pa.array([s for _, s in fused], pa.int64()),
+    })
+
+
+SQL_HYBRID_TEXT_VECTOR = f"""
+{_BM25_CTES},
+bm AS (SELECT doc_id, rank FROM ranked WHERE rank <= 20),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       WHERE vec_id = 0),
+sims AS (SELECT e.vec_id AS doc_id,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       qv.qe) AS cos
+         FROM embeddings e, qv),
+vr AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+       FROM sims QUALIFY rank <= 20),
+u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM bm
+      UNION ALL
+      SELECT doc_id, 1000000 // (60 + rank) AS c FROM vr),
+fused AS (SELECT doc_id, sum(c)::BIGINT AS rrf_e6 FROM u GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS rank,
+       doc_id, rrf_e6
+FROM fused QUALIFY rank <= 10
+"""
+
+
 SQL_HYBRID_RRF = f"""
 {_BM25_CTES},
 bm AS (SELECT doc_id, rank FROM ranked WHERE rank <= 20),
