@@ -63,6 +63,13 @@ def main(argv=None) -> int:
                         "replaced by their best one-edit dictionary "
                         "correction")
 
+    ex = sub.add_parser("explain",
+                        help="run a query through block-max WAND and "
+                             "print results plus pruning counters")
+    ex.add_argument("index_dir")
+    ex.add_argument("query", nargs="+")
+    ex.add_argument("--k", type=int, default=10)
+
     q = sub.add_parser("batch")
     q.add_argument("index_dir")
     q.add_argument("queries_file")
@@ -149,6 +156,21 @@ def main(argv=None) -> int:
             # (search_engine.py:109-112)
             for score, doc_id, ts in reversed(res):
                 print(f"doc id: {doc_id}, score: {score}")
+    elif args.cmd == "explain":
+        from search_engine_ray.query.engine import SearchEngine
+
+        eng = SearchEngine(args.index_dir)
+        res, st = eng.search_explain(" ".join(args.query), k=args.k)
+        for score, doc_id, ts in reversed(res):
+            print(f"doc id: {doc_id}, score: {score}")
+        tot = max(st.get("postings_total", 0), 1)
+        print(f"-- terms: {st.get('terms', 0)}, "
+              f"postings: {st.get('postings_total', 0)}, "
+              f"scored: {st.get('full_evals', 0)} "
+              f"({100.0 * st.get('full_evals', 0) / tot:.1f}%), "
+              f"block-max skips: {st.get('bm_skips', 0)}, "
+              f"pivot advances: {st.get('pivot_advances', 0)}, "
+              f"heap inserts: {st.get('heap_inserts', 0)}")
     elif args.cmd == "phrase":
         from search_engine_ray.query.engine import SearchEngine
 
