@@ -224,7 +224,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": sq.q_exact_dedup,
         "events_sessionize": sq.q_sessionize,
         "top_terms_per_lang": sq.q_top_terms_per_lang,
-        "prefix_dup_groups": sq.q_prefix_dup_groups,
         "knn_cosine_top10": sq.q_knn,
         "embedding_near_dups": sq.q_embedding_near_dups,
         "ngram_jaccard_dups": sq.q_ngram_jaccard,
@@ -236,9 +235,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
         "tpch_market_share": sq.q_market_share,
-        "tpch_idle_rich_customers": sq.q_idle_rich_customers,
-        "doc_salient_term": sq.q_doc_salient_term,
-        "label_centroids": sq.q_label_centroids,
         "value_quantiles_per_type": sq.q_value_quantiles,
         "bigram_lm_nll": sq.q_bigram_lm_nll,
         "json_field_stats": sq.q_json_field_stats,
@@ -247,9 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": sq.q_funnel_conversion,
         "weighted_sample_50": sq.q_weighted_sample,
         "curate_summary": sq.q_curate_summary,
-        "length_percentile_filter": sq.q_length_percentile_filter,
         "source_quality_gate": sq.q_source_quality_gate,
-        "dup_ngram_fraction": sq.q_dup_ngram_fraction,
         "dup_passages": sq.q_dup_passages,
         "strip_dup_passages": sq.q_strip_dup_passages,
         "dsir_logratio": sq.q_dsir_logratio,
@@ -286,6 +280,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": sq.q_fuzzy_terms,
         "doc_snippets": sq.q_doc_snippets,
         "facet_counts": sq.q_facet_counts,
+        # retrieval fusion tier (round 5, new family): dense+sparse RRF
+        # and per-source diversified serving over the SQL-checked BM25
+        # path.  These and the dup-passage/DSIR/cluster-size rows above
+        # displaced six rows now just below the cap, each
+        # shape-redundant with an in-cap sibling (prefix_dup_groups ~
+        # exact_dedup, tpch_idle_rich ~ the in-cap TPC-H joins,
+        # doc_salient_term ~ term_cooccurrence_pmi, label_centroids ~
+        # source_quality_centroids, length_percentile_filter ~
+        # source_quality_gate, dup_ngram_fraction ~ dup_passages).
+        "hybrid_text_vector_top10": sq.q_hybrid_text_vector,
+        "bm25_diversified_top10": sq.q_bm25_diversified,
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
@@ -309,6 +314,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round-5 additions past the cap: autocomplete shares the
         # prefix_search family's in-cap dict-scan gate; dup_rate shares
         # exact_dedup's in-cap fingerprint-shuffle gate)
+        "prefix_dup_groups": sq.q_prefix_dup_groups,
+        "tpch_idle_rich_customers": sq.q_idle_rich_customers,
+        "doc_salient_term": sq.q_doc_salient_term,
+        "label_centroids": sq.q_label_centroids,
+        "length_percentile_filter": sq.q_length_percentile_filter,
+        "dup_ngram_fraction": sq.q_dup_ngram_fraction,
         "autocomplete_top5": sq.q_autocomplete,
         "dup_rate_per_source": sq.q_dup_rate_per_source,
         "proximity_match": sq.q_proximity_match,
