@@ -217,6 +217,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wand_clean_top10": lambda sf: sq.q_search_bm25_clean(
             sf, "bm25_wand"),
         "search_bool_and_clean": sq.q_search_bool_and_clean,
+        # contextual retrieval tier (round 5, new family): date-range
+        # filtered BM25 (docmeta ts mask, corpus-wide stats), Lucene-style
+        # more-like-this (seed doc's top-tf dict terms -> BM25, seed
+        # excluded) and rank-exact pseudo-relevance feedback (top-r docs
+        # -> integer summed-tf expansion terms -> round 2).  In-cap as
+        # genuinely new serving semantics over the SQL-checked engine;
+        # the three rows they displaced (tpch_market_share /
+        # strip_dup_passages / near_dup_cluster_sizes) are each
+        # shape-redundant with an in-cap sibling (tpch_pricing_summary's
+        # join-aggregate, dup_passages' positional-island shuffle,
+        # near_dup_keep_ids' component machinery) and moved below.
+        "search_bm25_time_range": sq.q_search_bm25_time_range,
+        "more_like_this_top10": sq.q_more_like_this,
+        "search_prf_top10": sq.q_search_prf,
         "doc_token_stats": sq.q_doc_token_stats,
         "quality_counts": sq.q_quality_counts,
         "term_df": sq.q_term_df,
@@ -228,13 +242,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": sq.q_embedding_near_dups,
         "ngram_jaccard_dups": sq.q_ngram_jaccard,
         "near_dup_keep_ids": sq.q_near_dup_keep,
-        "near_dup_cluster_sizes": sq.q_near_dup_cluster_sizes,
         "langid_pred": sq.q_langid_pred,
         "winnow_shared_pairs": sq.q_winnow_shared_pairs,
         "events_asof_join": sq.q_asof_join,
         "heavy_hitters_50": sq.q_heavy_hitters,
         "tpch_pricing_summary": sq.q_pricing_summary,
-        "tpch_market_share": sq.q_market_share,
         "value_quantiles_per_type": sq.q_value_quantiles,
         "bigram_lm_nll": sq.q_bigram_lm_nll,
         "json_field_stats": sq.q_json_field_stats,
@@ -245,7 +257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_summary": sq.q_curate_summary,
         "source_quality_gate": sq.q_source_quality_gate,
         "dup_passages": sq.q_dup_passages,
-        "strip_dup_passages": sq.q_strip_dup_passages,
         "dsir_logratio": sq.q_dsir_logratio,
         "token_budget_mix": sq.q_token_budget_mix,
         # round-4/5 op families rotated INTO the driver cap this round
@@ -314,6 +325,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round-5 additions past the cap: autocomplete shares the
         # prefix_search family's in-cap dict-scan gate; dup_rate shares
         # exact_dedup's in-cap fingerprint-shuffle gate)
+        # displaced below the cap this round by the contextual
+        # retrieval tier (see comment there)
+        "near_dup_cluster_sizes": sq.q_near_dup_cluster_sizes,
+        "tpch_market_share": sq.q_market_share,
+        "strip_dup_passages": sq.q_strip_dup_passages,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
@@ -488,6 +504,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_large_orders": sq.SQL_LARGE_ORDERS,
         "tpch_priority_shipstatus": sq.SQL_PRIORITY_SHIPSTATUS,
         "search_bool_and_clean": sq.SQL_SEARCH_BOOL_AND_CLEAN,
+        "search_bm25_time_range": sq.SQL_SEARCH_BM25_TIME_RANGE,
+        "more_like_this_top10": sq.SQL_MORE_LIKE_THIS,
+        "search_prf_top10": sq.SQL_SEARCH_PRF,
         "winnow_shared_pairs": sq.SQL_WINNOW_SHARED_PAIRS,
         "tpch_nation_pair_volume": sq.SQL_NATION_PAIR_VOLUME,
         "prefix_dup_groups": sq.SQL_PREFIX_DUP_GROUPS,

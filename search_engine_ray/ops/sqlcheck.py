@@ -1037,6 +1037,275 @@ SQL_SEARCH_BM25_CLEAN = SQL_SEARCH_BM25_CLEAN.replace(
     "{QTERMS}", _clean_qterms_values())
 
 
+# ---------------------------------------------- contextual retrieval tier
+# Time-filtered search, more-like-this, and pseudo-relevance feedback all
+# reuse the clean-index BM25 mirror; the shared CTE prefix and contrib
+# expression are factored once so the scorer cannot diverge between them.
+_BM25_CORE_CTES = f"""kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
+docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
+stats AS (SELECT count(*) AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       GROUP BY term HAVING count(DISTINCT doc_id) >= 2),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)"""
+
+_BM25_C_EXPR = """log10(stats.n_docs / df.df) * tf.tf * (1.2 + 1)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl))"""
+
+# inclusive original-doc-id window for the temporal filter query; the
+# adapter maps warc_ts = BASE + doc_id seconds, so the SQL mirror filters
+# doc_id while the ENGINE filters real docmeta timestamps (ts_range)
+_TS_WINDOW_IDS = (10, 350)
+
+
+def _clean_tf(text: str):
+    """Per-doc term frequencies under the clean-corpus token rule —
+    the Python mirror of the SQL ``tf`` CTE (``_CLEAN_TOKS_SQL``)."""
+    from collections import Counter
+
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    return Counter(t for t in simple_tokenize(text)
+                   if t.isalpha() and t not in _CLEAN_DROP
+                   and t not in _STOP_SET and t != "rt")
+
+
+def _read_doc_texts(sf_dir: str, ids) -> dict[int, str]:
+    """Row-group-pruned point read of a handful of doc texts — the
+    'stored fields' fetch of a serving stack (Lucene MLT reads term
+    vectors the same way); never a full-corpus materialization."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    t = d.to_table(columns=["doc_id", "text"],
+                   filter=pads.field("doc_id").isin(list(ids)))
+    return dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("text").to_pylist()))
+
+
+def q_search_bm25_time_range(sf_dir: str, k: int = 10):
+    """BM25 top-k restricted to a warc_ts window (the date-range filter
+    of a search API) through the REAL engine: candidates are masked by
+    docmeta timestamp while idf/avgdl stay corpus-wide (Lucene
+    filter-query convention — scores identical with and without the
+    filter), then the usual (score, ts, id) top-k."""
+    from search_engine_ray.adapters import _BASE_TS_US
+    from search_engine_ray.query.engine import SearchEngine
+
+    lo_id, hi_id = _TS_WINDOW_IDS
+    ts_range = (_BASE_TS_US + lo_id * 1_000_000,
+                _BASE_TS_US + hi_id * 1_000_000)
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        res = eng.search(q, k=k, mode="bm25", ts_range=ts_range)
+        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
+SQL_SEARCH_BM25_TIME_RANGE = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats
+  WHERE tf.doc_id BETWEEN {_TS_WINDOW_IDS[0]} AND {_TS_WINDOW_IDS[1]}),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+""".replace("{QTERMS}", _clean_qterms_values())
+
+_MLT_SEEDS = (0, 1, 2)
+
+
+def q_more_like_this(sf_dir: str, m: int = 5, k: int = 10):
+    """More-like-this (Lucene MoreLikeThis shape): for each seed doc,
+    its top-``m`` dictionary terms by (tf desc, term asc) become the
+    query; BM25 over the clean index ranks the corpus with the seed
+    itself excluded.  The seed's term vector comes from a pruned
+    point read of its stored text (_read_doc_texts) — an inverted
+    index has no forward index, exactly as in the reference."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    inv = {orig: hashed for hashed, orig in idmap.items()}
+    eng = SearchEngine(index)
+    texts = _read_doc_texts(sf_dir, _MLT_SEEDS)
+    rows = {"seed": [], "rank": [], "doc_id": [], "score_e6": []}
+    for seed in _MLT_SEEDS:
+        text = texts.get(seed)
+        if text is None:
+            continue
+        cands = [(t, c) for t, c in _clean_tf(text).items()
+                 if t in eng.df_map]
+        cands.sort(key=lambda tc: (-tc[1], tc[0]))
+        terms = [t for t, _ in cands[:m]]
+        if not terms:
+            continue
+        res = eng.search(" ".join(terms), k=k + 1, mode="bm25")
+        seed_hashed = inv.get(seed)
+        ranked = [r for r in reversed(res) if r[1] != seed_hashed][:k]
+        for rank, (score, did, _ts) in enumerate(ranked, start=1):
+            rows["seed"].append(seed)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        "seed": pa.array(rows["seed"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
+SQL_MORE_LIKE_THIS = f"""
+WITH {_BM25_CORE_CTES},
+seeds(seed) AS (VALUES {", ".join(f"({s})" for s in _MLT_SEEDS)}),
+qsel AS (
+  SELECT seed, term FROM (
+    SELECT s.seed, t.term,
+           row_number() OVER (PARTITION BY s.seed
+                              ORDER BY t.tf DESC, t.term ASC) AS rn
+    FROM seeds s
+    JOIN tf t ON t.doc_id = s.seed
+    JOIN df ON df.term = t.term)
+  WHERE rn <= 5),
+contrib AS (
+  SELECT q.seed, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM qsel q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT seed, doc_id, sum(c) AS score
+           FROM contrib WHERE doc_id <> seed GROUP BY seed, doc_id),
+ranked AS (SELECT seed, doc_id, score,
+                  row_number() OVER (PARTITION BY seed
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT seed, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_search_prf(sf_dir: str, r: int = 3, m: int = 3, k: int = 10):
+    """Pseudo-relevance feedback (Rocchio shape, rank-exact): BM25
+    round 1 takes the top-``r`` docs per query; the ``m`` strongest
+    new dictionary terms across those docs (summed tf desc, term asc;
+    original terms excluded) expand the query; BM25 round 2 returns
+    the final top-``k``.  Term selection is integer (summed tf), so
+    both rounds stay value-identical to the SQL mirror."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        orig = _clean_query_terms(q)
+        res1 = eng.search(q, k=r, mode="bm25")
+        top_ids = [idmap[did] for (_s, did, _ts) in reversed(res1)]
+        terms = list(orig)
+        if top_ids:
+            texts = _read_doc_texts(sf_dir, top_ids)
+            stf: dict[str, int] = {}
+            for t_ in texts.values():
+                for term, c in _clean_tf(t_).items():
+                    if term in eng.df_map and term not in orig:
+                        stf[term] = stf.get(term, 0) + c
+            exp = sorted(stf.items(), key=lambda tc: (-tc[1], tc[0]))[:m]
+            terms += [t for t, _ in exp]
+        if not terms:
+            continue
+        res = eng.search(" ".join(terms), k=k, mode="bm25")
+        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
+SQL_SEARCH_PRF = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+contrib1 AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored1 AS (SELECT query_id, doc_id, sum(c) AS score
+            FROM contrib1 GROUP BY query_id, doc_id),
+top_r AS (SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id DESC) AS rn
+    FROM scored1) WHERE rn <= 3),
+exp_tf AS (SELECT r.query_id, t.term, sum(t.tf) AS stf
+           FROM top_r r
+           JOIN tf t ON t.doc_id = r.doc_id
+           JOIN df ON df.term = t.term
+           LEFT JOIN qterms q2 ON q2.query_id = r.query_id
+                              AND q2.term = t.term
+           WHERE q2.term IS NULL
+           GROUP BY r.query_id, t.term),
+expansion AS (SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY stf DESC, term ASC) AS rn
+    FROM exp_tf) WHERE rn <= 3),
+allq AS (SELECT query_id, term FROM qterms
+         UNION SELECT query_id, term FROM expansion),
+contrib2 AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM allq q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored2 AS (SELECT query_id, doc_id, sum(c) AS score
+            FROM contrib2 GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored2)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+""".replace("{QTERMS}", _clean_qterms_values())
+
+
 # -------------------------------------------------------------- lang-id SQL
 def q_langid_pred(sf_dir: str):
     import ray.data

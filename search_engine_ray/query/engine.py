@@ -634,11 +634,18 @@ class SearchEngine:
 
     # ------------------------------------------------------------ search
     def search(self, query_text: str, k: int = 10, mode: str = "reference",
-               fuzzy: bool = False):
+               fuzzy: bool = False,
+               ts_range: tuple[int, int] | None = None):
         """``fuzzy=True`` = typo tolerance: each parsed term absent from
         the dictionary is replaced by its best one-edit correction
         (fuzzy_correct) before retrieval; terms with no close neighbor
-        stay as-is (and behave as unknown, per mode)."""
+        stay as-is (and behave as unknown, per mode).
+
+        ``ts_range=(lo_us, hi_us)`` (bm25 mode only) = temporal filter
+        query: candidates are restricted to docs whose docmeta timestamp
+        lies in the inclusive window, while corpus statistics (idf,
+        avgdl) stay corpus-wide — the Lucene filter-query convention, so
+        a doc's score is identical with and without the filter."""
         if k < 0:
             return []
         if k == 0:
@@ -652,10 +659,12 @@ class SearchEngine:
             query = [t if t in self.df_map
                      else (self.fuzzy_correct(t) or t) for t in query]
         self.prefetch(query)
+        if ts_range is not None and mode != "bm25":
+            raise ValueError("ts_range is only supported in bm25 mode")
         if mode == "reference":
             return self._search_reference(query, k)
         if mode == "bm25":
-            return self._search_bm25_taat(query, k)
+            return self._search_bm25_taat(query, k, ts_range=ts_range)
         if mode == "bm25_wand":
             return self._search_bm25_wand(query, k)
         if mode == "bool_and":
@@ -825,7 +834,8 @@ class SearchEngine:
             p["contrib"] = c
         return p["doc_ids"], c
 
-    def _search_bm25_taat(self, query: list[str], k: int):
+    def _search_bm25_taat(self, query: list[str], k: int,
+                          ts_range: tuple[int, int] | None = None):
         terms = list(dict.fromkeys(query))
         id_parts, contrib_parts = [], []
         for t in terms:
@@ -844,6 +854,22 @@ class SearchEngine:
             contribs = np.concatenate(contrib_parts)
             cand, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+        if ts_range is not None:
+            # temporal filter BEFORE the top-k prune: the k-th-best
+            # boundary must be computed among in-window docs only.  This
+            # gathers ts for every candidate (the unfiltered path below
+            # avoids that); a serving deployment that filters by time
+            # constantly would carry a quantized ts per posting block to
+            # pre-skip, but correctness-first the docmeta gather is exact.
+            pos, found = self._meta_for(cand)
+            ts_all = self._meta["ts"][pos] * found
+            lo, hi = ts_range
+            m = found & (ts_all >= lo) & (ts_all <= hi)
+            if not m.any():
+                return []
+            scores, cand, ts_pre = scores[m], cand[m], ts_all[m]
+        else:
+            ts_pre = None
         # prune by score BEFORE the ts gather (scores alone decide
         # membership above the k-th-best boundary; ties at the boundary
         # are all kept so the (ts, id) tie-break stays exact) — the ts
@@ -854,8 +880,13 @@ class SearchEngine:
             s_k = scores[part[n - k]]
             keep = np.flatnonzero(scores >= s_k)
             scores, cand = scores[keep], cand[keep]
-        pos, found = self._meta_for(cand)
-        ts = self._meta["ts"][pos] * found
+            if ts_pre is not None:
+                ts_pre = ts_pre[keep]
+        if ts_pre is None:
+            pos, found = self._meta_for(cand)
+            ts = self._meta["ts"][pos] * found
+        else:
+            ts = ts_pre
         return _topk_reference_order(scores, cand, ts, k)
 
     def search_explain(self, query_text: str, k: int = 10):

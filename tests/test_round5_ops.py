@@ -1473,3 +1473,32 @@ def test_search_explain_parity_and_counter_laws(ray_session, built_index):
                 assert res == [], q
     res, st = eng.search_explain("the and of", k=10)  # stopword-only
     assert res == [] and st == {}
+
+
+# ------------------------------------------------ contextual retrieval tier
+def test_ts_range_is_a_pure_candidate_filter(engine):
+    """ts_range semantics (Lucene filter-query convention): scores are
+    unchanged per doc, membership is exactly the docmeta-ts window, and
+    the top-k equals the unfiltered FULL ranked list filtered then
+    re-cut — for every window tried."""
+    from search_engine_ray.fixtures import gen_queries
+
+    for q in gen_queries():
+        full = engine.search(q, k=0, mode="bm25")  # full ranked list
+        if not full:
+            continue
+        tss = sorted(r[2] for r in full)
+        windows = [(tss[0], tss[-1]),                 # everything
+                   (tss[len(tss) // 3], tss[2 * len(tss) // 3]),
+                   (tss[-1] + 1, tss[-1] + 2)]        # nothing
+        for lo, hi in windows:
+            got = engine.search(q, k=10, mode="bm25", ts_range=(lo, hi))
+            want = [r for r in full if lo <= r[2] <= hi][-10:]
+            assert got == want, (q, lo, hi)
+
+
+def test_ts_range_rejected_outside_bm25(engine):
+    with pytest.raises(ValueError):
+        engine.search("covid", k=10, mode="bm25_wand", ts_range=(0, 1))
+    with pytest.raises(ValueError):
+        engine.search("covid", k=10, mode="reference", ts_range=(0, 1))
