@@ -392,8 +392,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": sq.q_tumbling,
         "bm25_topk_simple": sq.q_bm25_topk,
         "hybrid_rrf_top10": sq.q_hybrid_rrf,
-        "hybrid_text_vector_top10": sq.q_hybrid_text_vector,
-        "bm25_diversified_top10": sq.q_bm25_diversified,
         "winnow_fingerprints": sq.q_winnow_fingerprints,
         "contamination_4gram": sq.q_contamination,
         "source_mix_sample": sq.q_source_mix,
