@@ -330,6 +330,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_cluster_sizes": sq.q_near_dup_cluster_sizes,
         "tpch_market_share": sq.q_market_share,
         "strip_dup_passages": sq.q_strip_dup_passages,
+        # round-5 serving additions sharing the in-cap clean-BM25 gate:
+        # cursor deep paging, query-time term boosts, facets-on-hits
+        "search_page2": sq.q_search_page2,
+        "search_boosted_top10": sq.q_search_boosted,
+        "result_facets": sq.q_result_facets,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
@@ -525,6 +530,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_fraction": sq.SQL_DUP_NGRAM_FRACTION,
         "dup_passages": sq.SQL_DUP_PASSAGES,
         "strip_dup_passages": sq.SQL_STRIP_DUP_PASSAGES,
+        "search_page2": sq.SQL_SEARCH_PAGE2,
+        "search_boosted_top10": sq.SQL_SEARCH_BOOSTED,
+        "result_facets": sq.SQL_RESULT_FACETS,
         "dsir_logratio": sq.SQL_DSIR_LOGRATIO,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,

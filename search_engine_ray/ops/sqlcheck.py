@@ -1306,6 +1306,202 @@ FROM ranked WHERE rank <= 10
 """.replace("{QTERMS}", _clean_qterms_values())
 
 
+def q_search_page2(sf_dir: str, k: int = 10):
+    """Cursor deep paging (Elasticsearch search_after shape): page 1 is
+    the BM25 top-k; its LAST tuple becomes the cursor and page 2 is the
+    next k strictly below it in exact ranking order.  Stateless — no
+    from+size re-materialization; strictly-higher scores are pruned
+    before any tie-break metadata is touched."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        page1 = eng.search(q, k=k, mode="bm25")
+        if not page1:
+            continue
+        res = eng.search(q, k=k, mode="bm25", search_after=page1[0])
+        for rank, (score, did, _ts) in enumerate(reversed(res),
+                                                 start=k + 1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
+SQL_SEARCH_PAGE2 = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank BETWEEN 11 AND 20
+""".replace("{QTERMS}", _clean_qterms_values())
+
+# query-time term boosts (Lucene term^w): shared between the engine call
+# and the SQL VALUES list; integer weights keep c*w bit-identical on both
+# sides before the e6 rounding
+_QUERY_BOOSTS = {"spark": 3, "merge": 2, "data": 2, "hash": 4}
+
+
+def _boosted_qterms_values() -> str:
+    vals = []
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        for t in _clean_query_terms(q):
+            vals.append(f"({qid}, '{t}', {_QUERY_BOOSTS.get(t, 1)})")
+    return ", ".join(vals)
+
+
+def q_search_boosted(sf_dir: str, k: int = 10):
+    """Query-time term boosting (Lucene ``term^w``) through the REAL
+    engine: each term's BM25 contribution is scaled by its weight before
+    accumulation, idf/avgdl untouched."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    boosts = {t: float(w) for t, w in _QUERY_BOOSTS.items()}
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        res = eng.search(q, k=k, mode="bm25", boosts=boosts)
+        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
+SQL_SEARCH_BOOSTED = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term, w) AS (VALUES {{BQTERMS}}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ({_BM25_C_EXPR}) * q.w AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+""".replace("{BQTERMS}", _boosted_qterms_values())
+
+
+def q_result_facets(sf_dir: str):
+    """Per-query facet counts over the MATCH SET (the Elasticsearch
+    aggregations-on-hits shape): for every query, the number of matching
+    docs (boolean OR over its dictionary terms, straight off the posting
+    lists) per source.  The match-id arrays ride ONE ray.put broadcast
+    into a streaming (doc_id, source) scan — per-batch sorted-array
+    membership (searchsorted) then a dimension-sized (query, source)
+    count merge; the corpus never collects on the driver."""
+    import ray
+    import ray.data
+
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index, preload_docmeta=False)
+    match_ids: dict[int, np.ndarray] = {}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        parts = []
+        for t in _clean_query_terms(q):
+            p = eng.postings(t)
+            if p is not None:
+                parts.append(p["doc_ids"])
+        if not parts:
+            continue
+        hashed = np.unique(np.concatenate(parts))
+        match_ids[qid] = np.sort(np.array(
+            [idmap[h] for h in hashed], np.int64))
+    ref = ray.put(match_ids)
+
+    def facet_partials(batch: pa.Table) -> pa.Table:
+        mids = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy()
+        src = batch.column("source")
+        out_q, out_s, out_n = [], [], []
+        for qid, arr in mids.items():
+            pos = np.searchsorted(arr, ids)
+            pos[pos == len(arr)] = 0
+            hit = arr[pos] == ids
+            if not hit.any():
+                continue
+            t = pa.table({"source": src.filter(pa.array(hit))})
+            for row in t.group_by("source").aggregate(
+                    [("source", "count")]).to_pylist():
+                out_q.append(qid)
+                out_s.append(row["source"])
+                out_n.append(row["source_count"])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+        })
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).map_batches(facet_partials, batch_format="pyarrow").to_pandas()
+    final = (parts.groupby(["query_id", "source"], as_index=False,
+                           dropna=False)["n_docs"].sum())
+    return pa.table({
+        "query_id": pa.array(final["query_id"], pa.int64()),
+        "source": pa.array(final["source"], pa.string()),
+        "n_docs": pa.array(final["n_docs"], pa.int64()),
+    })
+
+
+SQL_RESULT_FACETS = f"""
+WITH kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
+docs AS (SELECT doc_id, toks FROM kept WHERE len(toks) > 0),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term FROM toks GROUP BY term
+       HAVING count(DISTINCT doc_id) >= 2),
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+matched AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM qterms q
+            JOIN df ON df.term = q.term
+            JOIN toks t ON t.term = q.term)
+SELECT m.query_id, d.source, count(*) AS n_docs
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.source
+""".replace("{QTERMS}", _clean_qterms_values())
+
+
 # -------------------------------------------------------------- lang-id SQL
 def q_langid_pred(sf_dir: str):
     import ray.data

@@ -635,7 +635,9 @@ class SearchEngine:
     # ------------------------------------------------------------ search
     def search(self, query_text: str, k: int = 10, mode: str = "reference",
                fuzzy: bool = False,
-               ts_range: tuple[int, int] | None = None):
+               ts_range: tuple[int, int] | None = None,
+               search_after: tuple[float, int, int] | None = None,
+               boosts: dict[str, float] | None = None):
         """``fuzzy=True`` = typo tolerance: each parsed term absent from
         the dictionary is replaced by its best one-edit correction
         (fuzzy_correct) before retrieval; terms with no close neighbor
@@ -645,7 +647,19 @@ class SearchEngine:
         query: candidates are restricted to docs whose docmeta timestamp
         lies in the inclusive window, while corpus statistics (idf,
         avgdl) stay corpus-wide — the Lucene filter-query convention, so
-        a doc's score is identical with and without the filter."""
+        a doc's score is identical with and without the filter.
+
+        ``search_after=(score, doc_id, ts)`` (bm25 mode only) = cursor
+        deep paging (the Elasticsearch search_after shape): pass the
+        LAST tuple of the previous page verbatim and get the next ``k``
+        strictly below it in the exact ranking order (score, ts,
+        doc_id) — stateless, and unlike from+size the engine never
+        re-materializes earlier pages' tie-break metadata: candidates at
+        a strictly higher score are pruned before the ts gather.
+
+        ``boosts={term: weight}`` (bm25 mode only) = query-time term
+        boosting (Lucene ``term^w``): each term's BM25 contribution is
+        scaled by its weight before accumulation; absent terms weigh 1."""
         if k < 0:
             return []
         if k == 0:
@@ -659,12 +673,18 @@ class SearchEngine:
             query = [t if t in self.df_map
                      else (self.fuzzy_correct(t) or t) for t in query]
         self.prefetch(query)
-        if ts_range is not None and mode != "bm25":
-            raise ValueError("ts_range is only supported in bm25 mode")
+        if mode != "bm25" and (ts_range is not None
+                               or search_after is not None
+                               or boosts is not None):
+            raise ValueError(
+                "ts_range/search_after/boosts are only supported in "
+                "bm25 mode")
         if mode == "reference":
             return self._search_reference(query, k)
         if mode == "bm25":
-            return self._search_bm25_taat(query, k, ts_range=ts_range)
+            return self._search_bm25_taat(query, k, ts_range=ts_range,
+                                          after=search_after,
+                                          boosts=boosts)
         if mode == "bm25_wand":
             return self._search_bm25_wand(query, k)
         if mode == "bool_and":
@@ -835,15 +855,20 @@ class SearchEngine:
         return p["doc_ids"], c
 
     def _search_bm25_taat(self, query: list[str], k: int,
-                          ts_range: tuple[int, int] | None = None):
+                          ts_range: tuple[int, int] | None = None,
+                          after: tuple[float, int, int] | None = None,
+                          boosts: dict[str, float] | None = None):
         terms = list(dict.fromkeys(query))
         id_parts, contrib_parts = [], []
         for t in terms:
             pc_ = self._bm25_contrib(t)
             if pc_ is None:
                 continue
+            w = boosts.get(t, 1.0) if boosts else 1.0
             id_parts.append(pc_[0])
-            contrib_parts.append(pc_[1])
+            # w==1 keeps the cached contrib array zero-copy; any other
+            # weight scales into a fresh array (never mutate the cache)
+            contrib_parts.append(pc_[1] if w == 1.0 else pc_[1] * w)
         if not id_parts:
             return []
         if len(id_parts) == 1:
@@ -870,6 +895,29 @@ class SearchEngine:
             scores, cand, ts_pre = scores[m], cand[m], ts_all[m]
         else:
             ts_pre = None
+        if after is not None:
+            # cursor prune in ranking order (score, ts, doc_id): every
+            # strictly-lower score survives with NO metadata touch; the
+            # ts gather for the tie-break runs only over the (rare)
+            # exact-score ties with the cursor.
+            a_score, a_id, a_ts = after
+            lt = scores < a_score
+            eqm = np.flatnonzero(scores == a_score)
+            if eqm.size:
+                if ts_pre is not None:
+                    ts_eq = ts_pre[eqm]
+                else:
+                    pos_eq, found_eq = self._meta_for(cand[eqm])
+                    ts_eq = self._meta["ts"][pos_eq] * found_eq
+                keep_eq = (ts_eq < a_ts) | ((ts_eq == a_ts)
+                                            & (cand[eqm] < a_id))
+                lt[eqm[keep_eq]] = True
+            keep = np.flatnonzero(lt)
+            if keep.size == 0:
+                return []
+            scores, cand = scores[keep], cand[keep]
+            if ts_pre is not None:
+                ts_pre = ts_pre[keep]
         # prune by score BEFORE the ts gather (scores alone decide
         # membership above the k-th-best boundary; ties at the boundary
         # are all kept so the (ts, id) tie-break stays exact) — the ts

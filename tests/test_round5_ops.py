@@ -1502,3 +1502,76 @@ def test_ts_range_rejected_outside_bm25(engine):
         engine.search("covid", k=10, mode="bm25_wand", ts_range=(0, 1))
     with pytest.raises(ValueError):
         engine.search("covid", k=10, mode="reference", ts_range=(0, 1))
+
+
+# --------------------------------------------- cursor paging + term boosts
+def test_search_after_pagination_laws(engine):
+    """Pages stitched with search_after reproduce the full ranked list
+    exactly: no overlap, no gap, order preserved — for every fixture
+    query and a non-divisor page size."""
+    from search_engine_ray.fixtures import gen_queries
+
+    for q in gen_queries():
+        full = engine.search(q, k=0, mode="bm25")  # full ranked list
+        want = list(reversed(full))                # rank 1 first
+        pages, cursor = [], None
+        while True:
+            res = engine.search(q, k=7, mode="bm25", search_after=cursor)
+            if not res:
+                break
+            pages.extend(reversed(res))
+            cursor = res[0]                        # last hit of the page
+        assert pages == want, q
+    # cursor past the end returns []
+    if want:
+        assert engine.search(q, k=7, mode="bm25",
+                             search_after=pages[-1]) == []
+
+
+def test_search_after_composes_with_ts_range(engine):
+    q = "covid vaccine"
+    full = engine.search(q, k=0, mode="bm25")
+    if len(full) >= 4:
+        tss = sorted(r[2] for r in full)
+        win = (tss[1], tss[-2])
+        filt = [r for r in reversed(full) if win[0] <= r[2] <= win[1]]
+        page1 = engine.search(q, k=2, mode="bm25", ts_range=win)
+        page2 = engine.search(q, k=len(filt), mode="bm25", ts_range=win,
+                              search_after=page1[0])
+        assert list(reversed(page1)) + list(reversed(page2)) == filt
+
+
+def test_boosts_laws(engine):
+    """boost==1 everywhere is a no-op; scaling ALL boosts by 2 doubles
+    every score exactly (power-of-two FP) and preserves the ranking."""
+    from search_engine_ray.fixtures import gen_queries
+
+    for q in gen_queries():
+        terms, _, _ = engine.parser.parse_sentence(q)
+        base = engine.search(q, k=10, mode="bm25")
+        ones = engine.search(q, k=10, mode="bm25",
+                             boosts={t: 1.0 for t in terms})
+        assert ones == base, q
+        twos = engine.search(q, k=10, mode="bm25",
+                             boosts={t: 2.0 for t in terms})
+        assert [(s * 2, d, t) for s, d, t in base] == twos, q
+
+
+def test_boosts_reweight_ranking(engine):
+    """A large boost on one term pulls that term's docs to the top:
+    every returned doc must contain the boosted term once the boost
+    dominates (fixture vocab guarantees multi-term candidates)."""
+    q = "covid vaccine"
+    res = engine.search(q, k=5, mode="bm25", boosts={"covid": 1000.0})
+    p = engine.postings("covid")
+    assert res and p is not None
+    covid_ids = set(p["doc_ids"].tolist())
+    assert all(d in covid_ids for _s, d, _t in res)
+
+
+def test_after_boosts_rejected_outside_bm25(engine):
+    with pytest.raises(ValueError):
+        engine.search("covid", mode="bm25_wand",
+                      search_after=(1.0, 0, 0))
+    with pytest.raises(ValueError):
+        engine.search("covid", mode="reference", boosts={"covid": 2.0})
