@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_page2": sq.q_search_page2,
         "search_boosted_top10": sq.q_search_boosted,
         "result_facets": sq.q_result_facets,
+        "search_synonyms_top10": sq.q_search_synonyms,
+        "did_you_mean": sq.q_did_you_mean,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
@@ -533,6 +535,8 @@ def oracle_sql() -> dict[str, str]:
         "search_page2": sq.SQL_SEARCH_PAGE2,
         "search_boosted_top10": sq.SQL_SEARCH_BOOSTED,
         "result_facets": sq.SQL_RESULT_FACETS,
+        "search_synonyms_top10": sq.SQL_SEARCH_SYNONYMS,
+        "did_you_mean": sq.SQL_DID_YOU_MEAN,
         "dsir_logratio": sq.SQL_DSIR_LOGRATIO,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,

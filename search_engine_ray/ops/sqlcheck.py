@@ -1501,6 +1501,135 @@ FROM matched m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY m.query_id, d.source
 """.replace("{QTERMS}", _clean_qterms_values())
 
+# query-time synonym map (Lucene SynonymFilter at the query side), shared
+# between the engine call and the SQL expansion; "stream" is already a
+# term of query 1, exercising the order-preserving dedup
+_SYNONYMS = {"spark": ["batch"], "data": ["stream", "batch"]}
+
+
+def _synonym_qterms_values() -> str:
+    vals = []
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        seen = []
+        for t in _clean_query_terms(q):
+            for x in (t, *_SYNONYMS.get(t, ())):
+                if x not in seen:
+                    seen.append(x)
+                    vals.append(f"({qid}, '{x}')")
+    return ", ".join(vals)
+
+
+def q_search_synonyms(sf_dir: str, k: int = 10):
+    """Query-time synonym expansion through the REAL engine: each parsed
+    term is OR-expanded with its alternates at equal weight before
+    retrieval (a pure query rewrite — Lucene SynonymFilter shape), then
+    the usual BM25 (score, ts, id) top-k."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        res = eng.search(q, k=k, mode="bm25", synonyms=_SYNONYMS)
+        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
+SQL_SEARCH_SYNONYMS = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term) AS (VALUES {{SQTERMS}}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+""".replace("{SQTERMS}", _synonym_qterms_values())
+
+# did-you-mean fixtures: typos one edit from corpus vocab, a clean dict
+# term, an ambiguous typo (df decides), and a hopeless token
+_DYM_QUERIES = [
+    (0, "spak joim merge"),     # two typos + a dict term
+    (1, "dta window"),          # ambiguous + one-edit
+    (2, "zzzabsentzzz hash"),   # hopeless + dict term
+]
+
+
+def q_did_you_mean(sf_dir: str):
+    """Did-you-mean suggestion per query term (the search-box spell
+    check): dictionary terms pass through; a missing term takes its best
+    one-edit correction — highest df, ties lexicographic — or stays
+    as-is when nothing is that close.  Runs the engine's own
+    FuzzyCorrector (length-bucketed vectorized one-edit kernel) against
+    the real dict."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, _ = _clean_index(sf_dir)
+    eng = SearchEngine(index, preload_docmeta=False)
+    rows = {"query_id": [], "pos": [], "term": [], "suggestion": []}
+    for qid, q in _DYM_QUERIES:
+        for pos, t in enumerate(_clean_query_terms(q)):
+            sug = t if t in eng.df_map else (eng.fuzzy_correct(t) or t)
+            rows["query_id"].append(qid)
+            rows["pos"].append(pos)
+            rows["term"].append(t)
+            rows["suggestion"].append(sug)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "pos": pa.array(rows["pos"], pa.int64()),
+        "term": pa.array(rows["term"], pa.string()),
+        "suggestion": pa.array(rows["suggestion"], pa.string()),
+    })
+
+
+def _dym_qtok_values() -> str:
+    vals = []
+    for qid, q in _DYM_QUERIES:
+        for pos, t in enumerate(_clean_query_terms(q)):
+            vals.append(f"({qid}, {pos}, '{t}')")
+    return ", ".join(vals)
+
+
+SQL_DID_YOU_MEAN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       GROUP BY term HAVING count(DISTINCT doc_id) >= 2),
+qtok(query_id, pos, term) AS (VALUES {{QTOK}}),
+miss AS (SELECT q.* FROM qtok q
+         LEFT JOIN df ON df.term = q.term WHERE df.term IS NULL),
+best AS (SELECT query_id, pos, sug FROM (
+    SELECT m.query_id, m.pos, d.term AS sug,
+           row_number() OVER (PARTITION BY m.query_id, m.pos
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM miss m JOIN df d ON levenshtein(m.term, d.term) <= 1)
+  WHERE rn = 1)
+SELECT q.query_id, q.pos, q.term,
+       coalesce(b.sug, q.term) AS suggestion
+FROM qtok q
+LEFT JOIN best b ON b.query_id = q.query_id AND b.pos = q.pos
+""".replace("{QTOK}", _dym_qtok_values())
+
 
 # -------------------------------------------------------------- lang-id SQL
 def q_langid_pred(sf_dir: str):

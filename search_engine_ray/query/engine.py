@@ -637,7 +637,8 @@ class SearchEngine:
                fuzzy: bool = False,
                ts_range: tuple[int, int] | None = None,
                search_after: tuple[float, int, int] | None = None,
-               boosts: dict[str, float] | None = None):
+               boosts: dict[str, float] | None = None,
+               synonyms: dict[str, list[str]] | None = None):
         """``fuzzy=True`` = typo tolerance: each parsed term absent from
         the dictionary is replaced by its best one-edit correction
         (fuzzy_correct) before retrieval; terms with no close neighbor
@@ -659,7 +660,13 @@ class SearchEngine:
 
         ``boosts={term: weight}`` (bm25 mode only) = query-time term
         boosting (Lucene ``term^w``): each term's BM25 contribution is
-        scaled by its weight before accumulation; absent terms weigh 1."""
+        scaled by its weight before accumulation; absent terms weigh 1.
+
+        ``synonyms={term: [alts]}`` (any mode) = query-time synonym
+        expansion (Lucene SynonymFilter at the query side): each parsed
+        term is OR-expanded with its alternates at equal weight BEFORE
+        retrieval — a pure query rewrite, so it composes with every
+        other option and with every mode's own semantics."""
         if k < 0:
             return []
         if k == 0:
@@ -672,6 +679,11 @@ class SearchEngine:
         if fuzzy:
             query = [t if t in self.df_map
                      else (self.fuzzy_correct(t) or t) for t in query]
+        if synonyms:
+            # order-preserving dedup: an alternate that is also a query
+            # term (or shared by two terms) counts once in every mode
+            query = list(dict.fromkeys(
+                x for t in query for x in (t, *synonyms.get(t, ()))))
         self.prefetch(query)
         if mode != "bm25" and (ts_range is not None
                                or search_after is not None

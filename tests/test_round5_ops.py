@@ -1575,3 +1575,35 @@ def test_after_boosts_rejected_outside_bm25(engine):
                       search_after=(1.0, 0, 0))
     with pytest.raises(ValueError):
         engine.search("covid", mode="reference", boosts={"covid": 2.0})
+
+
+# ------------------------------------------------------- synonym expansion
+def test_synonyms_equal_rewritten_query(engine):
+    """Synonym expansion is a pure query rewrite: searching with the
+    map equals searching the expanded text directly, in every mode."""
+    q = "covid vaccine"
+    syn = {"covid": ["virus"], "vaccine": ["masks", "virus"]}
+    rewritten = "covid virus vaccine masks"
+    for mode in ("bm25", "bm25_wand", "bool_and", "bool_or", "reference"):
+        got = engine.search(q, k=10, mode=mode, synonyms=syn)
+        want = engine.search(rewritten, k=10, mode=mode)
+        assert got == want, mode
+    # alternates already in the query dedup to a no-op
+    assert engine.search(q, k=10, mode="bm25",
+                         synonyms={"covid": ["vaccine", "covid"]}) \
+        == engine.search(q, k=10, mode="bm25")
+    # unknown-term alternates behave like any unknown term
+    assert engine.search(q, k=10, mode="bm25",
+                         synonyms={"covid": ["zzqqxv"]}) \
+        == engine.search(q, k=10, mode="bm25")
+
+
+def test_synonyms_compose_with_boosts(engine):
+    """The rewrite happens before scoring, so boosts address the
+    EXPANDED term set."""
+    q = "covid"
+    syn = {"covid": ["vaccine"]}
+    got = engine.search(q, k=10, mode="bm25", synonyms=syn,
+                        boosts={"covid": 2.0, "vaccine": 2.0})
+    base = engine.search("covid vaccine", k=10, mode="bm25")
+    assert got == [(s * 2, d, t) for s, d, t in base]
