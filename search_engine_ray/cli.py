@@ -4,6 +4,7 @@ output_path, stemming, queries, num_docs_to_retrieve),
 
     python -m search_engine_ray.cli build  <corpus_dir> <index_dir> [--stemming] [--tweets] [--positions]
     python -m search_engine_ray.cli search <index_dir> <query...> [--k N] [--mode bm25|reference|bm25_wand]
+        [--fuzzy] [--since US] [--until US] [--boost term^w]... [--synonym term=alt,alt]... [--pages N]
     python -m search_engine_ray.cli batch  <index_dir> <queries_file> <out_csv> [--k N]
     python -m search_engine_ray.cli phrase <index_dir> <term...> [--window N]
     python -m search_engine_ray.cli grep   <corpus_dir> <pattern> [--regex] [--scan]
@@ -62,6 +63,21 @@ def main(argv=None) -> int:
                    help="typo tolerance: unknown query terms are "
                         "replaced by their best one-edit dictionary "
                         "correction")
+    s.add_argument("--since", type=int, metavar="US",
+                   help="bm25 only: keep docs with timestamp >= US "
+                        "(microseconds; scores stay filter-invariant)")
+    s.add_argument("--until", type=int, metavar="US",
+                   help="bm25 only: keep docs with timestamp <= US")
+    s.add_argument("--boost", action="append", default=[],
+                   metavar="TERM^W",
+                   help="bm25 only: per-term weight, repeatable "
+                        "(Lucene term^w)")
+    s.add_argument("--synonym", action="append", default=[],
+                   metavar="TERM=ALT[,ALT...]",
+                   help="query-time synonym expansion, repeatable")
+    s.add_argument("--pages", type=int, default=1, metavar="N",
+                   help="bm25 only: print N pages of k results, deep "
+                        "paging via search_after cursors")
 
     ex = sub.add_parser("explain",
                         help="run a query through block-max WAND and "
@@ -146,16 +162,47 @@ def main(argv=None) -> int:
         from search_engine_ray.query.engine import SearchEngine
 
         eng = SearchEngine(args.index_dir)
-        res = eng.search(" ".join(args.query), k=args.k, mode=args.mode,
-                         fuzzy=args.fuzzy)
+        if args.mode != "bm25" and (args.since is not None
+                                    or args.until is not None
+                                    or args.boost or args.pages > 1):
+            ap.error("--since/--until/--boost/--pages need --mode bm25")
+        ts_range = None
+        if args.since is not None or args.until is not None:
+            lo = args.since if args.since is not None else 0
+            hi = args.until if args.until is not None else (1 << 62)
+            ts_range = (lo, hi)
+        boosts = None
+        if args.boost:
+            boosts = {}
+            for spec in args.boost:
+                term, _, w = spec.rpartition("^")
+                boosts[term] = float(w)
+        synonyms = None
+        if args.synonym:
+            synonyms = {}
+            for spec in args.synonym:
+                term, _, alts = spec.partition("=")
+                synonyms[term] = [a for a in alts.split(",") if a]
+        qtext = " ".join(args.query)
         if args.mode.startswith("bool_"):
+            res = eng.search(qtext, k=args.k, mode=args.mode,
+                             fuzzy=args.fuzzy, synonyms=synonyms)
             for doc_id in res:  # boolean modes return plain ids
                 print(f"doc id: {doc_id}")
         else:
-            # print best-first, like the reference's output loop
-            # (search_engine.py:109-112)
-            for score, doc_id, ts in reversed(res):
-                print(f"doc id: {doc_id}, score: {score}")
+            cursor = None
+            for _page in range(max(args.pages, 1)):
+                res = eng.search(qtext, k=args.k, mode=args.mode,
+                                 fuzzy=args.fuzzy, ts_range=ts_range,
+                                 search_after=cursor, boosts=boosts,
+                                 synonyms=synonyms)
+                if not res:
+                    break
+                # print best-first, like the reference's output loop
+                # (search_engine.py:109-112)
+                for score, doc_id, ts in reversed(res):
+                    print(f"doc id: {doc_id}, score: {score}")
+                cursor = res[0]
     elif args.cmd == "explain":
         from search_engine_ray.query.engine import SearchEngine
 

@@ -130,3 +130,32 @@ def test_grep_substring_and_regex(ray_session, capsys):
     rc = main(["grep", sf, "ter (scan|merge)", "--regex"])
     assert rc == 0
     assert capsys.readouterr().out.count("doc id: ") == 64
+
+
+def test_search_serving_flags(cli_index, capsys):
+    """--pages stitches to one big page; --boost/--synonym/--since are
+    accepted and --pages>1 is rejected outside bm25."""
+    rc = main(["search", cli_index, "covid", "vaccine", "--k", "4",
+               "--pages", "3"])
+    assert rc == 0
+    paged = capsys.readouterr().out.strip().splitlines()
+    rc = main(["search", cli_index, "covid", "vaccine", "--k", "12"])
+    assert rc == 0
+    assert paged == capsys.readouterr().out.strip().splitlines()
+
+    rc = main(["search", cli_index, "covid", "--synonym",
+               "covid=vaccine", "--k", "3"])
+    assert rc == 0
+    syn = capsys.readouterr().out.strip().splitlines()
+    rc = main(["search", cli_index, "covid", "vaccine", "--k", "3"])
+    assert rc == 0
+    assert syn == capsys.readouterr().out.strip().splitlines()
+
+    rc = main(["search", cli_index, "covid", "--boost", "covid^2",
+               "--since", "0", "--k", "3"])
+    assert rc == 0 and len(capsys.readouterr().out.strip().splitlines()) == 3
+
+    with pytest.raises(SystemExit):
+        main(["search", cli_index, "covid", "--pages", "2",
+              "--mode", "reference"])
+    capsys.readouterr()
