@@ -175,8 +175,13 @@ def main(argv=None) -> int:
         if args.boost:
             boosts = {}
             for spec in args.boost:
-                term, _, w = spec.rpartition("^")
-                boosts[term] = float(w)
+                term, sep, w = spec.rpartition("^")
+                try:
+                    boosts[term] = float(w)
+                except ValueError:
+                    sep = ""
+                if not sep or not term:
+                    ap.error(f"--boost expects TERM^W, got {spec!r}")
         synonyms = None
         if args.synonym:
             synonyms = {}

@@ -973,6 +973,28 @@ def _clean_query_terms(q: str) -> list[str]:
     return list(dict.fromkeys(t for t in toks if t not in STOPWORDS))
 
 
+def _ranked_table(pairs, idmap: dict[int, int],
+                  key: str = "query_id") -> pa.Table:
+    """Shared (key, rank, doc_id, score_e6) result table for every
+    engine-vs-SQL ranked-search mirror: ``pairs`` is an iterable of
+    (group_id, best-first result tuples, start_rank) — one schema and
+    one e6 rounding rule, so the mirrors cannot diverge."""
+    rows = {key: [], "rank": [], "doc_id": [], "score_e6": []}
+    for gid, ranked, start in pairs:
+        for rank, (score, did, _ts) in enumerate(ranked, start=start):
+            rows[key].append(gid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+    return pa.table({
+        key: pa.array(rows[key], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })
+
+
 def q_search_bm25_clean(sf_dir: str, mode: str = "bm25", k: int = 10):
     """BM25 top-k through the REAL engine (posting decode, df_map, tf_norm,
     (score, ts, id) ranking) over the clean index; SQL-checked."""
@@ -980,21 +1002,9 @@ def q_search_bm25_clean(sf_dir: str, mode: str = "bm25", k: int = 10):
 
     index, idmap = _clean_index(sf_dir)
     eng = SearchEngine(index)
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
-    for qid, q in _CLEAN_SEARCH_QUERIES:
-        res = eng.search(q, k=k, mode=mode)
-        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
-            rows["query_id"].append(qid)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(idmap[did])
-            rows["score_e6"].append(int(_round_half_away(
-                np.array([score * 1e6]))[0]))
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_e6": pa.array(rows["score_e6"], pa.int64()),
-    })
+    return _ranked_table(
+        ((qid, list(reversed(eng.search(q, k=k, mode=mode))), 1)
+         for qid, q in _CLEAN_SEARCH_QUERIES), idmap)
 
 
 def _clean_qterms_values() -> str:
@@ -1098,21 +1108,10 @@ def q_search_bm25_time_range(sf_dir: str, k: int = 10):
                 _BASE_TS_US + hi_id * 1_000_000)
     index, idmap = _clean_index(sf_dir)
     eng = SearchEngine(index)
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
-    for qid, q in _CLEAN_SEARCH_QUERIES:
-        res = eng.search(q, k=k, mode="bm25", ts_range=ts_range)
-        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
-            rows["query_id"].append(qid)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(idmap[did])
-            rows["score_e6"].append(int(_round_half_away(
-                np.array([score * 1e6]))[0]))
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_e6": pa.array(rows["score_e6"], pa.int64()),
-    })
+    return _ranked_table(
+        ((qid, list(reversed(eng.search(q, k=k, mode="bm25",
+                                        ts_range=ts_range))), 1)
+         for qid, q in _CLEAN_SEARCH_QUERIES), idmap)
 
 
 SQL_SEARCH_BM25_TIME_RANGE = f"""
@@ -1153,7 +1152,7 @@ def q_more_like_this(sf_dir: str, m: int = 5, k: int = 10):
     inv = {orig: hashed for hashed, orig in idmap.items()}
     eng = SearchEngine(index)
     texts = _read_doc_texts(sf_dir, _MLT_SEEDS)
-    rows = {"seed": [], "rank": [], "doc_id": [], "score_e6": []}
+    pairs = []
     for seed in _MLT_SEEDS:
         text = texts.get(seed)
         if text is None:
@@ -1166,19 +1165,10 @@ def q_more_like_this(sf_dir: str, m: int = 5, k: int = 10):
             continue
         res = eng.search(" ".join(terms), k=k + 1, mode="bm25")
         seed_hashed = inv.get(seed)
-        ranked = [r for r in reversed(res) if r[1] != seed_hashed][:k]
-        for rank, (score, did, _ts) in enumerate(ranked, start=1):
-            rows["seed"].append(seed)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(idmap[did])
-            rows["score_e6"].append(int(_round_half_away(
-                np.array([score * 1e6]))[0]))
-    return pa.table({
-        "seed": pa.array(rows["seed"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_e6": pa.array(rows["score_e6"], pa.int64()),
-    })
+        pairs.append((seed,
+                      [r for r in reversed(res)
+                       if r[1] != seed_hashed][:k], 1))
+    return _ranked_table(pairs, idmap, key="seed")
 
 
 SQL_MORE_LIKE_THIS = f"""
@@ -1223,7 +1213,7 @@ def q_search_prf(sf_dir: str, r: int = 3, m: int = 3, k: int = 10):
 
     index, idmap = _clean_index(sf_dir)
     eng = SearchEngine(index)
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    pairs = []
     for qid, q in _CLEAN_SEARCH_QUERIES:
         orig = _clean_query_terms(q)
         res1 = eng.search(q, k=r, mode="bm25")
@@ -1241,18 +1231,8 @@ def q_search_prf(sf_dir: str, r: int = 3, m: int = 3, k: int = 10):
         if not terms:
             continue
         res = eng.search(" ".join(terms), k=k, mode="bm25")
-        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
-            rows["query_id"].append(qid)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(idmap[did])
-            rows["score_e6"].append(int(_round_half_away(
-                np.array([score * 1e6]))[0]))
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_e6": pa.array(rows["score_e6"], pa.int64()),
-    })
+        pairs.append((qid, list(reversed(res)), 1))
+    return _ranked_table(pairs, idmap)
 
 
 SQL_SEARCH_PRF = f"""
@@ -1316,25 +1296,14 @@ def q_search_page2(sf_dir: str, k: int = 10):
 
     index, idmap = _clean_index(sf_dir)
     eng = SearchEngine(index)
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    pairs = []
     for qid, q in _CLEAN_SEARCH_QUERIES:
         page1 = eng.search(q, k=k, mode="bm25")
         if not page1:
             continue
         res = eng.search(q, k=k, mode="bm25", search_after=page1[0])
-        for rank, (score, did, _ts) in enumerate(reversed(res),
-                                                 start=k + 1):
-            rows["query_id"].append(qid)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(idmap[did])
-            rows["score_e6"].append(int(_round_half_away(
-                np.array([score * 1e6]))[0]))
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_e6": pa.array(rows["score_e6"], pa.int64()),
-    })
+        pairs.append((qid, list(reversed(res)), k + 1))
+    return _ranked_table(pairs, idmap)
 
 
 SQL_SEARCH_PAGE2 = f"""
@@ -1381,21 +1350,10 @@ def q_search_boosted(sf_dir: str, k: int = 10):
     index, idmap = _clean_index(sf_dir)
     eng = SearchEngine(index)
     boosts = {t: float(w) for t, w in _QUERY_BOOSTS.items()}
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
-    for qid, q in _CLEAN_SEARCH_QUERIES:
-        res = eng.search(q, k=k, mode="bm25", boosts=boosts)
-        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
-            rows["query_id"].append(qid)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(idmap[did])
-            rows["score_e6"].append(int(_round_half_away(
-                np.array([score * 1e6]))[0]))
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_e6": pa.array(rows["score_e6"], pa.int64()),
-    })
+    return _ranked_table(
+        ((qid, list(reversed(eng.search(q, k=k, mode="bm25",
+                                        boosts=boosts))), 1)
+         for qid, q in _CLEAN_SEARCH_QUERIES), idmap)
 
 
 SQL_SEARCH_BOOSTED = f"""
@@ -1435,6 +1393,10 @@ def q_result_facets(sf_dir: str):
 
     index, idmap = _clean_index(sf_dir)
     eng = SearchEngine(index, preload_docmeta=False)
+    # one covering batched read for every term of every query (the
+    # engine's own prefetch convention) instead of per-term misses
+    eng.prefetch([t for _qid, q in _CLEAN_SEARCH_QUERIES
+                  for t in _clean_query_terms(q)])
     match_ids: dict[int, np.ndarray] = {}
     for qid, q in _CLEAN_SEARCH_QUERIES:
         parts = []
@@ -1528,21 +1490,10 @@ def q_search_synonyms(sf_dir: str, k: int = 10):
 
     index, idmap = _clean_index(sf_dir)
     eng = SearchEngine(index)
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
-    for qid, q in _CLEAN_SEARCH_QUERIES:
-        res = eng.search(q, k=k, mode="bm25", synonyms=_SYNONYMS)
-        for rank, (score, did, _ts) in enumerate(reversed(res), start=1):
-            rows["query_id"].append(qid)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(idmap[did])
-            rows["score_e6"].append(int(_round_half_away(
-                np.array([score * 1e6]))[0]))
-    return pa.table({
-        "query_id": pa.array(rows["query_id"], pa.int64()),
-        "rank": pa.array(rows["rank"], pa.int64()),
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "score_e6": pa.array(rows["score_e6"], pa.int64()),
-    })
+    return _ranked_table(
+        ((qid, list(reversed(eng.search(q, k=k, mode="bm25",
+                                        synonyms=_SYNONYMS))), 1)
+         for qid, q in _CLEAN_SEARCH_QUERIES), idmap)
 
 
 SQL_SEARCH_SYNONYMS = f"""

@@ -667,6 +667,12 @@ class SearchEngine:
         term is OR-expanded with its alternates at equal weight BEFORE
         retrieval — a pure query rewrite, so it composes with every
         other option and with every mode's own semantics."""
+        if mode != "bm25" and (ts_range is not None
+                               or search_after is not None
+                               or boosts is not None):
+            raise ValueError(
+                "ts_range/search_after/boosts are only supported in "
+                "bm25 mode")
         if k < 0:
             return []
         if k == 0:
@@ -680,17 +686,20 @@ class SearchEngine:
             query = [t if t in self.df_map
                      else (self.fuzzy_correct(t) or t) for t in query]
         if synonyms:
-            # order-preserving dedup: an alternate that is also a query
-            # term (or shared by two terms) counts once in every mode
-            query = list(dict.fromkeys(
-                x for t in query for x in (t, *synonyms.get(t, ()))))
+            # pure rewrite: original terms pass through UNTOUCHED
+            # (duplicates included — reference mode weights them);
+            # each alternate is inserted once, after its first term,
+            # unless it already occurs anywhere in the query
+            present = set(query)
+            expanded: list[str] = []
+            for t in query:
+                expanded.append(t)
+                for a in synonyms.get(t, ()):
+                    if a not in present:
+                        present.add(a)
+                        expanded.append(a)
+            query = expanded
         self.prefetch(query)
-        if mode != "bm25" and (ts_range is not None
-                               or search_after is not None
-                               or boosts is not None):
-            raise ValueError(
-                "ts_range/search_after/boosts are only supported in "
-                "bm25 mode")
         if mode == "reference":
             return self._search_reference(query, k)
         if mode == "bm25":

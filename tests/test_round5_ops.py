@@ -1522,10 +1522,10 @@ def test_search_after_pagination_laws(engine):
             pages.extend(reversed(res))
             cursor = res[0]                        # last hit of the page
         assert pages == want, q
-    # cursor past the end returns []
-    if want:
-        assert engine.search(q, k=7, mode="bm25",
-                             search_after=pages[-1]) == []
+        # cursor past the end returns []
+        if want:
+            assert engine.search(q, k=7, mode="bm25",
+                                 search_after=want[-1]) == [], q
 
 
 def test_search_after_composes_with_ts_range(engine):
@@ -1596,6 +1596,14 @@ def test_synonyms_equal_rewritten_query(engine):
     assert engine.search(q, k=10, mode="bm25",
                          synonyms={"covid": ["zzqqxv"]}) \
         == engine.search(q, k=10, mode="bm25")
+    # a synonyms map touching NO query term is an exact no-op in every
+    # mode — including reference mode with a REPEATED query term, whose
+    # duplicate weighting must survive the rewrite untouched
+    dup_q = "covid covid vaccine"
+    for mode in ("bm25", "reference", "bm25_wand"):
+        assert engine.search(dup_q, k=10, mode=mode,
+                             synonyms={"zzz": ["qqq"]}) \
+            == engine.search(dup_q, k=10, mode=mode), mode
 
 
 def test_synonyms_compose_with_boosts(engine):
