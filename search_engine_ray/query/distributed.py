@@ -248,9 +248,15 @@ class QueryShardActor:
 
     def search_local(self, query: list[str], k: int, mode: str,
                      df_map: dict[str, int],
-                     caps_orig: dict | None = None):
+                     caps_orig: dict | None = None,
+                     ts_range: tuple[int, int] | None = None,
+                     after: tuple[float, int, int] | None = None,
+                     boosts: dict[str, float] | None = None):
         """Local top-k over this actor's shards; returns (score, ts, id)
-        tuples (at most k)."""
+        tuples (at most k).  ``ts_range``/``after``/``boosts`` mirror
+        the in-process bm25 options (engine.py search): shards hold
+        disjoint docs, so applying the filters locally BEFORE the local
+        top-k keeps the merged global result exact."""
         from search_engine_ray.index.encoding import tf_norm
 
         cfg = self.cfg
@@ -270,14 +276,34 @@ class QueryShardActor:
                     continue
                 tn = tf_norm(p["tfs"], p["dls"].astype(np.float64),
                              self.avg_dl, cfg.bm25_k1, cfg.bm25_b)
+                w = boosts.get(t, 1.0) if boosts else 1.0
                 id_parts.append(p["doc_ids"])
-                contrib.append(idf(t) * tn)
+                # (idf*tn)*w association matches the in-process engine
+                # (_bm25_contrib caches idf*tn, then scales) — bit-exact
+                contrib.append((idf(t) * tn) * w if w != 1.0
+                               else idf(t) * tn)
             if not id_parts:
                 return []
             ids = np.concatenate(id_parts)
             contribs = np.concatenate(contrib)
             cand, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+            if ts_range is not None or after is not None:
+                pos, found = meta_positions(self._meta_ids, cand)
+                ts_all = self._meta_ts[pos] * found
+                m = np.ones(len(cand), bool)
+                if ts_range is not None:
+                    lo, hi = ts_range
+                    m &= found & (ts_all >= lo) & (ts_all <= hi)
+                if after is not None:
+                    a_score, a_id, a_ts = after
+                    m &= (scores < a_score) | (
+                        (scores == a_score)
+                        & ((ts_all < a_ts)
+                           | ((ts_all == a_ts) & (cand < a_id))))
+                if not m.any():
+                    return []
+                cand, scores = cand[m], scores[m]
         elif mode == "reference":
             Q = len(query)
             from search_engine_ray.glove import GloveCache
@@ -396,7 +422,21 @@ class DistributedSearchEngine:
         return self._fuzzy(term)
 
     def search(self, query_text: str, k: int = 10, mode: str = "bm25",
-               fuzzy: bool = False):
+               fuzzy: bool = False,
+               ts_range: tuple[int, int] | None = None,
+               search_after: tuple[float, int, int] | None = None,
+               boosts: dict[str, float] | None = None,
+               synonyms: dict[str, list[str]] | None = None):
+        """Same serving options as the in-process engine (engine.py
+        search): ts_range/search_after/boosts are bm25-only and applied
+        SHARD-LOCALLY before each actor's top-k (disjoint shards keep
+        the merge exact); synonyms is the same pure query rewrite."""
+        if mode != "bm25" and (ts_range is not None
+                               or search_after is not None
+                               or boosts is not None):
+            raise ValueError(
+                "ts_range/search_after/boosts are only supported in "
+                "bm25 mode")
         if k < 0:
             return []
         if k == 0:
@@ -409,6 +449,10 @@ class DistributedSearchEngine:
         if fuzzy:
             query = [t if t in self.df_map
                      else (self.fuzzy_correct(t) or t) for t in query]
+        if synonyms:
+            from search_engine_ray.query.engine import expand_synonyms
+
+            query = expand_synonyms(query, synonyms)
         if mode == "bool_and":
             return self._bool_fanout(query, [], k)
         if mode == "bool_or":
@@ -423,8 +467,12 @@ class DistributedSearchEngine:
             return ids[:k]
         # ship only the df entries the query needs (tiny broadcast)
         df_small, orig_small = self._ship_maps(query)
+        b_small = ({t: boosts[t] for t in dict.fromkeys(query)
+                    if t in boosts} or None) if boosts else None
         futures = [a.search_local.remote(query, k, mode, df_small,
-                                         orig_small)
+                                         orig_small, ts_range=ts_range,
+                                         after=search_after,
+                                         boosts=b_small)
                    for a in self.actors]
         merged = [t for part in ray.get(futures) for t in part]
         merged.sort(key=lambda t: (t[0], t[1], t[2]))  # (score, ts, id)

@@ -686,19 +686,7 @@ class SearchEngine:
             query = [t if t in self.df_map
                      else (self.fuzzy_correct(t) or t) for t in query]
         if synonyms:
-            # pure rewrite: original terms pass through UNTOUCHED
-            # (duplicates included — reference mode weights them);
-            # each alternate is inserted once, after its first term,
-            # unless it already occurs anywhere in the query
-            present = set(query)
-            expanded: list[str] = []
-            for t in query:
-                expanded.append(t)
-                for a in synonyms.get(t, ()):
-                    if a not in present:
-                        present.add(a)
-                        expanded.append(a)
-            query = expanded
+            query = expand_synonyms(query, synonyms)
         self.prefetch(query)
         if mode == "reference":
             return self._search_reference(query, k)
@@ -1107,6 +1095,25 @@ class SearchEngine:
             return []
         heap.sort()
         return [(float(sc), int(d), int(t)) for sc, t, d in heap]
+
+
+def expand_synonyms(query: list[str],
+                    synonyms: dict[str, list[str]]) -> list[str]:
+    """Pure query rewrite for query-time synonym expansion: original
+    terms pass through UNTOUCHED (duplicates included — reference mode
+    weights them); each alternate is inserted once, after its first
+    term, unless it already occurs anywhere in the query.  Shared by
+    the in-process and distributed engines so the rewrite cannot
+    diverge."""
+    present = set(query)
+    expanded: list[str] = []
+    for t in query:
+        expanded.append(t)
+        for a in synonyms.get(t, ()):
+            if a not in present:
+                present.add(a)
+                expanded.append(a)
+    return expanded
 
 
 def _topk_reference_order(scores: np.ndarray, doc_ids: np.ndarray,

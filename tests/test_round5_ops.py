@@ -1615,3 +1615,41 @@ def test_synonyms_compose_with_boosts(engine):
                         boosts={"covid": 2.0, "vaccine": 2.0})
     base = engine.search("covid vaccine", k=10, mode="bm25")
     assert got == [(s * 2, d, t) for s, d, t in base]
+
+
+# ---------------------------------------- distributed serving-option parity
+def test_distributed_serving_options_parity(engine, built_index):
+    """The distributed engine supports the same bm25 serving options as
+    the in-process engine — ts_range, search_after, boosts, synonyms —
+    with identical results (shard-local filters + exact merge)."""
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    dist = DistributedSearchEngine(built_index[0], num_actors=2)
+    q = "covid vaccine"
+    full = engine.search(q, k=0, mode="bm25")
+    tss = sorted(r[2] for r in full)
+    win = (tss[len(tss) // 4], tss[3 * len(tss) // 4])
+    terms, _, _ = engine.parser.parse_sentence(q)
+    boosts = {terms[0]: 3.0}
+    syn = {terms[0]: ["masks"]}
+
+    for kw in ({"ts_range": win},
+               {"boosts": boosts},
+               {"synonyms": syn},
+               {"ts_range": win, "boosts": boosts, "synonyms": syn}):
+        a = engine.search(q, k=10, mode="bm25", **kw)
+        b = dist.search(q, k=10, mode="bm25", **kw)
+        assert a == b, kw
+
+    # cursor paging stitches identically across both engines
+    page1 = engine.search(q, k=7, mode="bm25")
+    assert dist.search(q, k=7, mode="bm25") == page1
+    a2 = engine.search(q, k=7, mode="bm25", search_after=page1[0])
+    b2 = dist.search(q, k=7, mode="bm25", search_after=page1[0])
+    assert a2 == b2 and a2
+    # option guard matches the in-process contract
+    with pytest.raises(ValueError):
+        dist.search(q, k=5, mode="reference", boosts=boosts)
+    # synonyms allowed in non-scored modes too
+    assert dist.search(q, k=50, mode="bool_or", synonyms=syn) \
+        == engine.search(q, k=50, mode="bool_or", synonyms=syn)
