@@ -304,6 +304,9 @@ class QueryShardActor:
                 if not m.any():
                     return []
                 cand, scores = cand[m], scores[m]
+                # the tail's ts gather reuses this (same mechanism as
+                # reference mode) — no second searchsorted pass
+                meta_pos = (pos[m], found[m])
         elif mode == "reference":
             Q = len(query)
             from search_engine_ray.glove import GloveCache

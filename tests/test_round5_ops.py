@@ -1647,6 +1647,18 @@ def test_distributed_serving_options_parity(engine, built_index):
     a2 = engine.search(q, k=7, mode="bm25", search_after=page1[0])
     b2 = dist.search(q, k=7, mode="bm25", search_after=page1[0])
     assert a2 == b2 and a2
+    # cursor COMBINED with each other option (the composite mask path
+    # in search_local)
+    for kw in ({"ts_range": win}, {"boosts": boosts},
+               {"synonyms": syn},
+               {"ts_range": win, "boosts": boosts, "synonyms": syn}):
+        p1 = engine.search(q, k=4, mode="bm25", **kw)
+        assert dist.search(q, k=4, mode="bm25", **kw) == p1, kw
+        if not p1:
+            continue
+        a3 = engine.search(q, k=4, mode="bm25", search_after=p1[0], **kw)
+        b3 = dist.search(q, k=4, mode="bm25", search_after=p1[0], **kw)
+        assert a3 == b3, kw
     # option guard matches the in-process contract
     with pytest.raises(ValueError):
         dist.search(q, k=5, mode="reference", boosts=boosts)
