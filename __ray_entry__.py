@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "result_facets": sq.q_result_facets,
         "search_synonyms_top10": sq.q_search_synonyms,
         "did_you_mean": sq.q_did_you_mean,
+        "ranking_eval": sq.q_ranking_eval,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
@@ -537,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "result_facets": sq.SQL_RESULT_FACETS,
         "search_synonyms_top10": sq.SQL_SEARCH_SYNONYMS,
         "did_you_mean": sq.SQL_DID_YOU_MEAN,
+        "ranking_eval": sq.SQL_RANKING_EVAL,
         "dsir_logratio": sq.SQL_DSIR_LOGRATIO,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,

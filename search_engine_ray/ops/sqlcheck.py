@@ -1582,6 +1582,102 @@ LEFT JOIN best b ON b.query_id = q.query_id AND b.pos = q.pos
 """.replace("{QTOK}", _dym_qtok_values())
 
 
+def q_ranking_eval(sf_dir: str, k: int = 10):
+    """Ranking-quality evaluation of the engine's own BM25 top-k (the
+    offline relevance harness of a search team): gold grade of a doc =
+    number of DISTINCT dictionary query terms it contains (straight off
+    the posting lists); relevant = grade >= min(2, known terms), so
+    multi-term queries demand co-occurrence.  Integer-exact metrics per
+    query so the SQL mirror hashes identically: ``n_results``,
+    ``graded_p10`` (grade sum over the top-k), ``mrr_e6``
+    (round(1e6 / first relevant rank), 0 if none), ``recall10_e6``
+    (round(1e6 * relevant-in-top-k / total relevant))."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    eng.prefetch([t for _qid, q in _CLEAN_SEARCH_QUERIES
+                  for t in _clean_query_terms(q)])
+    rows = {"query_id": [], "n_results": [], "graded_p10": [],
+            "mrr_e6": [], "recall10_e6": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        terms = [t for t in _clean_query_terms(q) if t in eng.df_map]
+        plists = {t: eng.postings(t)["doc_ids"] for t in terms}
+        if not plists:
+            continue
+        thr = min(2, len(plists))
+        _ids, counts = np.unique(
+            np.concatenate(list(plists.values())), return_counts=True)
+        total_rel = int((counts >= thr).sum())
+        res = list(reversed(eng.search(q, k=k, mode="bm25")))
+        grades = [sum(1 for ids in plists.values()
+                      if ids[np.searchsorted(ids, did) % len(ids)] == did)
+                  for (_s, did, _ts) in res]
+        rel_ranks = [r for r, g in enumerate(grades, start=1)
+                     if g >= thr]
+        mrr = (int(_round_half_away(
+            np.array([1e6 / rel_ranks[0]]))[0]) if rel_ranks else 0)
+        recall = (int(_round_half_away(
+            np.array([1e6 * len(rel_ranks) / total_rel]))[0])
+            if total_rel else 0)
+        rows["query_id"].append(qid)
+        rows["n_results"].append(len(res))
+        rows["graded_p10"].append(sum(grades))
+        rows["mrr_e6"].append(mrr)
+        rows["recall10_e6"].append(recall)
+    return pa.table({k_: pa.array(v, pa.int64())
+                     for k_, v in rows.items()})
+
+
+SQL_RANKING_EVAL = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+known AS (SELECT q.query_id, q.term FROM qterms q
+          JOIN df ON df.term = q.term),
+thr AS (SELECT query_id, least(2, count(*)) AS thr FROM known
+        GROUP BY query_id),
+-- gold grades: distinct known query terms contained per (query, doc)
+grade AS (SELECT k.query_id, t.doc_id,
+                 count(DISTINCT k.term) AS g
+          FROM known k JOIN toks t ON t.term = k.term
+          GROUP BY k.query_id, t.doc_id),
+total_rel AS (SELECT g.query_id, count(*) AS n
+              FROM grade g JOIN thr ON thr.query_id = g.query_id
+              WHERE g.g >= thr.thr GROUP BY g.query_id),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+topk AS (SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id DESC) AS rank
+    FROM scored) WHERE rank <= 10),
+judged AS (SELECT t.query_id, t.rank, g.g, th.thr
+           FROM topk t
+           JOIN grade g ON g.query_id = t.query_id
+                       AND g.doc_id = t.doc_id
+           JOIN thr th ON th.query_id = t.query_id)
+SELECT j.query_id,
+       count(*) AS n_results,
+       sum(j.g)::BIGINT AS graded_p10,
+       coalesce(round(1000000.0
+                      / min(j.rank) FILTER (WHERE j.g >= j.thr)), 0)
+           ::BIGINT AS mrr_e6,
+       coalesce(round(1000000.0 * (count(*) FILTER (WHERE j.g >= j.thr))
+                      / nullif(any_value(r.n), 0)), 0)
+           ::BIGINT AS recall10_e6
+FROM judged j
+LEFT JOIN total_rel r ON r.query_id = j.query_id
+GROUP BY j.query_id
+""".replace("{QTERMS}", _clean_qterms_values())
+
+
 # -------------------------------------------------------------- lang-id SQL
 def q_langid_pred(sf_dir: str):
     import ray.data
