@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_synonyms_top10": sq.q_search_synonyms,
         "did_you_mean": sq.q_did_you_mean,
         "ranking_eval": sq.q_ranking_eval,
+        "date_histogram": sq.q_date_histogram,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
@@ -539,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "search_synonyms_top10": sq.SQL_SEARCH_SYNONYMS,
         "did_you_mean": sq.SQL_DID_YOU_MEAN,
         "ranking_eval": sq.SQL_RANKING_EVAL,
+        "date_histogram": sq.SQL_DATE_HISTOGRAM,
         "dsir_logratio": sq.SQL_DSIR_LOGRATIO,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,

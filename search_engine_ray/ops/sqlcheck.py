@@ -1582,6 +1582,67 @@ LEFT JOIN best b ON b.query_id = q.query_id AND b.pos = q.pos
 """.replace("{QTOK}", _dym_qtok_values())
 
 
+def q_date_histogram(sf_dir: str):
+    """Date-histogram facet over the MATCH SET (the Kibana timeline):
+    per query, matching-doc counts bucketed by MINUTE of the docmeta
+    timestamp (the adapter's synthetic clock spans minutes at check
+    scale; the bucket constant is the only thing a day/hour variant
+    changes).  Match ids come off the posting lists (boolean OR over
+    dictionary terms), buckets from the engine's own mmap docmeta ts —
+    the real serving metadata, not a corpus rescan; output is
+    dimension-sized (queries x distinct buckets)."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, _ = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    eng.prefetch([t for _qid, q in _CLEAN_SEARCH_QUERIES
+                  for t in _clean_query_terms(q)])
+    bucket_us = 60_000_000
+    rows = {"query_id": [], "bucket": [], "n_docs": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        parts = [eng.postings(t)["doc_ids"]
+                 for t in _clean_query_terms(q)
+                 if t in eng.df_map]
+        if not parts:
+            continue
+        hashed = np.unique(np.concatenate(parts))
+        pos, found = eng._meta_for(hashed)
+        ts = eng._meta["ts"][pos][found]
+        buckets, counts = np.unique(ts // bucket_us, return_counts=True)
+        for b, n in zip(buckets, counts):
+            rows["query_id"].append(qid)
+            rows["bucket"].append(int(b))
+            rows["n_docs"].append(int(n))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "bucket": pa.array(rows["bucket"], pa.int64()),
+        "n_docs": pa.array(rows["n_docs"], pa.int64()),
+    })
+
+
+# the adapter maps warc_ts = _BASE_TS_US + doc_id seconds (adapters.py),
+# so the SQL mirror derives the same epoch-day bucket from doc_id
+_BASE_TS_US_SQL = "1595808000000000"  # adapters._BASE_TS_US
+
+SQL_DATE_HISTOGRAM = f"""
+WITH kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
+docs AS (SELECT doc_id, toks FROM kept WHERE len(toks) > 0),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term FROM toks GROUP BY term
+       HAVING count(DISTINCT doc_id) >= 2),
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+matched AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM qterms q
+            JOIN df ON df.term = q.term
+            JOIN toks t ON t.term = q.term)
+SELECT query_id,
+       (({_BASE_TS_US_SQL} + doc_id * 1000000) // 60000000) AS bucket,
+       count(*) AS n_docs
+FROM matched
+GROUP BY query_id, bucket
+""".replace("{QTERMS}", _clean_qterms_values())
+
+
 def q_ranking_eval(sf_dir: str, k: int = 10):
     """Ranking-quality evaluation of the engine's own BM25 top-k (the
     offline relevance harness of a search team): gold grade of a doc =
