@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "did_you_mean": sq.q_did_you_mean,
         "ranking_eval": sq.q_ranking_eval,
         "date_histogram": sq.q_date_histogram,
+        "search_nrt_top10": sq.q_search_nrt,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
@@ -541,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "did_you_mean": sq.SQL_DID_YOU_MEAN,
         "ranking_eval": sq.SQL_RANKING_EVAL,
         "date_histogram": sq.SQL_DATE_HISTOGRAM,
+        "search_nrt_top10": sq.SQL_SEARCH_NRT,
         "dsir_logratio": sq.SQL_DSIR_LOGRATIO,
         "token_budget_mix": sq.SQL_TOKEN_BUDGET_MIX,
         "retention_cohorts": sq.SQL_RETENTION_COHORTS,

@@ -1582,6 +1582,92 @@ LEFT JOIN best b ON b.query_id = q.query_id AND b.pos = q.pos
 """.replace("{QTOK}", _dym_qtok_values())
 
 
+_NRT_CACHE: dict[str, tuple] = {}
+
+
+def _nrt_engine(sf_dir: str):
+    """NRT fixture: base index over 80% of the cleaned corpus
+    (doc_id % 5 != 0, prune_df1=False for delta-stable dict verdicts),
+    the held-out 20% added through NrtSearchEngine.add_pages — the
+    combined view must equal full-corpus BM25 exactly."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.index.build import build_index
+    from search_engine_ray.query.nrt import NrtSearchEngine
+
+    key = os.path.abspath(sf_dir)
+    if key in _NRT_CACHE:
+        return _NRT_CACHE[key]
+    idx_full, idmap = _clean_index(sf_dir)
+    base = os.path.dirname(idx_full)
+    pages = pads.dataset(os.path.join(base, "pages")).to_table(
+        columns=["url", "warc_ts", "html", "text", "lang"])
+    orig = np.array([int(u.rsplit("/", 1)[-1])
+                     for u in pages.column("url").to_pylist()])
+    mask = pa.array(orig % 5 != 0)
+    base_pages_dir = os.path.join(base, "nrt_base_pages")
+    nrt_idx = os.path.join(base, "nrt_base_index")
+    if not os.path.exists(os.path.join(base_pages_dir, "_DONE")):
+        os.makedirs(base_pages_dir, exist_ok=True)
+        pq.write_table(pages.filter(mask),
+                       os.path.join(base_pages_dir, "p.parquet"))
+        open(os.path.join(base_pages_dir, "_DONE"), "w").close()
+    build_index(base_pages_dir, nrt_idx,
+                EngineConfig(tokenizer="simple", harvest_page_url=False,
+                             prune_df1=False))
+    eng = NrtSearchEngine(nrt_idx)
+    delta = pages.filter(pa.compute.invert(mask))
+    eng.add_pages(zip(delta.column("url").to_pylist(),
+                      [x.value for x in delta.column("warc_ts")],
+                      delta.column("text").to_pylist()))
+    _NRT_CACHE[key] = (eng, idmap)
+    return eng, idmap
+
+
+def q_search_nrt(sf_dir: str, k: int = 10):
+    """Near-real-time serving (query/nrt.py): BM25 top-k where 20% of
+    the corpus lives ONLY in the in-memory NRT segment — base+segment
+    scored with combined corpus statistics, so the result equals
+    full-corpus BM25 (the SQL mirror, no df-prune) exactly."""
+    eng, idmap = _nrt_engine(sf_dir)
+    return _ranked_table(
+        ((qid, list(reversed(eng.search(q, k=k))), 1)
+         for qid, q in _CLEAN_SEARCH_QUERIES), idmap)
+
+
+# same BM25 mirror as SQL_SEARCH_BM25_CLEAN but WITHOUT the df>=2
+# prune (the NRT fixture runs prune_df1=False so segment adds can
+# never resurrect a pruned base posting)
+SQL_SEARCH_NRT = f"""
+WITH kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
+docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
+stats AS (SELECT count(*) AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         {_BM25_C_EXPR} AS c
+  FROM qterms q
+  JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term
+  JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+""".replace("{QTERMS}", _clean_qterms_values())
+
+
 def q_date_histogram(sf_dir: str):
     """Date-histogram facet over the MATCH SET (the Kibana timeline):
     per query, matching-doc counts bucketed by MINUTE of the docmeta

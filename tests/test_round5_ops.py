@@ -1665,3 +1665,88 @@ def test_distributed_serving_options_parity(engine, built_index):
     # synonyms allowed in non-scored modes too
     assert dist.search(q, k=50, mode="bool_or", synonyms=syn) \
         == engine.search(q, k=50, mode="bool_or", synonyms=syn)
+
+
+# ------------------------------------------------------------- NRT serving
+@pytest.fixture(scope="module")
+def nrt_setup(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import EngineConfig
+    from search_engine_ray.fixtures import gen_pages
+    from search_engine_ray.index.build import build_index
+
+    root = tmp_path_factory.mktemp("nrt")
+    cfg = EngineConfig(tokenizer="simple", harvest_page_url=False,
+                       prune_df1=False)
+    d1 = root / "p_base"; d1.mkdir()
+    pq.write_table(gen_pages(300), str(d1 / "p.parquet"))
+    d2 = root / "p_all"; d2.mkdir()
+    pq.write_table(gen_pages(300), str(d2 / "a.parquet"))
+    pq.write_table(gen_pages(60, start=300), str(d2 / "b.parquet"))
+    base_idx = str(root / "idx_base"); all_idx = str(root / "idx_all")
+    build_index(str(d1), base_idx, cfg)
+    build_index(str(d2), all_idx, cfg)
+    return root, base_idx, all_idx
+
+
+def test_nrt_equals_rebuild_exactly(nrt_setup):
+    """The NRT law: base index + in-memory segment scored with combined
+    corpus statistics == a full rebuild over base+delta, bit-exact
+    (scores, ts, ids), for every fixture query."""
+    from search_engine_ray.fixtures import gen_pages, gen_queries
+    from search_engine_ray.query.engine import SearchEngine
+    from search_engine_ray.query.nrt import NrtSearchEngine
+
+    _root, base_idx, all_idx = nrt_setup
+    nrt = NrtSearchEngine(base_idx)
+    assert nrt.add_pages(gen_pages(60, start=300)) == 60
+    rebuilt = SearchEngine(all_idx)
+    for q in gen_queries():
+        assert nrt.search(q, k=10) == rebuilt.search(q, k=10,
+                                                     mode="bm25"), q
+    # full-list law too (k=0 quirk)
+    q = "covid vaccine"
+    assert nrt.search(q, k=0) == rebuilt.search(q, k=0, mode="bm25")
+    # segment docs are genuinely served (a seg-only doc can rank)
+    seg_ids = set(nrt._segment()[2])
+    full = nrt.search(q, k=0)
+    assert any(d in seg_ids for _s, d, _t in full)
+
+
+def test_nrt_empty_segment_equals_base(nrt_setup):
+    from search_engine_ray.fixtures import gen_queries
+    from search_engine_ray.query.engine import SearchEngine
+    from search_engine_ray.query.nrt import NrtSearchEngine
+
+    _root, base_idx, _all_idx = nrt_setup
+    nrt = NrtSearchEngine(base_idx)
+    be = SearchEngine(base_idx)
+    for q in gen_queries()[:5]:
+        assert nrt.search(q, k=10) == be.search(q, k=10, mode="bm25")
+
+
+def test_nrt_flush_persists_and_rejects_dups(nrt_setup, tmp_path):
+    from search_engine_ray.fixtures import gen_pages, gen_queries
+    from search_engine_ray.query.engine import SearchEngine
+    from search_engine_ray.query.nrt import NrtSearchEngine
+
+    _root, base_idx, _all_idx = nrt_setup
+    nrt = NrtSearchEngine(base_idx)
+    nrt.add_pages(gen_pages(60, start=300))
+    pre = {q: nrt.search(q, k=10) for q in gen_queries()[:5]}
+    merged = nrt.flush(str(tmp_path / "flush"))
+    assert nrt.segment_docs == 0
+    eng = SearchEngine(merged)
+    for q, want in pre.items():
+        assert eng.search(q, k=10, mode="bm25") == want, q
+    # a url in the base index is rejected; so is a url in the segment
+    nrt2 = NrtSearchEngine(base_idx)
+    with pytest.raises(ValueError):
+        nrt2.add_pages(gen_pages(2))
+    nrt2.add_pages(gen_pages(2, start=400))
+    with pytest.raises(ValueError):
+        nrt2.add_pages(gen_pages(2, start=400))
+    # flush with empty segment is a no-op returning the base dir
+    assert NrtSearchEngine(base_idx).flush(str(tmp_path / "f2")) \
+        == base_idx
