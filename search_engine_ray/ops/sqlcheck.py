@@ -1051,14 +1051,22 @@ SQL_SEARCH_BM25_CLEAN = SQL_SEARCH_BM25_CLEAN.replace(
 # Time-filtered search, more-like-this, and pseudo-relevance feedback all
 # reuse the clean-index BM25 mirror; the shared CTE prefix and contrib
 # expression are factored once so the scorer cannot diverge between them.
-_BM25_CORE_CTES = f"""kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
+def _bm25_core_ctes(prune_df1: bool = True) -> str:
+    """ONE source for the clean-BM25 CTE prefix across every mirror
+    (the scorer cannot diverge between them); ``prune_df1=False`` drops
+    only the df>=2 HAVING — the NRT mirror's no-prune config."""
+    having = (" HAVING count(DISTINCT doc_id) >= 2" if prune_df1 else "")
+    return f"""kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
 docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
 stats AS (SELECT count(*) AS n_docs,
                  sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
 toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
 df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
-       GROUP BY term HAVING count(DISTINCT doc_id) >= 2),
+       GROUP BY term{having}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)"""
+
+
+_BM25_CORE_CTES = _bm25_core_ctes(True)
 
 _BM25_C_EXPR = """log10(stats.n_docs / df.df) * tf.tf * (1.2 + 1)
          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl))"""
@@ -1618,10 +1626,8 @@ def _nrt_engine(sf_dir: str):
                 EngineConfig(tokenizer="simple", harvest_page_url=False,
                              prune_df1=False))
     eng = NrtSearchEngine(nrt_idx)
-    delta = pages.filter(pa.compute.invert(mask))
-    eng.add_pages(zip(delta.column("url").to_pylist(),
-                      [x.value for x in delta.column("warc_ts")],
-                      delta.column("text").to_pylist()))
+    # exercise the API's own Arrow-table ingest path, not a hand zip
+    eng.add_pages(pages.filter(pa.compute.invert(mask)))
     _NRT_CACHE[key] = (eng, idmap)
     return eng, idmap
 
@@ -1637,17 +1643,11 @@ def q_search_nrt(sf_dir: str, k: int = 10):
          for qid, q in _CLEAN_SEARCH_QUERIES), idmap)
 
 
-# same BM25 mirror as SQL_SEARCH_BM25_CLEAN but WITHOUT the df>=2
-# prune (the NRT fixture runs prune_df1=False so segment adds can
-# never resurrect a pruned base posting)
+# same BM25 mirror as SQL_SEARCH_BM25_CLEAN but over the no-prune core
+# CTEs (the NRT fixture runs prune_df1=False so segment adds can never
+# resurrect a pruned base posting)
 SQL_SEARCH_NRT = f"""
-WITH kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
-docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
-stats AS (SELECT count(*) AS n_docs,
-                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
-toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+WITH {_bm25_core_ctes(False)},
 qterms(query_id, term) AS (VALUES {{QTERMS}}),
 contrib AS (
   SELECT q.query_id, tf.doc_id,

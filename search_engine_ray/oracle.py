@@ -118,8 +118,15 @@ class OracleIndex:
         self.finalize()
         return self
 
-    def finalize(self):
-        """Apply the reference's merge-time rules (indexer.py:156-169)."""
+    def finalized_rules(self, prune_df1: bool):
+        """The reference's merge-time rules (indexer.py:156-169) applied
+        WITHOUT mutating the accumulator: (term -> doc-sorted plist,
+        term -> df).  ``prune_df1`` is a parameter (not read from
+        config) because the NRT segment (query/nrt.py) must defer the
+        df==1 prune to the COMBINED base+segment df; ``finalize`` passes
+        the config value.  The prune runs inside the loop, per ORIG
+        term, so a pruned orig can never displace an earlier rewrite
+        winner (the reference's exact insert-order semantics)."""
         final_postings: dict[str, list[tuple]] = {}
         final_df: dict[str, int] = {}
         for term in sorted(self.postings):
@@ -129,12 +136,16 @@ class OracleIndex:
                 continue
             if self.global_capitals.get(term, False):
                 out_term = term.upper()
-            if self.config.prune_df1 and self.df[term] == 1:
+            if prune_df1 and self.df[term] == 1:
                 continue
             final_postings[out_term] = plist
             final_df[out_term] = self.df[term]
-        self.postings = final_postings
-        self.df = final_df
+        return final_postings, final_df
+
+    def finalize(self):
+        """Apply the reference's merge-time rules (indexer.py:156-169)."""
+        self.postings, self.df = self.finalized_rules(
+            self.config.prune_df1)
         self.avg_dl = self.sum_dl / self.n_docs if self.n_docs else 0.0
 
     def build(self, pages) -> "OracleIndex":

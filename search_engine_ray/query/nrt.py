@@ -76,16 +76,25 @@ class NrtSearchEngine:
             pages = zip(pages.column("url").to_pylist(),
                         [x.value for x in pages.column("warc_ts")],
                         pages.column("text").to_pylist())
-        added = 0
-        for url, ts, text in pages:
+        # validate the WHOLE batch before mutating anything: a dup-url
+        # reject must leave the engine exactly as it was (no
+        # half-applied batch, no stale cached view)
+        batch = [(url, int(ts), text) for url, ts, text in pages]
+        seen: set[int] = set()
+        for url, _ts, _text in batch:
             did = doc_id_for_url(url)
             _pos, found = self.base._meta_for(np.array([did], np.int64))
-            if bool(found[0]) or did in self._raw.doc_meta:
+            if bool(found[0]) or did in self._raw.doc_meta or did in seen:
                 raise ValueError(f"url already indexed: {url!r}")
-            if self._raw.add_page(url, int(ts), text):
-                self._pages.append((url, int(ts), text))
-                added += 1
-        self._view = None
+            seen.add(did)
+        added = 0
+        try:
+            for url, ts, text in batch:
+                if self._raw.add_page(url, ts, text):
+                    self._pages.append((url, ts, text))
+                    added += 1
+        finally:
+            self._view = None
         return added
 
     # ----------------------------------------------------------- segment
@@ -98,20 +107,17 @@ class NrtSearchEngine:
         if self._view is not None:
             return self._view
         o = self._raw
+        # the oracle's own non-mutating rules pass (prune deferred to
+        # the combined df — search applies it) so the segment can never
+        # drift from the build semantics it mirrors
+        fpost, df = o.finalized_rules(prune_df1=False)
         post: dict[str, tuple] = {}
-        df: dict[str, int] = {}
-        for term in sorted(o.postings):
-            if term in o.entities and o.entities[term] < 2:
-                continue
-            out = (term.upper()
-                   if o.global_capitals.get(term, False) else term)
-            pl = sorted(o.postings[term], key=lambda t: t[0])
-            post[out] = (
+        for term, pl in fpost.items():
+            post[term] = (
                 np.array([p[0] for p in pl], np.int64),
                 np.array([p[4] for p in pl], np.int64),
                 np.array([p[1] for p in pl], np.int64),
             )
-            df[out] = o.df[term]
         seg_ts = {d: int(m[1]) for d, m in o.doc_meta.items()}
         self._view = (post, df, seg_ts)
         return self._view
@@ -177,8 +183,11 @@ class NrtSearchEngine:
     def flush(self, work_dir: str) -> str:
         """Persist the segment through the build's own pipeline and fold
         it into the base via index/merge.py (no re-parse of the base
-        corpus); returns the merged index dir and clears the segment.
-        ``work_dir`` receives pages/, delta/ and merged/ subdirs."""
+        corpus); returns the merged index dir.  The engine REPOINTS to
+        the merged index and clears the segment, so serving continues
+        seamlessly over the same documents (the Lucene NRT-commit
+        contract) and flushed urls stay dup-protected.  ``work_dir``
+        receives pages/, delta/ and merged/ subdirs."""
         import os
 
         import pyarrow as pa
@@ -207,6 +216,10 @@ class NrtSearchEngine:
         }), os.path.join(pages_dir, "segment.parquet"))
         build_index(pages_dir, delta_dir, self.base.cfg)
         merge_indexes([self.out_dir, delta_dir], merged_dir)
+        self.base = SearchEngine(merged_dir)
+        self.out_dir = merged_dir
+        self._base_sum_dl = int(
+            mf.read_manifest(merged_dir)["sum_doc_length"])
         self._raw = OracleIndex(self.base.cfg)
         self._pages = []
         self._view = None

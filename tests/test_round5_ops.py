@@ -1740,6 +1740,12 @@ def test_nrt_flush_persists_and_rejects_dups(nrt_setup, tmp_path):
     eng = SearchEngine(merged)
     for q, want in pre.items():
         assert eng.search(q, k=10, mode="bm25") == want, q
+        # the NRT engine REPOINTED to the merged index: flushed docs
+        # keep serving through the same object (Lucene commit contract)
+        assert nrt.search(q, k=10) == want, q
+    # a flushed url stays dup-protected after the repoint
+    with pytest.raises(ValueError):
+        nrt.add_pages(gen_pages(2, start=300))
     # a url in the base index is rejected; so is a url in the segment
     nrt2 = NrtSearchEngine(base_idx)
     with pytest.raises(ValueError):
@@ -1750,3 +1756,33 @@ def test_nrt_flush_persists_and_rejects_dups(nrt_setup, tmp_path):
     # flush with empty segment is a no-op returning the base dir
     assert NrtSearchEngine(base_idx).flush(str(tmp_path / "f2")) \
         == base_idx
+
+
+def test_nrt_add_pages_batch_is_atomic(nrt_setup):
+    """A batch containing ANY duplicate url must leave the engine
+    exactly as it was — no half-applied docs, no stale cached view."""
+    from search_engine_ray.fixtures import gen_pages, gen_queries
+    from search_engine_ray.query.nrt import NrtSearchEngine
+
+    _root, base_idx, _all_idx = nrt_setup
+    nrt = NrtSearchEngine(base_idx)
+    nrt.add_pages(gen_pages(10, start=300))
+    q = gen_queries()[0]
+    before = nrt.search(q, k=10)
+    n_before = nrt.segment_docs
+    import pyarrow as pa
+
+    good = gen_pages(12, start=310)
+    dup = gen_pages(1, start=305)     # already in the segment
+    bad_batch = pa.concat_tables([good, dup])
+    with pytest.raises(ValueError):
+        nrt.add_pages(bad_batch)
+    assert nrt.segment_docs == n_before
+    assert nrt.search(q, k=10) == before
+    # an intra-batch duplicate is rejected too
+    twice = pa.concat_tables([gen_pages(1, start=350),
+                              gen_pages(1, start=350)])
+    with pytest.raises(ValueError):
+        nrt.add_pages(twice)
+    # the good rows are still addable afterwards (nothing half-applied)
+    assert nrt.add_pages(good) == 12
