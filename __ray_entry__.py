@@ -288,9 +288,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # local_supplier_volume) are shape-redundant with the four
         # remaining in-cap TPC-H join-aggregate rows and moved below.
         "prefix_search": sq.q_prefix_search,
-        "fuzzy_terms": sq.q_fuzzy_terms,
+        # NRT serving and the ranking-eval harness rotated IN this
+        # round (genuinely new architecture/metric families); the two
+        # rows they displaced are each shape-redundant with an in-cap
+        # sibling (fuzzy_terms shares prefix_search's dict-scan gate,
+        # facet_counts shares result_facets'/doc_snippets' scan shapes)
+        # and moved just below the cap.
+        "search_nrt_top10": sq.q_search_nrt,
+        "ranking_eval": sq.q_ranking_eval,
         "doc_snippets": sq.q_doc_snippets,
-        "facet_counts": sq.q_facet_counts,
         # retrieval fusion tier (round 5, new family): dense+sparse RRF
         # and per-source diversified serving over the SQL-checked BM25
         # path.  These and the dup-passage/DSIR/cluster-size rows above
@@ -337,9 +343,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "result_facets": sq.q_result_facets,
         "search_synonyms_top10": sq.q_search_synonyms,
         "did_you_mean": sq.q_did_you_mean,
-        "ranking_eval": sq.q_ranking_eval,
         "date_histogram": sq.q_date_histogram,
-        "search_nrt_top10": sq.q_search_nrt,
+        # displaced below the cap by search_nrt_top10 / ranking_eval
+        # (see the in-cap comment)
+        "fuzzy_terms": sq.q_fuzzy_terms,
+        "facet_counts": sq.q_facet_counts,
         "prefix_dup_groups": sq.q_prefix_dup_groups,
         "tpch_idle_rich_customers": sq.q_idle_rich_customers,
         "doc_salient_term": sq.q_doc_salient_term,
