@@ -279,7 +279,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase_match scan; its values are re-checked by
         # proximity_match_indexed below).
         "click_pagerank": sq.q_click_pagerank,
-        "phrase_match_indexed": sq.q_phrase_match_indexed,
+        # quoted-phrase ranked search (round 5): '"exact phrase" rest'
+        # queries — positional phrase gate BEFORE the BM25 top-k
+        # boundary.  Strictly exercises phrase_match_indexed's
+        # positional kernel (same position() mirror family) plus the
+        # ranked composition, so that row moves just below the cap.
+        "search_phrase_ranked": sq.q_search_phrase_ranked,
         "proximity_match_indexed": sq.q_proximity_match_indexed,
         # fulltext serving tier (round 5): prefix / fuzzy lookups over
         # the distributed index-dictionary scan, KWIC snippets, facet
@@ -307,7 +312,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source_quality_centroids, length_percentile_filter ~
         # source_quality_gate, dup_ngram_fraction ~ dup_passages).
         "hybrid_text_vector_top10": sq.q_hybrid_text_vector,
-        "bm25_diversified_top10": sq.q_bm25_diversified,
+        # champion-list tiered retrieval (round 5): per-term top-m-by-tf
+        # candidate pruning (IIR §7.1), deterministic champion rule so
+        # the approximation itself is value-hash-checked.  Displaces
+        # bm25_diversified_top10 (a QUALIFY-window composition over the
+        # same shared BM25 CTE as the in-cap hybrid rows; moved below).
+        "search_tiered_top10": sq.q_search_tiered,
         # --- SQL-checked but past the driver's ~50-row record cap (still
         # run by the local mirror tests/test_entry.py): each row below is
         # shape-redundant with an in-cap sibling (quality_filter ~
@@ -334,6 +344,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced below the cap this round by the contextual
         # retrieval tier (see comment there)
         "near_dup_cluster_sizes": sq.q_near_dup_cluster_sizes,
+        "bm25_diversified_top10": sq.q_bm25_diversified,
+        "phrase_match_indexed": sq.q_phrase_match_indexed,
+        # total-hit counts (track_total_hits): posting-set shape gated
+        # in-cap by search_bool_and_clean
+        "search_hit_counts": sq.q_search_hit_counts,
         "tpch_market_share": sq.q_market_share,
         "strip_dup_passages": sq.q_strip_dup_passages,
         # round-5 serving additions sharing the in-cap clean-BM25 gate:
@@ -562,6 +577,9 @@ def oracle_sql() -> dict[str, str]:
         "proximity_match": sq.SQL_PROXIMITY_MATCH,
         "phrase_match_indexed": sq.SQL_PHRASE_MATCH,
         "proximity_match_indexed": sq.SQL_PROXIMITY_MATCH,
+        "search_phrase_ranked": sq.SQL_SEARCH_PHRASE_RANKED,
+        "search_tiered_top10": sq.SQL_SEARCH_TIERED,
+        "search_hit_counts": sq.SQL_SEARCH_HIT_COUNTS,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

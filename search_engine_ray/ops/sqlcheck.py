@@ -4027,3 +4027,204 @@ UNION ALL
 SELECT doc_id, CAST(3 AS BIGINT) FROM t
 WHERE position(' zzznope ' IN j) > 0
 """
+
+
+# ---------------------------------------------- quoted-phrase ranked search
+# Lucene's `"exact phrase" rest` query shape: every result doc must
+# contain each double-quoted span as an exact token sequence (served
+# from the POSITIONAL postings — phrase_docs, no corpus scan); scoring
+# stays plain BM25 over ALL query terms (quoted words score too), so a
+# doc's score is filter-invariant (same convention as ts_range).  Runs
+# over the raw-token positional index (prune_df1=False), so the mirror
+# is the no-prune raw-token BM25 CTE + a position() phrase gate.
+_PHRASE_RANKED_QUERIES = [
+    (0, '"query scan" table'),
+    (1, '"spark data"'),
+    (2, '"data" "table scan"'),     # two phrases -> intersection
+    (3, '"zzznope query" spark'),   # absent phrase -> no rows
+]
+
+
+def q_search_phrase_ranked(sf_dir: str, k: int = 10):
+    """Quoted-phrase ranked search through the REAL engine (positional
+    posting decode, packed-key phrase kernel, BM25 TAAT, (score, ts,
+    id) ranking); SQL-checked."""
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.query.engine import parse_quoted_query
+
+    eng, idmap = positional_index(sf_dir)
+    pairs = []
+    for qid, q in _PHRASE_RANKED_QUERIES:
+        text, phrases = parse_quoted_query(q)
+        res = eng.search(text, k=k, mode="bm25", phrases=phrases)
+        pairs.append((qid, list(reversed(res)), 1))
+    return _ranked_table(pairs, idmap)
+
+
+def _phrase_ranked_qterms_values() -> str:
+    from search_engine_ray.query.engine import parse_quoted_query
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    vals = []
+    for qid, q in _PHRASE_RANKED_QUERIES:
+        text, _ = parse_quoted_query(q)
+        for t in dict.fromkeys(simple_tokenize(text)):
+            vals.append(f"({qid}, '{t}')")
+    return ", ".join(vals)
+
+
+def _phrase_ranked_qphrase_values() -> str:
+    from search_engine_ray.query.engine import parse_quoted_query
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    vals = []
+    for qid, q in _PHRASE_RANKED_QUERIES:
+        _, phrases = parse_quoted_query(q)
+        for ph in phrases:
+            joined = " ".join(simple_tokenize(ph))
+            vals.append(f"({qid}, ' {joined} ')")
+    return ", ".join(vals)
+
+
+SQL_SEARCH_PHRASE_RANKED = f"""
+WITH kept AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
+stats AS (SELECT count(*) AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+qphrase(query_id, ph) AS (VALUES {{QPHRASES}}),
+nph AS (SELECT query_id, count(*) AS n FROM qphrase GROUP BY query_id),
+hit AS (SELECT p.query_id, d.doc_id
+        FROM qphrase p JOIN docs d
+        ON position(p.ph IN ' ' || array_to_string(d.toks, ' ') || ' ') > 0),
+mtch AS (SELECT h.query_id, h.doc_id
+         FROM hit h JOIN nph USING (query_id)
+         GROUP BY h.query_id, h.doc_id, nph.n HAVING count(*) = nph.n),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         log10(stats.n_docs / df.df) * tf.tf * (1.2 + 1)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS c
+  FROM qterms q JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT c.query_id, c.doc_id, sum(c.c) AS score
+           FROM contrib c JOIN mtch m
+           ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+           GROUP BY c.query_id, c.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_PHRASE_RANKED = (SQL_SEARCH_PHRASE_RANKED
+                            .replace("{QTERMS}",
+                                     _phrase_ranked_qterms_values())
+                            .replace("{QPHRASES}",
+                                     _phrase_ranked_qphrase_values()))
+
+
+# ------------------------------------------- champion-list tiered retrieval
+# Tiered-index approximate top-k (IIR §7.1 champion lists): per query
+# term only its m highest-tf postings (ties -> oldest doc, ts asc)
+# enter the candidate set; candidates score with FULL BM25 from every
+# query term.  The champion rule is deterministic, so the mirror
+# reproduces the approximation EXACTLY (value-hash, not recall-only);
+# recall-vs-exact is property-tested in the suite.
+_TIERED_M = 8
+
+
+def q_search_tiered(sf_dir: str, k: int = 10):
+    """Champion-list tiered BM25 through the REAL engine over the clean
+    index; SQL-checked (same queries as the exact-BM25 mirror, so the
+    two rows also document what the m=8 approximation changes)."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    return _ranked_table(
+        ((qid, list(reversed(eng.search_tiered(q, k=k, m=_TIERED_M))), 1)
+         for qid, q in _CLEAN_SEARCH_QUERIES), idmap)
+
+
+SQL_SEARCH_TIERED = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+champ AS (SELECT term, doc_id FROM (
+    SELECT tf.term, tf.doc_id,
+           row_number() OVER (PARTITION BY tf.term
+                              ORDER BY tf.tf DESC, tf.doc_id ASC) AS rn
+    FROM tf JOIN df ON tf.term = df.term
+    WHERE tf.term IN (SELECT DISTINCT term FROM qterms))
+  WHERE rn <= {_TIERED_M}),
+cand AS (SELECT DISTINCT q.query_id, c.doc_id
+         FROM qterms q JOIN champ c ON q.term = c.term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_C_EXPR} AS c
+  FROM qterms q JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT co.query_id, co.doc_id, sum(co.c) AS score
+           FROM contrib co JOIN cand
+           ON cand.query_id = co.query_id AND cand.doc_id = co.doc_id
+           GROUP BY co.query_id, co.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_TIERED = SQL_SEARCH_TIERED.replace(
+    "{QTERMS}", _clean_qterms_values())
+
+
+# --------------------------------------------------- total-hit counts
+# The Elasticsearch track_total_hits surface: exact OR/AND match counts
+# per query straight off the posting lists — no scoring, no ranking, no
+# metadata gather.  n_and is 0 when any term is unknown/df-pruned
+# (boolean-AND semantics; the SQL needs no special case — an unknown
+# term keeps every doc below the full term count).
+def q_search_hit_counts(sf_dir: str):
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, _ = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    rows = {"query_id": [], "n_or": [], "n_and": []}
+    for qid, q in _CLEAN_SEARCH_QUERIES:
+        c = eng.match_counts(q)
+        rows["query_id"].append(qid)
+        rows["n_or"].append(c["n_or"])
+        rows["n_and"].append(c["n_and"])
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "n_or": pa.array(rows["n_or"], pa.int64()),
+        "n_and": pa.array(rows["n_and"], pa.int64()),
+    })
+
+
+SQL_SEARCH_HIT_COUNTS = f"""
+WITH {_BM25_CORE_CTES},
+qids(query_id) AS (VALUES (0), (1), (2), (3)),
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+qn AS (SELECT query_id, count(DISTINCT term) AS nt
+       FROM qterms GROUP BY query_id),
+dt AS (SELECT q.query_id, tf.doc_id, q.term
+       FROM qterms q JOIN df ON q.term = df.term
+       JOIN tf ON tf.term = q.term),
+per AS (SELECT query_id, doc_id, count(*) AS nterm
+        FROM dt GROUP BY query_id, doc_id),
+agg AS (SELECT p.query_id, count(*) AS n_or,
+               count(*) FILTER (WHERE p.nterm = qn.nt) AS n_and
+        FROM per p JOIN qn USING (query_id) GROUP BY p.query_id)
+SELECT q.query_id, COALESCE(a.n_or, 0)::BIGINT AS n_or,
+       COALESCE(a.n_and, 0)::BIGINT AS n_and
+FROM qids q LEFT JOIN agg a USING (query_id)
+ORDER BY q.query_id
+"""
+SQL_SEARCH_HIT_COUNTS = SQL_SEARCH_HIT_COUNTS.replace(
+    "{QTERMS}", _clean_qterms_values())

@@ -638,7 +638,8 @@ class SearchEngine:
                ts_range: tuple[int, int] | None = None,
                search_after: tuple[float, int, int] | None = None,
                boosts: dict[str, float] | None = None,
-               synonyms: dict[str, list[str]] | None = None):
+               synonyms: dict[str, list[str]] | None = None,
+               phrases: list[list[str] | str] | None = None):
         """``fuzzy=True`` = typo tolerance: each parsed term absent from
         the dictionary is replaced by its best one-edit correction
         (fuzzy_correct) before retrieval; terms with no close neighbor
@@ -666,13 +667,27 @@ class SearchEngine:
         expansion (Lucene SynonymFilter at the query side): each parsed
         term is OR-expanded with its alternates at equal weight BEFORE
         retrieval — a pure query rewrite, so it composes with every
-        other option and with every mode's own semantics."""
+        other option and with every mode's own semantics.
+
+        ``phrases=[...]`` (bm25 mode, positional index only) = quoted-
+        phrase constraints (Lucene ``"exact phrase" rest`` queries):
+        each entry — a raw string (parsed with the engine's parser) or
+        an already-tokenized term list — must occur as an exact token
+        sequence in every result doc.  The phrase sets come off the
+        POSITIONAL postings (phrase_docs, never a corpus scan) and gate
+        the candidate set BEFORE the top-k boundary; scoring stays plain
+        BM25 over the query terms, so a doc's score is identical with
+        and without the constraint (the filter-query convention,
+        matching ts_range).  Use ``parse_quoted_query`` to split a
+        search-box string with double-quoted spans into (text,
+        phrases)."""
         if mode != "bm25" and (ts_range is not None
                                or search_after is not None
-                               or boosts is not None):
+                               or boosts is not None
+                               or phrases is not None):
             raise ValueError(
-                "ts_range/search_after/boosts are only supported in "
-                "bm25 mode")
+                "ts_range/search_after/boosts/phrases are only "
+                "supported in bm25 mode")
         if k < 0:
             return []
         if k == 0:
@@ -691,9 +706,14 @@ class SearchEngine:
         if mode == "reference":
             return self._search_reference(query, k)
         if mode == "bm25":
+            must = None
+            if phrases is not None:
+                must = self._phrase_must_docs(phrases)
+                if must is not None and len(must) == 0:
+                    return []
             return self._search_bm25_taat(query, k, ts_range=ts_range,
                                           after=search_after,
-                                          boosts=boosts)
+                                          boosts=boosts, must=must)
         if mode == "bm25_wand":
             return self._search_bm25_wand(query, k)
         if mode == "bool_and":
@@ -701,6 +721,24 @@ class SearchEngine:
         if mode == "bool_or":
             return self._search_bool_or(query, k)
         raise ValueError(f"unknown mode {mode!r}")
+
+    def _phrase_must_docs(self, phrases) -> np.ndarray | None:
+        """Sorted doc ids satisfying EVERY phrase constraint (None when
+        the list is empty — no constraint).  Cost per phrase is bounded
+        by the rarest phrase term's df (candidate intersection inside
+        phrase_docs)."""
+        must = None
+        for ph in phrases:
+            terms = (self.parser.parse_sentence(ph)[0]
+                     if isinstance(ph, str) else list(ph))
+            if not terms:
+                continue
+            docs = self.phrase_docs(terms)
+            must = docs if must is None else must[
+                np.isin(must, docs, assume_unique=True)]
+            if len(must) == 0:
+                break
+        return must
 
     def _bool_and_ids(self, terms: list[str]) -> np.ndarray:
         """The FULL sorted intersection of the terms' posting lists.
@@ -768,6 +806,93 @@ class SearchEngine:
                 cur = cur[~np.isin(cur, p["doc_ids"],
                                    assume_unique=True)]
         return [int(x) for x in cur[:k]]
+
+    def match_counts(self, query_text: str) -> dict:
+        """Total-hit counts for a query WITHOUT ranking (the
+        Elasticsearch ``track_total_hits`` surface): ``n_or`` = docs
+        containing any query term, ``n_and`` = docs containing every
+        term, straight off the posting lists — no scoring, no metadata
+        gather.  ``n_and`` is 0 when any term is unknown/pruned
+        (boolean-AND semantics)."""
+        query, _, _ = self.parser.parse_sentence(query_text)
+        terms = list(dict.fromkeys(query))
+        if not terms:
+            return {"n_or": 0, "n_and": 0}
+        self.prefetch(terms)
+        lists = []
+        for t in terms:
+            p = self.postings(t)
+            if p is not None:
+                lists.append(p["doc_ids"])
+        n_or = (len(np.unique(np.concatenate(lists))) if lists else 0)
+        n_and = (len(self._bool_and_ids(terms))
+                 if len(lists) == len(terms) else 0)
+        return {"n_or": int(n_or), "n_and": int(n_and)}
+
+    def search_tiered(self, query_text: str, k: int = 10, m: int = 32,
+                      fuzzy: bool = False):
+        """Champion-list (tiered-index) approximate BM25 top-k — the
+        classic index-pruning design (Manning/Raghavan/Schütze IIR §7.1
+        champion lists): per query term, only that term's ``m``
+        highest-tf postings (ties broken by doc_id ascending — a
+        DETERMINISTIC champion rule, so results are exactly
+        reproducible and SQL-mirrorable) enter the candidate set;
+        candidates then score with FULL BM25 contributions from every
+        query term and rank in the engine's exact (score, ts, id)
+        order.  At serving scale the champion prefix of each posting
+        list is the only block a head-term query touches — candidate
+        volume is bounded by ``m × |q|`` instead of the head term's df.
+        With ``m >= max df`` this equals exact BM25 (property-tested)."""
+        if k < 0:
+            return []
+        if k == 0:
+            k = max(self.n_docs, 1)
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        if fuzzy:
+            query = [t if t in self.df_map
+                     else (self.fuzzy_correct(t) or t) for t in query]
+        terms = list(dict.fromkeys(query))
+        self.prefetch(terms)
+        champ = []
+        for t in terms:
+            p = self.postings(t)
+            if p is None:
+                continue
+            ids = p["doc_ids"]
+            if len(ids) > m:
+                # champion rule: top-m by (tf desc, ts asc — oldest doc
+                # wins ties; doc ids are url hashes, so hash order would
+                # be an arbitrary rule no mirror could reproduce).
+                # Memoized per (term, m): a production index would
+                # persist this prefix at build time (impact-ordered
+                # posting heads), making the runtime selection free.
+                bym = p.setdefault("champ", {})
+                ids = bym.get(m)
+                if ids is None:
+                    full = p["doc_ids"]
+                    pos, found = self._meta_for(full)
+                    ts = self._meta["ts"][pos] * found
+                    order = np.lexsort((full, ts, -p["tfs"]))[:m]
+                    ids = bym[m] = np.sort(full[order])
+            champ.append(ids)
+        if not champ:
+            return []
+        cand = np.unique(np.concatenate(champ))
+        scores = np.zeros(len(cand), np.float64)
+        for t in terms:
+            pc_ = self._bm25_contrib(t)
+            if pc_ is None:
+                continue
+            ids, c = pc_
+            pos = np.searchsorted(cand, ids)
+            pos_c = np.minimum(pos, len(cand) - 1)
+            hit = cand[pos_c] == ids
+            np.add.at(scores, pos_c[hit], c[hit])
+        pos, found = self._meta_for(cand)
+        ts = self._meta["ts"][pos] * found
+        return _topk_reference_order(scores, cand, ts, k)
 
     def _idf(self, term: str) -> float:
         df = self.df_map.get(term)
@@ -866,7 +991,8 @@ class SearchEngine:
     def _search_bm25_taat(self, query: list[str], k: int,
                           ts_range: tuple[int, int] | None = None,
                           after: tuple[float, int, int] | None = None,
-                          boosts: dict[str, float] | None = None):
+                          boosts: dict[str, float] | None = None,
+                          must: np.ndarray | None = None):
         terms = list(dict.fromkeys(query))
         id_parts, contrib_parts = [], []
         for t in terms:
@@ -888,6 +1014,13 @@ class SearchEngine:
             contribs = np.concatenate(contrib_parts)
             cand, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+        if must is not None:
+            # phrase gate BEFORE the top-k boundary (both sides sorted
+            # unique, so membership is one linear merge)
+            m = np.isin(cand, must, assume_unique=True)
+            if not m.any():
+                return []
+            cand, scores = cand[m], scores[m]
         if ts_range is not None:
             # temporal filter BEFORE the top-k prune: the k-th-best
             # boundary must be computed among in-window docs only.  This
@@ -1095,6 +1228,22 @@ class SearchEngine:
             return []
         heap.sort()
         return [(float(sc), int(d), int(t)) for sc, t, d in heap]
+
+
+def parse_quoted_query(query_text: str) -> tuple[str, list[str]]:
+    """Split a search-box string with double-quoted spans into
+    ``(text, phrases)``: ``'"query scan" table'`` -> ``('query scan
+    table', ['query scan'])``.  The quoted words STAY in the text (they
+    score like any other term — Lucene's phrase-query behavior); each
+    non-empty quoted span becomes a phrase constraint for
+    ``search(phrases=...)``.  An unbalanced trailing quote is treated
+    as if closed at end-of-string."""
+    import re as _re
+
+    phrases = [p.strip() for p in
+               _re.findall(r'"([^"]*)(?:"|$)', query_text)]
+    return (query_text.replace('"', ' '),
+            [p for p in phrases if p])
 
 
 def expand_synonyms(query: list[str],

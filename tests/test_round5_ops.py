@@ -1786,3 +1786,105 @@ def test_nrt_add_pages_batch_is_atomic(nrt_setup):
         nrt.add_pages(twice)
     # the good rows are still addable afterwards (nothing half-applied)
     assert nrt.add_pages(good) == 12
+
+
+# ----------------------------------------- quoted-phrase ranked search
+def test_parse_quoted_query():
+    from search_engine_ray.query.engine import parse_quoted_query
+
+    text, phrases = parse_quoted_query('"query scan" table')
+    assert phrases == ["query scan"]
+    assert "query" in text and "table" in text and '"' not in text
+    # two phrases, empty span dropped, unbalanced trailing quote closes
+    # at end-of-string
+    assert parse_quoted_query('"a b" "" c "d')[1] == ["a b", "d"]
+    assert parse_quoted_query("no quotes")[1] == []
+
+
+def test_phrase_gated_bm25_laws(pos_sf):
+    """Score filter-invariance (the Lucene filter-query convention):
+    every doc in the phrase-gated top-k keeps its plain-BM25 score, and
+    the gated result == plain result restricted to phrase matches."""
+    from search_engine_ray.ops.matching import positional_index
+
+    eng, _ = positional_index(pos_sf)
+    plain = eng.search("query scan table", k=0, mode="bm25")
+    gated = eng.search("query scan table", k=0, mode="bm25",
+                       phrases=[["query", "scan"]])
+    allowed = set(eng.phrase_docs(["query", "scan"]).tolist())
+    assert gated == [r for r in plain if r[1] in allowed]
+    assert len(gated) > 0
+    # absent phrase -> empty; no phrases -> identical to plain
+    assert eng.search("query scan", k=5, mode="bm25",
+                      phrases=[["zzznope", "query"]]) == []
+    assert eng.search("query scan", k=5, mode="bm25",
+                      phrases=[]) == eng.search("query scan", k=5,
+                                                mode="bm25")
+    # two phrases intersect
+    both = eng.search("query scan data", k=0, mode="bm25",
+                      phrases=["query scan", "data"])
+    a2 = set(eng.phrase_docs(["data"]).tolist())
+    assert {r[1] for r in both} == {r[1] for r in gated
+                                    if r[1] in a2 and "data"}
+    # phrases outside bm25 mode is an error
+    with pytest.raises(ValueError):
+        eng.search("query scan", mode="bm25_wand", phrases=["query"])
+
+
+def test_phrase_gate_composes_with_cursor(pos_sf):
+    """search_after pages through the PHRASE-GATED ranking."""
+    from search_engine_ray.ops.matching import positional_index
+
+    eng, _ = positional_index(pos_sf)
+    full = list(reversed(eng.search("query scan table", k=0, mode="bm25",
+                                    phrases=["query scan"])))
+    if len(full) > 3:
+        page1 = list(reversed(eng.search(
+            "query scan table", k=2, mode="bm25", phrases=["query scan"])))
+        page2 = list(reversed(eng.search(
+            "query scan table", k=2, mode="bm25", phrases=["query scan"],
+            search_after=(page1[-1][0], page1[-1][1], page1[-1][2]))))
+        assert page1 + page2 == full[:4]
+
+
+# ------------------------------------------- champion-list tiered search
+def test_tiered_equals_exact_with_large_m(built_index):
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    for q in ("virus covid news", "the health people"):
+        exact = eng.search(q, k=10, mode="bm25")
+        assert eng.search_tiered(q, k=10, m=10**9) == exact
+
+
+def test_tiered_candidates_bounded_and_ranked(built_index):
+    """With small m: every result doc is a champion of some query term,
+    result size <= m * |terms|, and scores are FULL BM25 (each returned
+    doc's score equals its plain-BM25 score — champion pruning changes
+    candidate membership, never a kept doc's score)."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    q, m = "virus covid news", 3
+    res = eng.search_tiered(q, k=0, m=m)
+    assert 0 < len(res) <= 3 * m
+    plain = {d: s for s, d, _ in eng.search(q, k=0, mode="bm25")}
+    for s, d, _ in res:
+        assert abs(plain[d] - s) < 1e-12
+
+
+def test_match_counts_vs_posting_sets(built_index):
+    import numpy as np
+
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    c = eng.match_counts("virus covid")
+    p1, p2 = eng.postings("virus"), eng.postings("covid")
+    s1 = set(p1["doc_ids"].tolist()) if p1 else set()
+    s2 = set(p2["doc_ids"].tolist()) if p2 else set()
+    assert c == {"n_or": len(s1 | s2), "n_and": len(s1 & s2)}
+    # unknown term: OR counts the known side, AND empties
+    c2 = eng.match_counts("virus zzznotaterm")
+    assert c2 == {"n_or": len(s1), "n_and": 0}
+    assert eng.match_counts("") == {"n_or": 0, "n_and": 0}
