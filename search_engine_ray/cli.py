@@ -78,6 +78,17 @@ def main(argv=None) -> int:
     s.add_argument("--pages", type=int, default=1, metavar="N",
                    help="bm25 only: print N pages of k results, deep "
                         "paging via search_after cursors")
+    s.add_argument("--quoted", action="store_true",
+                   help='bm25 + positional index only: honor "..." '
+                        "spans in the query as exact-phrase "
+                        "constraints (quote them from your shell)")
+    s.add_argument("--tier", type=int, metavar="M",
+                   help="champion-list tiered retrieval: candidates "
+                        "come from each term's top-M-by-tf posting "
+                        "prefix (approximate, bounded work)")
+    s.add_argument("--count", action="store_true",
+                   help="print exact OR/AND total-hit counts instead "
+                        "of ranked results")
 
     ex = sub.add_parser("explain",
                         help="run a query through block-max WAND and "
@@ -189,6 +200,26 @@ def main(argv=None) -> int:
                 term, _, alts = spec.partition("=")
                 synonyms[term] = [a for a in alts.split(",") if a]
         qtext = " ".join(args.query)
+        if args.count:
+            c = eng.match_counts(qtext)
+            print(f"any-term matches: {c['n_or']}, "
+                  f"all-terms matches: {c['n_and']}")
+            return 0
+        if args.tier is not None:
+            if args.mode != "bm25" or args.quoted or args.pages > 1:
+                ap.error("--tier needs --mode bm25 (no --quoted/--pages)")
+            res = eng.search_tiered(qtext, k=args.k, m=args.tier,
+                                    fuzzy=args.fuzzy)
+            for score, doc_id, ts in reversed(res):
+                print(f"doc id: {doc_id}, score: {score}")
+            return 0
+        phrases = None
+        if args.quoted:
+            if args.mode != "bm25":
+                ap.error("--quoted needs --mode bm25")
+            from search_engine_ray.query.engine import parse_quoted_query
+
+            qtext, phrases = parse_quoted_query(qtext)
         if args.mode.startswith("bool_"):
             res = eng.search(qtext, k=args.k, mode=args.mode,
                              fuzzy=args.fuzzy, synonyms=synonyms)
@@ -200,7 +231,7 @@ def main(argv=None) -> int:
                 res = eng.search(qtext, k=args.k, mode=args.mode,
                                  fuzzy=args.fuzzy, ts_range=ts_range,
                                  search_after=cursor, boosts=boosts,
-                                 synonyms=synonyms)
+                                 synonyms=synonyms, phrases=phrases)
                 if not res:
                     break
                 # print best-first, like the reference's output loop

@@ -246,17 +246,65 @@ class QueryShardActor:
         ids = np.unique(np.concatenate(lists))
         return [int(x) for x in ids[:k]]
 
+    def champions_local(self, terms: list[str], m: int,
+                        df_map: dict[str, int],
+                        caps_orig: dict | None = None):
+        """Per-term LOCAL champion prefix for tiered retrieval: this
+        actor's top-m postings by (tf desc, ts asc, doc_id asc).  The
+        driver merges per-shard prefixes and re-selects the global
+        top-m — correct because the global champion set is always
+        inside the union of per-shard champion sets."""
+        out = {}
+        plists = self._postings(list(dict.fromkeys(terms)), df_map,
+                                caps_orig)
+        for t, p in plists.items():
+            if p is None or len(p["doc_ids"]) == 0:
+                continue
+            ids, tfs = p["doc_ids"], p["tfs"]
+            pos, found = meta_positions(self._meta_ids, ids)
+            ts = self._meta_ts[pos] * found
+            if len(ids) > m:
+                order = np.lexsort((ids, ts, -tfs))[:m]
+                ids, tfs, ts = ids[order], tfs[order], ts[order]
+            out[t] = (ids.tolist(), tfs.tolist(), ts.tolist())
+        return out
+
+    def counts_local(self, terms: list[str], df_map: dict[str, int],
+                     caps_orig: dict | None = None):
+        """(n_or, n_and) over THIS actor's shards — disjoint shards
+        make the global counts plain sums.  Global AND knownness (an
+        unknown term zeroing n_and) is the driver's job."""
+        plists = self._postings(list(dict.fromkeys(terms)), df_map,
+                                caps_orig)
+        lists = [p["doc_ids"] for p in plists.values() if p is not None]
+        n_or = (len(np.unique(np.concatenate(lists))) if lists else 0)
+        cur = None
+        for p in plists.values():
+            ids = (p["doc_ids"] if p is not None
+                   else np.zeros(0, np.int64))
+            cur = (ids if cur is None
+                   else cur[np.isin(cur, ids, assume_unique=True)])
+            if len(cur) == 0:
+                break
+        return int(n_or), int(0 if cur is None else len(cur))
+
     def search_local(self, query: list[str], k: int, mode: str,
                      df_map: dict[str, int],
                      caps_orig: dict | None = None,
                      ts_range: tuple[int, int] | None = None,
                      after: tuple[float, int, int] | None = None,
-                     boosts: dict[str, float] | None = None):
+                     boosts: dict[str, float] | None = None,
+                     phrase_terms: list[list[str]] | None = None,
+                     must_ids: np.ndarray | None = None):
         """Local top-k over this actor's shards; returns (score, ts, id)
         tuples (at most k).  ``ts_range``/``after``/``boosts`` mirror
         the in-process bm25 options (engine.py search): shards hold
         disjoint docs, so applying the filters locally BEFORE the local
-        top-k keeps the merged global result exact."""
+        top-k keeps the merged global result exact.  ``phrase_terms``
+        gates candidates on exact token sequences evaluated SHARD-
+        LOCALLY from the positional postings (a doc's positions live
+        entirely in its shard); ``must_ids`` is a pre-computed global
+        allow-set (the tiered champion set) — both are bm25-only."""
         from search_engine_ray.index.encoding import tf_norm
 
         cfg = self.cfg
@@ -288,6 +336,37 @@ class QueryShardActor:
             contribs = np.concatenate(contrib)
             cand, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+            if phrase_terms:
+                from search_engine_ray.query.engine import (
+                    intersect_candidates,
+                    phrase_from_postings,
+                )
+
+                must = None
+                for terms_ph in phrase_terms:
+                    uniq = list(dict.fromkeys(terms_ph))
+                    pl = self._postings(uniq, df_map, caps_orig,
+                                        want_positions=True)
+                    if any(pl.get(t) is None for t in uniq):
+                        must = np.zeros(0, np.int64)
+                        break
+                    c2 = intersect_candidates(
+                        [pl[t]["doc_ids"] for t in uniq])
+                    docs = phrase_from_postings(pl, c2, terms_ph)
+                    must = docs if must is None else must[
+                        np.isin(must, docs, assume_unique=True)]
+                    if len(must) == 0:
+                        break
+                if must is not None:
+                    keep = np.isin(cand, must, assume_unique=True)
+                    if not keep.any():
+                        return []
+                    cand, scores = cand[keep], scores[keep]
+            if must_ids is not None:
+                keep = np.isin(cand, must_ids, assume_unique=True)
+                if not keep.any():
+                    return []
+                cand, scores = cand[keep], scores[keep]
             if ts_range is not None or after is not None:
                 pos, found = meta_positions(self._meta_ids, cand)
                 ts_all = self._meta_ts[pos] * found
@@ -429,17 +508,33 @@ class DistributedSearchEngine:
                ts_range: tuple[int, int] | None = None,
                search_after: tuple[float, int, int] | None = None,
                boosts: dict[str, float] | None = None,
-               synonyms: dict[str, list[str]] | None = None):
+               synonyms: dict[str, list[str]] | None = None,
+               phrases: list[list[str] | str] | None = None):
         """Same serving options as the in-process engine (engine.py
-        search): ts_range/search_after/boosts are bm25-only and applied
-        SHARD-LOCALLY before each actor's top-k (disjoint shards keep
-        the merge exact); synonyms is the same pure query rewrite."""
+        search): ts_range/search_after/boosts/phrases are bm25-only and
+        applied SHARD-LOCALLY before each actor's top-k (disjoint
+        shards keep the merge exact — a doc's positions live entirely
+        in its shard, so phrase gating needs no cross-shard traffic);
+        synonyms is the same pure query rewrite."""
         if mode != "bm25" and (ts_range is not None
                                or search_after is not None
-                               or boosts is not None):
+                               or boosts is not None
+                               or phrases is not None):
             raise ValueError(
-                "ts_range/search_after/boosts are only supported in "
-                "bm25 mode")
+                "ts_range/search_after/boosts/phrases are only "
+                "supported in bm25 mode")
+        ph_terms = None
+        if phrases is not None:
+            ph_terms = []
+            for ph in phrases:
+                terms_ph = (self.parser.parse_sentence(ph)[0]
+                            if isinstance(ph, str) else list(ph))
+                if terms_ph:
+                    ph_terms.append(terms_ph)
+            if ph_terms:
+                self._require_positions()
+            else:
+                ph_terms = None
         if k < 0:
             return []
         if k == 0:
@@ -468,19 +563,89 @@ class DistributedSearchEngine:
                        for a in self.actors]
             ids = sorted(i for part in ray.get(futures) for i in part)
             return ids[:k]
-        # ship only the df entries the query needs (tiny broadcast)
-        df_small, orig_small = self._ship_maps(query)
+        # ship only the df entries the query (and phrase gate) needs
+        df_small, orig_small = self._ship_maps(
+            query + [t for p in (ph_terms or []) for t in p])
         b_small = ({t: boosts[t] for t in dict.fromkeys(query)
                     if t in boosts} or None) if boosts else None
         futures = [a.search_local.remote(query, k, mode, df_small,
                                          orig_small, ts_range=ts_range,
                                          after=search_after,
-                                         boosts=b_small)
+                                         boosts=b_small,
+                                         phrase_terms=ph_terms)
                    for a in self.actors]
         merged = [t for part in ray.get(futures) for t in part]
         merged.sort(key=lambda t: (t[0], t[1], t[2]))  # (score, ts, id)
         top = merged[-k:] if k <= len(merged) else merged
         return [(s, d, ts) for s, ts, d in top]
+
+    def search_tiered(self, query_text: str, k: int = 10, m: int = 32,
+                      fuzzy: bool = False):
+        """Distributed champion-list tiered retrieval — rank-identical
+        to the in-process SearchEngine.search_tiered.  Two rounds: (1)
+        each shard returns its LOCAL per-term champion prefix (top-m by
+        tf desc, ts asc — the global prefix is inside the union of
+        local prefixes, so the driver merge re-selecting the global
+        top-m is exact and driver traffic is bounded by shards×terms×m
+        rows); (2) the usual shard-local BM25 fan-out masked to the
+        champion set (``must_ids``)."""
+        if k < 0:
+            return []
+        if k == 0:
+            k = max(self.n_docs, 1)
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        if fuzzy:
+            query = [t if t in self.df_map
+                     else (self.fuzzy_correct(t) or t) for t in query]
+        terms = list(dict.fromkeys(query))
+        df_small, orig_small = self._ship_maps(terms)
+        futures = [a.champions_local.remote(terms, m, df_small,
+                                            orig_small)
+                   for a in self.actors]
+        per_term: dict[str, list] = {}
+        for part in ray.get(futures):
+            for t, (ids, tfs, ts) in part.items():
+                per_term.setdefault(t, []).append((ids, tfs, ts))
+        champ = []
+        for t, parts in per_term.items():
+            ids = np.concatenate([np.asarray(p[0], np.int64)
+                                  for p in parts])
+            tfs = np.concatenate([np.asarray(p[1]) for p in parts])
+            ts = np.concatenate([np.asarray(p[2], np.int64)
+                                 for p in parts])
+            if len(ids) > m:
+                order = np.lexsort((ids, ts, -tfs))[:m]
+                ids = ids[order]
+            champ.append(ids)
+        if not champ:
+            return []
+        must = np.unique(np.concatenate(champ))
+        futures = [a.search_local.remote(query, k, "bm25", df_small,
+                                         orig_small, must_ids=must)
+                   for a in self.actors]
+        merged = [t for part in ray.get(futures) for t in part]
+        merged.sort(key=lambda t: (t[0], t[1], t[2]))
+        top = merged[-k:] if k <= len(merged) else merged
+        return [(s, d, ts) for s, ts, d in top]
+
+    def match_counts(self, query_text: str) -> dict:
+        """Distributed total-hit counts — identical to the in-process
+        SearchEngine.match_counts (disjoint shards make the global
+        OR/AND counts plain sums of per-shard counts)."""
+        query, _, _ = self.parser.parse_sentence(query_text)
+        terms = list(dict.fromkeys(query))
+        if not terms:
+            return {"n_or": 0, "n_and": 0}
+        known_all = all(t in self.df_map for t in terms)
+        df_small, orig_small = self._ship_maps(terms)
+        futures = [a.counts_local.remote(terms, df_small, orig_small)
+                   for a in self.actors]
+        parts = ray.get(futures)
+        return {"n_or": int(sum(p[0] for p in parts)),
+                "n_and": (int(sum(p[1] for p in parts))
+                          if known_all else 0)}
 
     def _bool_fanout(self, include: list[str], exclude: list[str],
                      k: int) -> list[int]:

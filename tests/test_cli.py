@@ -159,3 +159,38 @@ def test_search_serving_flags(cli_index, capsys):
         main(["search", cli_index, "covid", "--pages", "2",
               "--mode", "reference"])
     capsys.readouterr()
+
+
+def test_search_quoted_tier_count(cli_index, capsys):
+    """--count totals, --quoted phrase gating, --tier champion lists."""
+    rc = main(["search", cli_index, "covid", "vaccine", "--count"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "any-term matches:" in out and "all-terms matches:" in out
+
+    # --tier with a huge M equals plain bm25
+    rc = main(["search", cli_index, "covid", "vaccine",
+               "--tier", "1000000", "--k", "5"])
+    assert rc == 0
+    tier = capsys.readouterr().out.strip().splitlines()
+    rc = main(["search", cli_index, "covid", "vaccine", "--k", "5"])
+    assert rc == 0
+    assert tier == capsys.readouterr().out.strip().splitlines()
+
+    # --quoted: phrase-gated ranking is a subset of the plain ranking
+    rc = main(["search", cli_index, '"covid vaccine"', "--quoted",
+               "--k", "200"])
+    assert rc == 0
+    gated = set(capsys.readouterr().out.strip().splitlines())
+    rc = main(["search", cli_index, "covid", "vaccine", "--k", "200"])
+    assert rc == 0
+    plain = set(capsys.readouterr().out.strip().splitlines())
+    assert gated <= plain
+
+    with pytest.raises(SystemExit):
+        main(["search", cli_index, "covid", "--quoted",
+              "--mode", "reference"])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        main(["search", cli_index, "covid", "--tier", "3", "--quoted"])
+    capsys.readouterr()

@@ -133,3 +133,22 @@ def test_distributed_fuzzy_matches_inprocess(dist_engine, engine):
 def test_bool_and_not_negative_k(dist_engine, engine):
     assert engine.search_bool_and_not(["covid"], [], k=-1) == []
     assert dist_engine.search_bool_and_not(["covid"], [], k=-1) == []
+
+
+def test_distributed_tiered_matches_inprocess(dist_engine, engine):
+    """Two-round champion protocol (local prefixes -> global re-select
+    -> must_ids-masked fan-out) is rank-identical to the in-process
+    search_tiered at both a pruning m and an exact-equivalent m."""
+    for q in gen_queries():
+        for m in (3, 10**9):
+            a = engine.search_tiered(q, k=10, m=m)
+            b = dist_engine.search_tiered(q, k=10, m=m)
+            assert [(d, ts) for _, d, ts in a] \
+                == [(d, ts) for _, d, ts in b], (q, m)
+            for (sa, _, _), (sb, _, _) in zip(a, b):
+                assert abs(sa - sb) < 1e-9, (q, m)
+
+
+def test_distributed_match_counts(dist_engine, engine):
+    for q in list(gen_queries()) + ["zzznotaterm virus", "", "the"]:
+        assert dist_engine.match_counts(q) == engine.match_counts(q), q

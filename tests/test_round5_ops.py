@@ -1888,3 +1888,26 @@ def test_match_counts_vs_posting_sets(built_index):
     c2 = eng.match_counts("virus zzznotaterm")
     assert c2 == {"n_or": len(s1), "n_and": 0}
     assert eng.match_counts("") == {"n_or": 0, "n_and": 0}
+
+
+def test_distributed_phrase_gated_search_parity(pos_sf):
+    """search(phrases=) on the shard actors == the in-process engine:
+    phrase gating is shard-local (a doc's positions live entirely in
+    its shard), so the gated merge stays exact."""
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    eng, _ = positional_index(pos_sf)
+    dist = DistributedSearchEngine(eng._out_dir, num_actors=3)
+    cases = [("query scan table", ["query scan"]),
+             ("data query", ["data", "query"]),       # two phrases
+             ("query scan", [["zzznope"]]),           # absent -> []
+             ("query scan", [])]                      # no-op gate
+    for q, phs in cases:
+        a = eng.search(q, k=10, mode="bm25", phrases=phs)
+        b = dist.search(q, k=10, mode="bm25", phrases=phs)
+        assert [(d, ts) for _, d, ts in a] == [(d, ts) for _, d, ts in b], q
+        for (sa, _, _), (sb, _, _) in zip(a, b):
+            assert abs(sa - sb) < 1e-9, q
+    with pytest.raises(ValueError):
+        dist.search("query", mode="reference", phrases=["query scan"])
