@@ -285,7 +285,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # positional kernel (same position() mirror family) plus the
         # ranked composition, so that row moves just below the cap.
         "search_phrase_ranked": sq.q_search_phrase_ranked,
-        "proximity_match_indexed": sq.q_proximity_match_indexed,
+        # proximity-boosted BM25 (round 5): weight/(1+min_gap) bonus
+        # per adjacent query-term pair off the positional postings —
+        # exercises proximity_match_indexed's min-gap kernel (that row
+        # moves just below the cap) inside a ranked serving path.
+        "search_prox_boosted": sq.q_search_prox_boosted,
         # fulltext serving tier (round 5): prefix / fuzzy lookups over
         # the distributed index-dictionary scan, KWIC snippets, facet
         # counts.  In-cap as a NEW op family; the four rows they
@@ -346,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_cluster_sizes": sq.q_near_dup_cluster_sizes,
         "bm25_diversified_top10": sq.q_bm25_diversified,
         "phrase_match_indexed": sq.q_phrase_match_indexed,
+        "proximity_match_indexed": sq.q_proximity_match_indexed,
         # total-hit counts (track_total_hits): posting-set shape gated
         # in-cap by search_bool_and_clean
         "search_hit_counts": sq.q_search_hit_counts,
@@ -579,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_match_indexed": sq.SQL_PROXIMITY_MATCH,
         "search_phrase_ranked": sq.SQL_SEARCH_PHRASE_RANKED,
         "search_tiered_top10": sq.SQL_SEARCH_TIERED,
+        "search_prox_boosted": sq.SQL_SEARCH_PROX_BOOSTED,
         "search_hit_counts": sq.SQL_SEARCH_HIT_COUNTS,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,

@@ -4228,3 +4228,104 @@ ORDER BY q.query_id
 """
 SQL_SEARCH_HIT_COUNTS = SQL_SEARCH_HIT_COUNTS.replace(
     "{QTERMS}", _clean_qterms_values())
+
+
+# ----------------------------------------- proximity-boosted BM25 ranking
+# Proximity-integrated BM25 (Rasolofo & Savoy 2003 shape): BM25 plus a
+# weight/(1+min_gap) bonus per adjacent query-term pair co-occurring
+# within the window — served from the positional postings.  Queries are
+# kept to <=3 terms (<=2 pairs) so the engine's single vector add of
+# the boost matches SQL's sum() without float-association drift (a
+# two-value sum is a single IEEE add on both sides).
+_PROX_BOOST_QUERIES = [
+    (0, "query scan table"),
+    (1, "spark data"),
+    (2, "slow query scan"),
+    (3, "data zzznope"),        # pair with an unknown term -> no boost
+]
+_PROX_WINDOW, _PROX_WEIGHT = 8, 0.5
+
+
+def q_search_prox_boosted(sf_dir: str, k: int = 10):
+    """Proximity-boosted BM25 through the REAL engine (positional
+    posting decode, proximity kernel min gaps, one-vector-add boost);
+    SQL-checked over the raw-token positional index."""
+    from search_engine_ray.ops.matching import positional_index
+
+    eng, idmap = positional_index(sf_dir)
+    return _ranked_table(
+        ((qid, list(reversed(eng.search_proximity_boosted(
+            q, k=k, window=_PROX_WINDOW, weight=_PROX_WEIGHT))), 1)
+         for qid, q in _PROX_BOOST_QUERIES), idmap)
+
+
+def _prox_boost_qterms_values() -> str:
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    vals = []
+    for qid, q in _PROX_BOOST_QUERIES:
+        for t in dict.fromkeys(simple_tokenize(q)):
+            vals.append(f"({qid}, '{t}')")
+    return ", ".join(vals)
+
+
+def _prox_boost_qpairs_values() -> str:
+    from search_engine_ray.query.engine import adjacent_term_pairs
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    vals = []
+    for qid, q in _PROX_BOOST_QUERIES:
+        for t1, t2 in adjacent_term_pairs(simple_tokenize(q)):
+            vals.append(f"({qid}, '{t1}', '{t2}')")
+    return ", ".join(vals)
+
+
+SQL_SEARCH_PROX_BOOSTED = f"""
+WITH kept AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
+stats AS (SELECT count(*) AS n_docs,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+qpairs(query_id, t1, t2) AS (VALUES {{QPAIRS}}),
+pterms AS (SELECT DISTINCT t1 AS t FROM qpairs
+           UNION SELECT DISTINCT t2 FROM qpairs),
+ppos AS (SELECT d.doc_id, p.t,
+                unnest(list_filter(range(1, len(d.toks) + 1),
+                                   i -> d.toks[i] = p.t)) AS i
+         FROM docs d, pterms p),
+gaps AS (SELECT q.query_id, q.t1, q.t2, a.doc_id,
+                min(abs(a.i - b.i))::BIGINT AS g
+         FROM qpairs q
+         JOIN ppos a ON a.t = q.t1
+         JOIN ppos b ON b.t = q.t2 AND b.doc_id = a.doc_id
+         GROUP BY 1, 2, 3, 4),
+boost AS (SELECT query_id, doc_id,
+                 sum({_PROX_WEIGHT} / (1 + g)) AS bst
+          FROM gaps WHERE g <= {_PROX_WINDOW} GROUP BY 1, 2),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         log10(stats.n_docs / df.df) * tf.tf * (1.2 + 1)
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS c
+  FROM qterms q JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT c.query_id, c.doc_id,
+                  sum(c.c) + COALESCE(any_value(b.bst), 0) AS score
+           FROM contrib c LEFT JOIN boost b
+           ON b.query_id = c.query_id AND b.doc_id = c.doc_id
+           GROUP BY c.query_id, c.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_PROX_BOOSTED = (SQL_SEARCH_PROX_BOOSTED
+                           .replace("{QTERMS}",
+                                    _prox_boost_qterms_values())
+                           .replace("{QPAIRS}",
+                                    _prox_boost_qpairs_values()))

@@ -807,6 +807,68 @@ class SearchEngine:
                                    assume_unique=True)]
         return [int(x) for x in cur[:k]]
 
+    def search_proximity_boosted(self, query_text: str, k: int = 10,
+                                 window: int = 8, weight: float = 0.5):
+        """Proximity-integrated BM25 (the Rasolofo & Savoy 2003 /
+        Büttcher et al. 2006 family): the usual BM25 score plus, for
+        each ADJACENT pair of query terms co-occurring within
+        ``window`` tokens, a term-proximity bonus ``weight / (1 +
+        min_gap)`` — docs where the query words sit next to each other
+        outrank bag-of-words matches.  Served entirely from the
+        positional postings (min gaps via the proximity kernel, no
+        corpus scan); the boost is accumulated separately and added to
+        the BM25 array in ONE vector add, so the result is
+        SQL-mirrorable without float-association drift.  Ranking is
+        the engine's exact (score, ts, id) order."""
+        if not self.cfg.positions:
+            raise ValueError("index was built without positions "
+                             "(EngineConfig.positions=False)")
+        if k < 0:
+            return []
+        if k == 0:
+            k = max(self.n_docs, 1)
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        terms = list(dict.fromkeys(query))
+        self.prefetch(terms)
+        id_parts, contrib_parts = [], []
+        for t in terms:
+            pc_ = self._bm25_contrib(t)
+            if pc_ is None:
+                continue
+            id_parts.append(pc_[0])
+            contrib_parts.append(pc_[1])
+        if not id_parts:
+            return []
+        if len(id_parts) == 1:
+            # zero-copy cached contrib: `scores + boost` below allocates
+            # the result, the cache array is never mutated
+            cand, scores = id_parts[0], contrib_parts[0]
+        else:
+            ids = np.concatenate(id_parts)
+            contribs = np.concatenate(contrib_parts)
+            cand, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=contribs,
+                                 minlength=len(cand))
+        boost = np.zeros(len(cand))
+        for t1, t2 in adjacent_term_pairs(query):
+            p1, p2 = self.postings(t1), self.postings(t2)
+            if p1 is None or p2 is None:
+                continue
+            self._positions_of(p1)
+            self._positions_of(p2)
+            pcand = p1["doc_ids"][np.isin(p1["doc_ids"], p2["doc_ids"],
+                                          assume_unique=True)]
+            docs, gaps = proximity_from_postings(p1, p2, pcand, window)
+            if len(docs):
+                boost[np.searchsorted(cand, docs)] += (
+                    weight / (1.0 + gaps))
+        scores = scores + boost
+        pos, found = self._meta_for(cand)
+        ts = self._meta["ts"][pos] * found
+        return _topk_reference_order(scores, cand, ts, k)
+
     def match_counts(self, query_text: str) -> dict:
         """Total-hit counts for a query WITHOUT ranking (the
         Elasticsearch ``track_total_hits`` surface): ``n_or`` = docs
@@ -1228,6 +1290,23 @@ class SearchEngine:
             return []
         heap.sort()
         return [(float(sc), int(d), int(t)) for sc, t, d in heap]
+
+
+def adjacent_term_pairs(query: list[str]) -> list[tuple[str, str]]:
+    """Unordered-deduped ADJACENT term pairs of a parsed query, in
+    first-occurrence order — the pair set the proximity-boosted scorer
+    bonuses.  Shared with the SQL-mirror builder so the pair rule
+    cannot diverge.  Self-pairs (repeated term) are skipped: the
+    min-gap of a term with itself is degenerate."""
+    seen: set[frozenset] = set()
+    out = []
+    for t1, t2 in zip(query, query[1:]):
+        key = frozenset((t1, t2))
+        if t1 == t2 or key in seen:
+            continue
+        seen.add(key)
+        out.append((t1, t2))
+    return out
 
 
 def parse_quoted_query(query_text: str) -> tuple[str, list[str]]:

@@ -1911,3 +1911,32 @@ def test_distributed_phrase_gated_search_parity(pos_sf):
             assert abs(sa - sb) < 1e-9, q
     with pytest.raises(ValueError):
         dist.search("query", mode="reference", phrases=["query scan"])
+
+
+def test_prox_boosted_laws(pos_sf):
+    """weight=0 == plain BM25; boosts are bounded by weight x n_pairs
+    and strictly positive exactly for docs where some adjacent pair
+    co-occurs within the window."""
+    import numpy as np
+
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.query.engine import adjacent_term_pairs
+
+    eng, _ = positional_index(pos_sf)
+    q = "query scan table"
+    plain = {d: s for s, d, _ in eng.search(q, k=0, mode="bm25")}
+    zero = eng.search_proximity_boosted(q, k=0, weight=0.0)
+    assert {d: s for s, d, _ in zero} == plain
+    boosted = eng.search_proximity_boosted(q, k=0, window=8, weight=0.5)
+    pairs = adjacent_term_pairs(eng.parser.parse_sentence(q)[0])
+    assert len(pairs) == 2
+    prox_docs = set()
+    for t1, t2 in pairs:
+        docs, _ = eng.proximity_docs(t1, t2, window=8)
+        prox_docs |= set(docs.tolist())
+    for s, d, _ in boosted:
+        delta = s - plain[d]
+        assert -1e-12 <= delta <= 0.5 * len(pairs) + 1e-12
+        assert (delta > 1e-12) == (d in prox_docs)
+    # a degenerate self-pair query has no pairs at all
+    assert adjacent_term_pairs(["data", "data"]) == []
