@@ -173,6 +173,51 @@ def _quality_lr(sf_dir: str):
     return quality_lr_scores(sf_dir)
 
 
+def _image_near_dups_demo(sf_dir: str):
+    """Rows-only: image perceptual-hash near-dup over a DETERMINISTIC
+    synthetic image corpus (the driver testdata has no media table;
+    multimodal payloads are synthesized per the multimodal-stub
+    contract).  Plants re-encode/brightness/2x variants among distinct
+    images; the banded dHash pipeline runs distributed end to end and
+    the planted pairs come back (pigeonhole recall units in the
+    suite)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.ops.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_near_dups,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def img():
+        return rng.integers(0, 256, size=(32, 36, 3)).astype("uint8")
+
+    ids, payloads = [], []
+    for base_id in range(0, 40, 10):
+        base = img()
+        ids.append(base_id)
+        payloads.append(encode_png(base))
+        ids.append(base_id + 1)
+        payloads.append(encode_ppm(base))  # pixel-preserving re-encode
+        ids.append(base_id + 2)
+        payloads.append(encode_png(
+            np.clip(base.astype(np.int64) + 8, 0, 255).astype("uint8")))
+    for i in range(100, 130):
+        ids.append(i)
+        payloads.append(encode_png(img()))
+    ids.append(999)
+    payloads.append(b"\x00corrupt")  # exercises the quarantine path
+    t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    return image_near_dups(ray.data.from_arrow(t),
+                           max_hamming=2).to_pandas().sort_values(
+        ["a", "b"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (adapter
     -> parse -> dict -> sharded postings -> docmeta) and run the BM25
@@ -463,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _hll_distinct_users,
         "kmeans_assign_8": _kmeans_assign,
         "semdedup_keep_ids": _semdedup_keep,
+        "image_near_dups_demo": _image_near_dups_demo,
         "cms_term_estimates": _cms_term_estimates,
         "embedding_pca_projection": _embedding_pca,
         # trained quality classifier: sigmoid scores are not

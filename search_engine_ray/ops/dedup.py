@@ -1061,34 +1061,25 @@ class SimHasher:
         })
 
 
-def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
-                           max_bucket: int = 256):
-    """Near-dup pairs by simhash Hamming distance, distributed end to
-    end.  Returns a Dataset (a, b, hamming), a < b, deduped across bands.
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    return np.unpackbits(
+        x.view(np.uint8).reshape(*x.shape, 8), axis=-1).sum(axis=-1)
 
-    In-bucket work is vectorized (XOR matrix + popcount via bit_count);
-    16-bit band keys bound expected bucket size at corpus/65k per band.
-    A degenerate bucket past ``max_bucket`` (boilerplate template, hot
-    band key) switches from the O(n^2) matrix to chain-linking
-    consecutive records sorted by (simhash, id): identical simhashes —
-    the dominant degenerate content — stay transitively connected at
-    hamming 0 for a downstream components pass, while the task's memory
-    stays O(n), mirroring the minhash path's cap."""
+
+def _hamming_bucket_pairs_fn(max_hamming: int, max_bucket: int,
+                             hash_col: str = "simhash"):
+    """Per-bucket Hamming-pair kernel shared by every banded 64-bit
+    fingerprint dedup (text simhash, image dhash): vectorized XOR
+    matrix + popcount below ``max_bucket``, chain-linking consecutive
+    (hash, id)-sorted records above it (identical hashes — the dominant
+    degenerate content — stay transitively connected at hamming 0 for a
+    downstream components pass, task memory O(n))."""
     import pandas as pd
-    import ray.data
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
-    rows = ds.map_batches(simhash_rows, batch_format="pyarrow")
-
-    def _popcount(x: np.ndarray) -> np.ndarray:
-        if hasattr(np, "bitwise_count"):
-            return np.bitwise_count(x)
-        return np.unpackbits(
-            x.view(np.uint8).reshape(*x.shape, 8), axis=-1).sum(axis=-1)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g["simhash"], g["doc_id"])))
+        recs = sorted(set(zip(g[hash_col], g["doc_id"])))
         empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                               "b": pd.Series([], dtype="int64"),
                               "hamming": pd.Series([], dtype="int64")})
@@ -1097,14 +1088,14 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
         ids = np.array([r[1] for r in recs], dtype=np.int64)
         sh = np.array([r[0] for r in recs], dtype=np.int64).view(np.uint64)
         if len(recs) > max_bucket:
-            ham = _popcount(sh[1:] ^ sh[:-1])
+            ham = _popcount64(sh[1:] ^ sh[:-1])
             m = ham <= max_hamming
             a = np.minimum(ids[:-1][m], ids[1:][m])
             b = np.maximum(ids[:-1][m], ids[1:][m])
             return pd.DataFrame({"a": a, "b": b,
                                  "hamming": ham[m].astype(np.int64)})
         x = sh[:, None] ^ sh[None, :]
-        ham = _popcount(x)
+        ham = _popcount64(x)
         iu = np.triu_indices(len(ids), k=1)
         m = ham[iu] <= max_hamming
         a = np.minimum(ids[iu[0][m]], ids[iu[1][m]])
@@ -1112,9 +1103,29 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
         return pd.DataFrame({"a": a, "b": b,
                              "hamming": ham[iu][m].astype(np.int64)})
 
+    return pairs
+
+
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                           max_bucket: int = 256):
+    """Near-dup pairs by simhash Hamming distance, distributed end to
+    end.  Returns a Dataset (a, b, hamming), a < b, deduped across bands.
+
+    In-bucket work is vectorized (XOR matrix + popcount via bit_count);
+    16-bit band keys bound expected bucket size at corpus/65k per band.
+    A degenerate bucket past ``max_bucket`` (boilerplate template, hot
+    band key) switches to the chain-linking fallback (see
+    _hamming_bucket_pairs_fn), mirroring the minhash path's cap."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    rows = ds.map_batches(simhash_rows, batch_format="pyarrow")
+
     from search_engine_ray.ops.shuffle import grouped_apply
 
-    cand = grouped_apply(rows, ["band", "key"], pairs)
+    cand = grouped_apply(rows, ["band", "key"],
+                         _hamming_bucket_pairs_fn(max_hamming, max_bucket))
     return _dedup_pairs(cand)
 
 

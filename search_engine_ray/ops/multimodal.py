@@ -587,6 +587,132 @@ def synthetic_media_table(n: int, seed: int = 42) -> pa.Table:
     })
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """(h, w, ch) uint8 pixels from any stdlib-decodable still-image
+    payload (PNG, binary PPM/PGM, baseline JPEG, GIF first frame);
+    raises into the callers' quarantine contract otherwise."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        w, h, _maxval, ch, i = _pnm_header(payload)
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                           offset=i)
+        return px.reshape(h, w, ch)
+    if payload[:2] == b"\xff\xd8":
+        from search_engine_ray.ops.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from search_engine_ray.ops.gif import decode_gif
+
+        return np.ascontiguousarray(decode_gif(payload)[:, :, :3])
+    raise NotImplementedError("unsupported image payload")
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the classic perceptual image
+    fingerprint): grayscale -> 8x9 box-average grid -> horizontal
+    gradient sign bits.  Deterministic and EXACTLY invariant to uniform
+    brightness shifts (gradient signs unchanged), integer pixel
+    doubling of grid-aligned dims (h % 8 == 0 and w % 9 == 0 keep the
+    box partition identical, so box means are equal; other dims stay
+    NEAR-invariant — a few boundary pixels change bucket) and format
+    re-encodes that preserve pixels (PNG <-> PPM) — the dup classes a
+    crawl actually contains.
+    Works for any source dims via index-bucketed box averaging (no
+    resize precondition)."""
+    px = np.asarray(img, dtype=np.float64)
+    gray = px.mean(axis=2) if px.ndim == 3 else px
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        return 0
+    rows = (np.arange(h, dtype=np.int64) * 8) // h
+    cols = (np.arange(w, dtype=np.int64) * 9) // w
+    key = rows[:, None] * 9 + cols[None, :]
+    sums = np.bincount(key.ravel(), weights=gray.ravel(), minlength=72)
+    cnts = np.bincount(key.ravel(), minlength=72)
+    g = (sums / np.maximum(cnts, 1)).reshape(8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageHasher:
+    """Actor-pool UDF: encoded image payload -> 64-bit dHash
+    fingerprint, X106 quarantine contract (a corrupt payload yields
+    ok=False + err, never a stage crash)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, oks, errs = [], [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            ids.append(mid)
+            try:
+                hashes.append(dhash64(decode_image(payload)))
+                oks.append(True)
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                hashes.append(0)
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}"[:200])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "dhash": pa.array(np.array(hashes, np.uint64).view(np.int64),
+                              pa.int64()),
+            "ok": pa.array(oks, pa.bool_()),
+            "err": pa.array(errs, pa.string()),
+        })
+
+
+def image_dhash(ds, *, batch_size: int = 16, concurrency: int = 2):
+    """dHash fingerprint stage over a (media_id, payload) dataset."""
+    return ds.map_batches(ImageHasher, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def image_near_dups(ds, *, max_hamming: int = 6, max_bucket: int = 256,
+                    batch_size: int = 16, concurrency: int = 2):
+    """Image near-duplicate pairs by dHash Hamming distance — the
+    image-side sibling of the text simhash dedup, sharing its banded
+    machinery: 8 bands x 8 bits, so any pair within hamming <= 7
+    collides in at least one band EXACTLY (pigeonhole — recall 1.0 at
+    the default threshold, no probabilistic LSH miss).  Quarantined
+    (undecodable) payloads are excluded from banding.  Returns a
+    Dataset (a, b, hamming), a < b, deduped across bands."""
+    from search_engine_ray.ops.dedup import (
+        _dedup_pairs,
+        _hamming_bucket_pairs_fn,
+    )
+    from search_engine_ray.ops.shuffle import grouped_apply
+
+    hashed = image_dhash(ds, batch_size=batch_size,
+                         concurrency=concurrency)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ok = batch.column("ok").to_numpy(zero_copy_only=False)
+        ids = batch.column("media_id").to_numpy(
+            zero_copy_only=False)[ok]
+        hs = batch.column("dhash").to_numpy(
+            zero_copy_only=False)[ok].view(np.uint64)
+        n = len(ids)
+        bands = np.tile(np.arange(8, dtype=np.int32), n)
+        hs_rep = np.repeat(hs, 8)
+        keys = ((hs_rep >> (8 * bands.astype(np.uint64)))
+                & np.uint64(0xFF)).astype(np.int32)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 8), pa.int64()),
+            "dhash": pa.array(hs_rep.view(np.int64), pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "key": pa.array(keys, pa.int32()),
+        })
+
+    rows = hashed.map_batches(band_rows, batch_format="pyarrow")
+    cand = grouped_apply(
+        rows, ["band", "key"],
+        _hamming_bucket_pairs_fn(max_hamming, max_bucket,
+                                 hash_col="dhash"))
+    return _dedup_pairs(cand)
+
+
 class ImageResizer:
     """Actor-pool UDF: encoded image payload -> box-average-downsampled
     PNG.  Real resize for the stdlib-decodable formats (PNG, binary
@@ -601,22 +727,7 @@ class ImageResizer:
         self.th, self.tw = target_h, target_w
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if payload[:8] == _PNG_SIG:
-            return decode_png(payload)
-        if payload[:2] in (b"P6", b"P5"):
-            w, h, _maxval, ch, i = _pnm_header(payload)
-            px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
-                               offset=i)
-            return px.reshape(h, w, ch)
-        if payload[:2] == b"\xff\xd8":
-            from search_engine_ray.ops.jpeg import decode_jpeg
-
-            return decode_jpeg(payload)
-        if payload[:6] in (b"GIF87a", b"GIF89a"):
-            from search_engine_ray.ops.gif import decode_gif
-
-            return np.ascontiguousarray(decode_gif(payload)[:, :, :3])
-        raise NotImplementedError("unsupported image payload")
+        return decode_image(payload)
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         h, w, ch = img.shape

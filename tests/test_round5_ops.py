@@ -1940,3 +1940,77 @@ def test_prox_boosted_laws(pos_sf):
         assert (delta > 1e-12) == (d in prox_docs)
     # a degenerate self-pair query has no pairs at all
     assert adjacent_term_pairs(["data", "data"]) == []
+
+
+# ------------------------------------------------ image dHash near-dup
+def _synth_img(rng, h=32, w=36):  # grid-aligned: h%8==0, w%9==0
+    return rng.integers(0, 256, size=(h, w, 3)).astype("uint8")
+
+
+def test_dhash_invariances():
+    """dHash is exactly invariant to uniform brightness shift, integer
+    pixel doubling, and pixel-preserving format re-encode — and
+    sensitive to content change."""
+    import numpy as np
+
+    from search_engine_ray.ops.multimodal import (
+        decode_image,
+        dhash64,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = _synth_img(rng)
+    h = dhash64(img)
+    assert h == dhash64(np.clip(img.astype(np.int64) + 10, 0, 255)
+                        .astype(np.uint8) - 10 + 10)  # +10, no clipping
+    assert h == dhash64(img.repeat(2, axis=0).repeat(2, axis=1))
+    assert h == dhash64(decode_image(encode_png(img)))
+    assert h == dhash64(decode_image(encode_ppm(img)))
+    other = _synth_img(rng)
+    assert h != dhash64(other)
+
+
+def test_image_near_dups_planted(ray_session):
+    """Planted exact/brightness/2x variants pair up (recall 1.0 by the
+    8x8-band pigeonhole at hamming<=7); distinct random images do not;
+    a corrupt payload is quarantined without killing the stage."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.ops.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_dhash,
+        image_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    ids, payloads = [], []
+    base = _synth_img(rng)
+    ids.append(0); payloads.append(encode_png(base))
+    ids.append(1); payloads.append(encode_ppm(base))              # re-encode
+    ids.append(2); payloads.append(encode_png(
+        np.clip(base.astype(np.int64) + 10, 0, 255).astype(np.uint8)))
+    ids.append(3); payloads.append(encode_png(
+        base.repeat(2, axis=0).repeat(2, axis=1)))                # 2x
+    for i in range(4, 24):                                        # distinct
+        ids.append(i); payloads.append(encode_png(_synth_img(rng)))
+    ids.append(99); payloads.append(b"\x00garbage")               # corrupt
+    t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    ds = ray.data.from_arrow(t)
+    hashed = image_dhash(ds).to_pandas()
+    bad = hashed[~hashed["ok"]]
+    assert list(bad["media_id"]) == [99] and bad["err"].iloc[0]
+    pairs = image_near_dups(ds, max_hamming=2).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    # brightness shift may clip at 255 on a few pixels (hamming>0 but
+    # tiny); exact/re-encode/2x variants are hash-identical
+    assert {(0, 1), (0, 3), (1, 3)} <= got
+    assert (0, 2) in got or (2, 3) in got or (1, 2) in got
+    # no pair between distinct random images
+    planted = {0, 1, 2, 3}
+    assert all(a in planted and b in planted for a, b in got)
