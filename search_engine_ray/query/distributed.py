@@ -295,7 +295,9 @@ class QueryShardActor:
                      after: tuple[float, int, int] | None = None,
                      boosts: dict[str, float] | None = None,
                      phrase_terms: list[list[str]] | None = None,
-                     must_ids: np.ndarray | None = None):
+                     must_ids: np.ndarray | None = None,
+                     prox_pairs: list[tuple[str, str]] | None = None,
+                     prox_window: int = 8, prox_weight: float = 0.5):
         """Local top-k over this actor's shards; returns (score, ts, id)
         tuples (at most k).  ``ts_range``/``after``/``boosts`` mirror
         the in-process bm25 options (engine.py search): shards hold
@@ -367,6 +369,31 @@ class QueryShardActor:
                 if not keep.any():
                     return []
                 cand, scores = cand[keep], scores[keep]
+            if prox_pairs:
+                # shard-local proximity bonus (a doc's positions live
+                # entirely in its shard); separate accumulator + ONE
+                # vector add — the in-process engine's float-association
+                # rule, so the merged ranking is bit-identical
+                from search_engine_ray.query.engine import (
+                    proximity_from_postings,
+                )
+
+                boost = np.zeros(len(cand))
+                for t1, t2 in prox_pairs:
+                    pl = self._postings([t1, t2], df_map, caps_orig,
+                                        want_positions=True)
+                    p1, p2 = pl.get(t1), pl.get(t2)
+                    if p1 is None or p2 is None:
+                        continue
+                    pcand = p1["doc_ids"][np.isin(
+                        p1["doc_ids"], p2["doc_ids"],
+                        assume_unique=True)]
+                    docs, gaps = proximity_from_postings(
+                        p1, p2, pcand, prox_window)
+                    if len(docs):
+                        boost[np.searchsorted(cand, docs)] += (
+                            prox_weight / (1.0 + gaps))
+                scores = scores + boost
             if ts_range is not None or after is not None:
                 pos, found = meta_positions(self._meta_ids, cand)
                 ts_all = self._meta_ts[pos] * found
@@ -624,6 +651,34 @@ class DistributedSearchEngine:
         must = np.unique(np.concatenate(champ))
         futures = [a.search_local.remote(query, k, "bm25", df_small,
                                          orig_small, must_ids=must)
+                   for a in self.actors]
+        merged = [t for part in ray.get(futures) for t in part]
+        merged.sort(key=lambda t: (t[0], t[1], t[2]))
+        top = merged[-k:] if k <= len(merged) else merged
+        return [(s, d, ts) for s, ts, d in top]
+
+    def search_proximity_boosted(self, query_text: str, k: int = 10,
+                                 window: int = 8, weight: float = 0.5):
+        """Distributed proximity-boosted BM25 — rank-identical to the
+        in-process SearchEngine.search_proximity_boosted (positions and
+        BM25 state are both shard-local, so the bonus is too)."""
+        from search_engine_ray.query.engine import adjacent_term_pairs
+
+        self._require_positions()
+        if k < 0:
+            return []
+        if k == 0:
+            k = max(self.n_docs, 1)
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        pairs = adjacent_term_pairs(query)
+        df_small, orig_small = self._ship_maps(
+            query + [t for p in pairs for t in p])
+        futures = [a.search_local.remote(query, k, "bm25", df_small,
+                                         orig_small, prox_pairs=pairs,
+                                         prox_window=window,
+                                         prox_weight=weight)
                    for a in self.actors]
         merged = [t for part in ray.get(futures) for t in part]
         merged.sort(key=lambda t: (t[0], t[1], t[2]))

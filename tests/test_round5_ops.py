@@ -2014,3 +2014,17 @@ def test_image_near_dups_planted(ray_session):
     # no pair between distinct random images
     planted = {0, 1, 2, 3}
     assert all(a in planted and b in planted for a, b in got)
+
+
+def test_distributed_prox_boosted_parity(pos_sf):
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.query.distributed import DistributedSearchEngine
+
+    eng, _ = positional_index(pos_sf)
+    dist = DistributedSearchEngine(eng._out_dir, num_actors=3)
+    for q in ("query scan table", "spark data", "data zzznope", "data"):
+        a = eng.search_proximity_boosted(q, k=10)
+        b = dist.search_proximity_boosted(q, k=10)
+        assert [(d, ts) for _, d, ts in a] == [(d, ts) for _, d, ts in b], q
+        for (sa, _, _), (sb, _, _) in zip(a, b):
+            assert abs(sa - sb) < 1e-12, q
