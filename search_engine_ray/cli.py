@@ -201,13 +201,24 @@ def main(argv=None) -> int:
                 synonyms[term] = [a for a in alts.split(",") if a]
         qtext = " ".join(args.query)
         if args.count:
+            # loud rejection of silently-unsupported combos (same
+            # convention as the --since/--pages validation above)
+            if (args.mode != "bm25" or args.fuzzy or args.tier is not None
+                    or args.quoted or ts_range is not None or boosts
+                    or synonyms or args.pages > 1):
+                ap.error("--count takes no other serving flags")
             c = eng.match_counts(qtext)
             print(f"any-term matches: {c['n_or']}, "
                   f"all-terms matches: {c['n_and']}")
             return 0
         if args.tier is not None:
-            if args.mode != "bm25" or args.quoted or args.pages > 1:
-                ap.error("--tier needs --mode bm25 (no --quoted/--pages)")
+            if (args.mode != "bm25" or args.quoted or args.pages > 1
+                    or ts_range is not None or boosts or synonyms):
+                ap.error("--tier supports only --mode bm25 [--fuzzy] "
+                         "(no --quoted/--pages/--since/--until/--boost/"
+                         "--synonym)")
+            if args.tier <= 0:
+                ap.error("--tier M must be a positive champion-list size")
             res = eng.search_tiered(qtext, k=args.k, m=args.tier,
                                     fuzzy=args.fuzzy)
             for score, doc_id, ts in reversed(res):

@@ -1051,12 +1051,16 @@ SQL_SEARCH_BM25_CLEAN = SQL_SEARCH_BM25_CLEAN.replace(
 # Time-filtered search, more-like-this, and pseudo-relevance feedback all
 # reuse the clean-index BM25 mirror; the shared CTE prefix and contrib
 # expression are factored once so the scorer cannot diverge between them.
-def _bm25_core_ctes(prune_df1: bool = True) -> str:
-    """ONE source for the clean-BM25 CTE prefix across every mirror
-    (the scorer cannot diverge between them); ``prune_df1=False`` drops
-    only the df>=2 HAVING — the NRT mirror's no-prune config."""
+def _bm25_core_ctes(prune_df1: bool = True,
+                    toks_sql: "str | None" = None) -> str:
+    """ONE source for the BM25 CTE prefix across every mirror (the
+    scorer cannot diverge between them); ``prune_df1=False`` drops only
+    the df>=2 HAVING (the NRT and raw-positional-index configs);
+    ``toks_sql`` overrides the token derivation (default: the cleaned
+    corpus; the phrase/proximity mirrors pass the raw-token rule)."""
     having = (" HAVING count(DISTINCT doc_id) >= 2" if prune_df1 else "")
-    return f"""kept AS (SELECT doc_id, {_CLEAN_TOKS_SQL} AS toks FROM documents),
+    toks = _CLEAN_TOKS_SQL if toks_sql is None else toks_sql
+    return f"""kept AS (SELECT doc_id, {toks} AS toks FROM documents),
 docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
 stats AS (SELECT count(*) AS n_docs,
                  sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
@@ -4087,13 +4091,7 @@ def _phrase_ranked_qphrase_values() -> str:
 
 
 SQL_SEARCH_PHRASE_RANKED = f"""
-WITH kept AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
-stats AS (SELECT count(*) AS n_docs,
-                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
-toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+WITH {_bm25_core_ctes(False, toks_sql=_TOKS_SQL)},
 qterms(query_id, term) AS (VALUES {{QTERMS}}),
 qphrase(query_id, ph) AS (VALUES {{QPHRASES}}),
 nph AS (SELECT query_id, count(*) AS n FROM qphrase GROUP BY query_id),
@@ -4104,9 +4102,7 @@ mtch AS (SELECT h.query_id, h.doc_id
          FROM hit h JOIN nph USING (query_id)
          GROUP BY h.query_id, h.doc_id, nph.n HAVING count(*) = nph.n),
 contrib AS (
-  SELECT q.query_id, tf.doc_id,
-         log10(stats.n_docs / df.df) * tf.tf * (1.2 + 1)
-         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS c
+  SELECT q.query_id, tf.doc_id, {_BM25_C_EXPR} AS c
   FROM qterms q JOIN df ON q.term = df.term
   JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
 scored AS (SELECT c.query_id, c.doc_id, sum(c.c) AS score
@@ -4281,13 +4277,7 @@ def _prox_boost_qpairs_values() -> str:
 
 
 SQL_SEARCH_PROX_BOOSTED = f"""
-WITH kept AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-docs AS (SELECT doc_id, len(toks) AS dl, toks FROM kept WHERE len(toks) > 0),
-stats AS (SELECT count(*) AS n_docs,
-                 sum(dl)::DOUBLE / count(*) AS avgdl FROM docs),
-toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+WITH {_bm25_core_ctes(False, toks_sql=_TOKS_SQL)},
 qterms(query_id, term) AS (VALUES {{QTERMS}}),
 qpairs(query_id, t1, t2) AS (VALUES {{QPAIRS}}),
 pterms AS (SELECT DISTINCT t1 AS t FROM qpairs
@@ -4306,9 +4296,7 @@ boost AS (SELECT query_id, doc_id,
                  sum({_PROX_WEIGHT} / (1 + g)) AS bst
           FROM gaps WHERE g <= {_PROX_WINDOW} GROUP BY 1, 2),
 contrib AS (
-  SELECT q.query_id, tf.doc_id,
-         log10(stats.n_docs / df.df) * tf.tf * (1.2 + 1)
-         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS c
+  SELECT q.query_id, tf.doc_id, {_BM25_C_EXPR} AS c
   FROM qterms q JOIN df ON q.term = df.term
   JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
 scored AS (SELECT c.query_id, c.doc_id,

@@ -274,19 +274,18 @@ class QueryShardActor:
         """(n_or, n_and) over THIS actor's shards — disjoint shards
         make the global counts plain sums.  Global AND knownness (an
         unknown term zeroing n_and) is the driver's job."""
+        from search_engine_ray.query.engine import intersect_candidates
+
         plists = self._postings(list(dict.fromkeys(terms)), df_map,
                                 caps_orig)
         lists = [p["doc_ids"] for p in plists.values() if p is not None]
         n_or = (len(np.unique(np.concatenate(lists))) if lists else 0)
-        cur = None
-        for p in plists.values():
-            ids = (p["doc_ids"] if p is not None
-                   else np.zeros(0, np.int64))
-            cur = (ids if cur is None
-                   else cur[np.isin(cur, ids, assume_unique=True)])
-            if len(cur) == 0:
-                break
-        return int(n_or), int(0 if cur is None else len(cur))
+        if len(lists) < len(plists) or not lists:
+            n_and = 0  # a term with no postings in these shards
+        else:
+            # smallest-first intersection (cost bounded by rarest df)
+            n_and = len(intersect_candidates(lists))
+        return int(n_or), int(n_and)
 
     def search_local(self, query: list[str], k: int, mode: str,
                      df_map: dict[str, int],
@@ -391,8 +390,15 @@ class QueryShardActor:
                     docs, gaps = proximity_from_postings(
                         p1, p2, pcand, prox_window)
                     if len(docs):
-                        boost[np.searchsorted(cand, docs)] += (
-                            prox_weight / (1.0 + gaps))
+                        # membership-checked scatter: composing
+                        # prox_pairs with phrase_terms/must_ids shrinks
+                        # cand, so a boosted doc may have been filtered
+                        # out — it must not crash or credit a neighbor
+                        pos = np.searchsorted(cand, docs)
+                        pos_c = np.minimum(pos, max(len(cand) - 1, 0))
+                        hit = cand[pos_c] == docs
+                        np.add.at(boost, pos_c[hit],
+                                  prox_weight / (1.0 + gaps[hit]))
                 scores = scores + boost
             if ts_range is not None or after is not None:
                 pos, found = meta_positions(self._meta_ids, cand)
@@ -615,8 +621,9 @@ class DistributedSearchEngine:
         local prefixes, so the driver merge re-selecting the global
         top-m is exact and driver traffic is bounded by shards×terms×m
         rows); (2) the usual shard-local BM25 fan-out masked to the
-        champion set (``must_ids``)."""
-        if k < 0:
+        champion set (``must_ids``).  ``m <= 0`` returns [] (same
+        contract as the in-process engine)."""
+        if k < 0 or m <= 0:
             return []
         if k == 0:
             k = max(self.n_docs, 1)

@@ -862,8 +862,14 @@ class SearchEngine:
                                           assume_unique=True)]
             docs, gaps = proximity_from_postings(p1, p2, pcand, window)
             if len(docs):
-                boost[np.searchsorted(cand, docs)] += (
-                    weight / (1.0 + gaps))
+                # membership-checked scatter: docs ⊆ cand holds today
+                # (pair terms are query terms), but stay bounds-safe if
+                # a future caller passes a pre-filtered candidate set
+                pos = np.searchsorted(cand, docs)
+                pos_c = np.minimum(pos, len(cand) - 1)
+                hit = cand[pos_c] == docs
+                np.add.at(boost, pos_c[hit],
+                          weight / (1.0 + gaps[hit]))
         scores = scores + boost
         pos, found = self._meta_for(cand)
         ts = self._meta["ts"][pos] * found
@@ -896,16 +902,18 @@ class SearchEngine:
         """Champion-list (tiered-index) approximate BM25 top-k — the
         classic index-pruning design (Manning/Raghavan/Schütze IIR §7.1
         champion lists): per query term, only that term's ``m``
-        highest-tf postings (ties broken by doc_id ascending — a
-        DETERMINISTIC champion rule, so results are exactly
-        reproducible and SQL-mirrorable) enter the candidate set;
+        highest-tf postings (ties broken by ts ascending — oldest doc
+        first — then doc_id; a DETERMINISTIC champion rule, so results
+        are exactly reproducible and SQL-mirrorable) enter the
+        candidate set;
         candidates then score with FULL BM25 contributions from every
         query term and rank in the engine's exact (score, ts, id)
         order.  At serving scale the champion prefix of each posting
         list is the only block a head-term query touches — candidate
         volume is bounded by ``m × |q|`` instead of the head term's df.
-        With ``m >= max df`` this equals exact BM25 (property-tested)."""
-        if k < 0:
+        With ``m >= max df`` this equals exact BM25 (property-tested);
+        ``m <= 0`` admits no champions and returns [] (both engines)."""
+        if k < 0 or m <= 0:
             return []
         if k == 0:
             k = max(self.n_docs, 1)

@@ -2028,3 +2028,13 @@ def test_distributed_prox_boosted_parity(pos_sf):
         assert [(d, ts) for _, d, ts in a] == [(d, ts) for _, d, ts in b], q
         for (sa, _, _), (sb, _, _) in zip(a, b):
             assert abs(sa - sb) < 1e-12, q
+
+
+def test_tiered_m_nonpositive_and_cli_validation(built_index):
+    """m<=0 returns [] in BOTH engines (review: the in-process path used
+    to IndexError and negative m inverted the champion rule)."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    assert eng.search_tiered("virus covid", k=5, m=0) == []
+    assert eng.search_tiered("virus covid", k=5, m=-2) == []
