@@ -2038,3 +2038,47 @@ def test_tiered_m_nonpositive_and_cli_validation(built_index):
     eng = SearchEngine(built_index[0])
     assert eng.search_tiered("virus covid", k=5, m=0) == []
     assert eng.search_tiered("virus covid", k=5, m=-2) == []
+
+
+def test_parse_quoted_query_properties():
+    """Property: for any text, (a) the returned text contains no double
+    quote, (b) every returned phrase is non-empty and appeared between
+    quotes, (c) token multiset of text is preserved (quotes only become
+    separators)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_ray.query.engine import parse_quoted_query
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet='ab c"', max_size=40))
+    def check(q):
+        text, phrases = parse_quoted_query(q)
+        assert '"' not in text
+        assert all(p for p in phrases)
+        assert simple_tokenize(text) == simple_tokenize(q.replace('"', ' '))
+        for p in phrases:
+            assert p in q
+
+    check()
+
+
+def test_tiered_subset_property(built_index):
+    """Property over a range of m: tiered results are always a subset of
+    the exact-BM25 candidate set with UNCHANGED per-doc scores, and the
+    result set grows monotonically (as sets) with m."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    q = "virus covid news people"
+    plain = {d: s for s, d, _ in eng.search(q, k=0, mode="bm25")}
+    prev: set = set()
+    for m in (1, 2, 4, 8, 16, 64, 10**9):
+        res = eng.search_tiered(q, k=0, m=m)
+        got = {d for _, d, _ in res}
+        for s, d, _ in res:
+            assert abs(plain[d] - s) < 1e-12
+        assert prev <= got, m
+        prev = got
+    assert prev == set(plain)  # m >= max df covers every candidate
