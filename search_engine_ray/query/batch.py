@@ -81,12 +81,25 @@ class _EngineWorker:
         self.k = k
         self.mode = mode
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, opts: dict | None = None
+                 ) -> pa.Table:
+        """``opts`` forwards the engine's serving options per run
+        (fuzzy / ts_range / boosts / synonyms / phrases, or
+        ``{"tier": m}`` to serve via champion-list tiered retrieval) —
+        results stay identical to the in-process engine per query."""
+        o = dict(opts or {})
+        tier = o.pop("tier", None)
         rows = {"query_id": [], "rank": [], "doc_id": [], "score": [],
                 "warc_ts": []}
         for qid, text in zip(batch.column("query_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            res = self.eng.search(text, k=self.k, mode=self.mode)
+            if tier is not None:
+                res = self.eng.search_tiered(
+                    text, k=self.k, m=tier,
+                    fuzzy=o.get("fuzzy", False))
+            else:
+                res = self.eng.search(text, k=self.k, mode=self.mode,
+                                      **o)
             for rank, (score, doc_id, ts) in enumerate(reversed(res),
                                                        start=1):
                 rows["query_id"].append(qid)
@@ -124,7 +137,11 @@ class BatchQueryPool:
         self.actors = [worker.remote(index_dir, k, mode)
                        for _ in range(num_workers)]
 
-    def run(self, queries: list[str]) -> pa.Table:
+    def run(self, queries: list[str], **opts) -> pa.Table:
+        """``opts``: the engine's serving options (fuzzy / ts_range /
+        boosts / synonyms / phrases) or ``tier=m`` for champion-list
+        tiered serving — shipped once per worker call, applied to every
+        query in the batch."""
         n = len(self.actors)
         futures = []
         for w in range(n):
@@ -135,7 +152,8 @@ class BatchQueryPool:
                 "query_id": pa.array(qids, pa.int64()),
                 "text": pa.array([queries[i] for i in qids], pa.string()),
             })
-            futures.append(self.actors[w].__call__.remote(batch))
+            futures.append(self.actors[w].__call__.remote(
+                batch, opts or None))
         if not futures:  # empty query list -> typed empty result
             return pa.table({
                 "query_id": pa.array([], pa.int64()),

@@ -94,3 +94,34 @@ def test_pool_empty_query_list(built_index):
                                     "score", "warc_ts"]
     finally:
         pool.shutdown()
+
+
+def test_pool_serving_options_parity(ray_session, built_index):
+    """BatchQueryPool.run(**opts) == the in-process engine with the same
+    options, per query — boosts, synonyms, phrase gating is positional-
+    index-only so here: tier + fuzzy + boosts."""
+    from search_engine_ray.query.batch import BatchQueryPool
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    pool = BatchQueryPool(built_index[0], num_workers=2, k=5)
+    queries = ["virus covid news", "health people", "covvid vaccine"]
+    try:
+        for opts in ({"boosts": {"covid": 2.0}},
+                     {"synonyms": {"virus": ["vaccine"]}},
+                     {"fuzzy": True},
+                     {"tier": 3},
+                     {"tier": 10**9, "fuzzy": True}):
+            got = pool.run(queries, **opts).to_pandas()
+            for qid, q in enumerate(queries):
+                if "tier" in opts:
+                    res = eng.search_tiered(q, k=5, m=opts["tier"],
+                                            fuzzy=opts.get("fuzzy",
+                                                           False))
+                else:
+                    res = eng.search(q, k=5, mode="bm25", **opts)
+                sub = got[got["query_id"] == qid].sort_values("rank")
+                assert list(sub["doc_id"]) == [d for _, d, _ in
+                                               reversed(res)], (q, opts)
+    finally:
+        pool.shutdown()
