@@ -350,7 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and moved just below the cap.
         "search_nrt_top10": sq.q_search_nrt,
         "ranking_eval": sq.q_ranking_eval,
-        "doc_snippets": sq.q_doc_snippets,
+        # indexed SERP snippets (round 5): ranked hits + snippets with
+        # ZERO corpus scan — positions off the positional postings,
+        # texts point-read for the k hits only.  Displaces the
+        # scan-based doc_snippets row (strictly dominated cost shape;
+        # moved below the cap, still suite-gated).
+        "serp_snippets_indexed": sq.q_serp_snippets_indexed,
         # retrieval fusion tier (round 5, new family): dense+sparse RRF
         # and per-source diversified serving over the SQL-checked BM25
         # path.  These and the dup-passage/DSIR/cluster-size rows above
@@ -394,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retrieval tier (see comment there)
         "near_dup_cluster_sizes": sq.q_near_dup_cluster_sizes,
         "bm25_diversified_top10": sq.q_bm25_diversified,
+        "doc_snippets": sq.q_doc_snippets,
         "phrase_match_indexed": sq.q_phrase_match_indexed,
         "proximity_match_indexed": sq.q_proximity_match_indexed,
         # total-hit counts (track_total_hits): posting-set shape gated
@@ -632,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tiered_top10": sq.SQL_SEARCH_TIERED,
         "search_prox_boosted": sq.SQL_SEARCH_PROX_BOOSTED,
         "search_hit_counts": sq.SQL_SEARCH_HIT_COUNTS,
+        "serp_snippets_indexed": sq.SQL_SERP_SNIPPETS_INDEXED,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

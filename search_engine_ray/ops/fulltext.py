@@ -502,3 +502,68 @@ def attach_snippets(index_dir: str, pages_path: str, results: pa.Table,
     out = res.merge(snips, on=["query_id", "doc_id"], how="left")
     out["snippet"] = out["snippet"].fillna("")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def serp_snippets_indexed(sf_dir: str, queries: "list[str]",
+                          k: int = 10, window: int = 3) -> pa.Table:
+    """Ranked SERP with snippets and ZERO corpus scan: BM25 top-k off
+    the positional index, then for each hit the ``window``-token
+    context around the first occurrence of the FIRST query term the doc
+    contains (query order) — the occurrence position comes from the
+    POSITIONAL POSTINGS (no text search), and only the k result docs'
+    texts are fetched, by row-group-pruned point reads.  The scan-based
+    doc_snippets/attach_snippets ops stream the whole pages store once
+    per batch; this path touches index rows + k texts per query, the
+    right cost shape when the corpus is 10^12 docs and k is 10.
+
+    Returns (query_id, rank, doc_id, score_e6, snippet), rank 1 = best,
+    ids in ORIGINAL documents-table space."""
+    from search_engine_ray.ops.matching import positional_index
+    from search_engine_ray.ops.sqlcheck import _read_doc_texts, _round_half_away
+
+    eng, idmap = positional_index(sf_dir)
+    per_query = []
+    need_ids = set()
+    for qid, qtext in enumerate(queries):
+        res = list(reversed(eng.search(qtext, k=k, mode="bm25")))
+        q, _, _ = eng.parser.parse_sentence(qtext)
+        per_query.append((qid, list(dict.fromkeys(q)), res))
+        need_ids.update(idmap[d] for _, d, _ in res)
+    texts = _read_doc_texts(sf_dir, sorted(need_ids))
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": [],
+            "snippet": []}
+    for qid, terms, res in per_query:
+        # decoded positions for the query's terms, once per query
+        byterm = {}
+        for t in terms:
+            p = eng.postings(t)
+            if p is not None:
+                eng._positions_of(p)
+                byterm[t] = p
+        for rank, (score, did, _ts) in enumerate(res, start=1):
+            snippet = ""
+            for t in terms:  # first query term the doc contains
+                p = byterm.get(t)
+                if p is None:
+                    continue
+                loc = int(np.searchsorted(p["doc_ids"], did))
+                if loc >= len(p["doc_ids"]) or p["doc_ids"][loc] != did:
+                    continue
+                pos = int(p["pos"][p["pos_off"][loc]]) + 1  # 1-based
+                toks = simple_tokenize(texts[idmap[did]])
+                a, b = max(1, pos - window), min(len(toks), pos + window)
+                snippet = " ".join(toks[a - 1:b])
+                break
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(idmap[did])
+            rows["score_e6"].append(int(_round_half_away(
+                np.array([score * 1e6]))[0]))
+            rows["snippet"].append(snippet)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+        "snippet": pa.array(rows["snippet"], pa.string()),
+    })

@@ -4317,3 +4317,74 @@ SQL_SEARCH_PROX_BOOSTED = (SQL_SEARCH_PROX_BOOSTED
                                     _prox_boost_qterms_values())
                            .replace("{QPAIRS}",
                                     _prox_boost_qpairs_values()))
+
+
+# ------------------------------------------------- indexed SERP snippets
+# Ranked SERP with snippets and ZERO corpus scan: top-k off the
+# positional index, first-occurrence position from the POSITIONAL
+# POSTINGS, texts point-read for the k hits only — the cost shape for a
+# 10^12-doc corpus (the scan-based doc_snippets op streams the whole
+# store).  Snippet rule: window tokens around the first occurrence of
+# the FIRST query term (query order) the doc contains.
+_SERP_SNIPPET_QUERIES = [
+    (0, "query scan"),
+    (1, "data table fast"),
+    (2, "zzznope"),             # unknown -> no rows
+]
+_SERP_WINDOW = 3
+
+
+def q_serp_snippets_indexed(sf_dir: str, k: int = 10):
+    from search_engine_ray.ops.fulltext import serp_snippets_indexed
+
+    return serp_snippets_indexed(
+        sf_dir, [q for _, q in _SERP_SNIPPET_QUERIES], k=k,
+        window=_SERP_WINDOW)
+
+
+def _serp_qorder_values() -> str:
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    vals = []
+    for qid, q in _SERP_SNIPPET_QUERIES:
+        for ordn, t in enumerate(dict.fromkeys(simple_tokenize(q))):
+            vals.append(f"({qid}, {ordn}, '{t}')")
+    return ", ".join(vals)
+
+
+SQL_SERP_SNIPPETS_INDEXED = f"""
+WITH {_bm25_core_ctes(False, toks_sql=_TOKS_SQL)},
+qorder(query_id, ord, term) AS (VALUES {{QORDER}}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_C_EXPR} AS c
+  FROM qorder q JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored),
+hits AS (SELECT * FROM ranked WHERE rank <= 10),
+ft AS (SELECT h.query_id, h.doc_id, min(o.ord) AS ord
+       FROM hits h JOIN qorder o ON o.query_id = h.query_id
+       JOIN docs d ON d.doc_id = h.doc_id
+       WHERE list_contains(d.toks, o.term)
+       GROUP BY h.query_id, h.doc_id),
+sn AS (SELECT f.query_id, f.doc_id,
+              list_position(d.toks, o.term) AS pos, d.toks
+       FROM ft f
+       JOIN qorder o ON o.query_id = f.query_id AND o.ord = f.ord
+       JOIN docs d ON d.doc_id = f.doc_id)
+SELECT h.query_id, h.rank, h.doc_id,
+       round(h.score * 1000000)::BIGINT AS score_e6,
+       COALESCE(array_to_string(
+         s.toks[greatest(1, s.pos - {_SERP_WINDOW}):
+                least(len(s.toks), s.pos + {_SERP_WINDOW})], ' '),
+         '') AS snippet
+FROM hits h LEFT JOIN sn s
+ON s.query_id = h.query_id AND s.doc_id = h.doc_id
+"""
+SQL_SERP_SNIPPETS_INDEXED = SQL_SERP_SNIPPETS_INDEXED.replace(
+    "{QORDER}", _serp_qorder_values())

@@ -2082,3 +2082,29 @@ def test_tiered_subset_property(built_index):
         assert prev <= got, m
         prev = got
     assert prev == set(plain)  # m >= max df covers every candidate
+
+
+def test_serp_snippets_indexed_laws(ray_session):
+    """Every hit's snippet (a) holds <= 2*window+1 tokens, (b) contains
+    the first query term the doc matches, (c) equals the window slice
+    recomputed INDEPENDENTLY from the raw text around that term's first
+    occurrence."""
+    from search_engine_ray.ops.fulltext import serp_snippets_indexed
+    from search_engine_ray.ops.sqlcheck import _read_doc_texts
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    sf = "/root/testdata/sf0.001"
+    w = 3
+    out = serp_snippets_indexed(sf, ["query scan", "data"], k=8,
+                                window=w).to_pandas()
+    assert len(out) > 0
+    texts = _read_doc_texts(sf, sorted(set(out["doc_id"])))
+    qterms = {0: ["query", "scan"], 1: ["data"]}
+    for _, r in out.iterrows():
+        toks = simple_tokenize(texts[r["doc_id"]])
+        first = next(t for t in qterms[r["query_id"]] if t in toks)
+        pos = toks.index(first) + 1
+        a, b = max(1, pos - w), min(len(toks), pos + w)
+        assert r["snippet"] == " ".join(toks[a - 1:b])
+        assert len(r["snippet"].split()) <= 2 * w + 1
+        assert first in r["snippet"].split()
