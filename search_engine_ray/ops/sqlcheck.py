@@ -3821,6 +3821,30 @@ def q_click_pagerank(sf_dir: str):
     return click_pagerank(sf_dir, iters=10)
 
 
+def _click_edges_ctes() -> str:
+    """ONE source for the click-graph edge derivation CTEs (ev -> evk
+    -> pairs -> edges) shared by the PageRank and triangle mirrors —
+    the edge rule cannot diverge between them."""
+    return """ev AS (
+  -- integer-token gate: TRY_CAST alone would ROUND float tokens
+  -- ('1.5' -> 2), diverging from the op's ints-only node rule
+  SELECT user_id, ts, event_id,
+         CASE WHEN regexp_matches(
+                json_extract_string(props, '$.k'), '^-?[0-9]+$')
+              THEN TRY_CAST(
+                json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events
+), evk AS (SELECT * FROM ev WHERE k IS NOT NULL),
+pairs AS (
+  SELECT k AS src,
+         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM evk
+), edges AS (
+  SELECT src, dst, count(*) AS w FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)"""
+
+
 def _pagerank_sql(iters: int = 10, scale: int = 10**12,
                   damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank mirror (recursive CTEs cannot
@@ -3847,24 +3871,7 @@ def _pagerank_sql(iters: int = 10, scale: int = 10**12,
 )""")
         prev = f"pr{t}"
     return f"""
-WITH ev AS (
-  -- integer-token gate: TRY_CAST alone would ROUND float tokens
-  -- ('1.5' -> 2), diverging from the op's ints-only node rule
-  SELECT user_id, ts, event_id,
-         CASE WHEN regexp_matches(
-                json_extract_string(props, '$.k'), '^-?[0-9]+$')
-              THEN TRY_CAST(
-                json_extract_string(props, '$.k') AS BIGINT) END AS k
-  FROM events
-), evk AS (SELECT * FROM ev WHERE k IS NOT NULL),
-pairs AS (
-  SELECT k AS src,
-         lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
-  FROM evk
-), edges AS (
-  SELECT src, dst, count(*) AS w FROM pairs WHERE dst IS NOT NULL
-  GROUP BY src, dst
-), nodes AS (
+WITH {_click_edges_ctes()}, nodes AS (
   SELECT DISTINCT node FROM
     (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
 ), outdeg AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
@@ -4388,3 +4395,26 @@ ON s.query_id = h.query_id AND s.doc_id = h.doc_id
 """
 SQL_SERP_SNIPPETS_INDEXED = SQL_SERP_SNIPPETS_INDEXED.replace(
     "{QORDER}", _serp_qorder_values())
+
+
+def q_click_triangles(sf_dir: str):
+    """Per-node triangle counts over the undirected click graph
+    (distributed edge derivation + min-node wedge check)."""
+    from search_engine_ray.ops.graph import click_triangles
+
+    return click_triangles(sf_dir)
+
+
+SQL_CLICK_TRIANGLES = f"""
+WITH {_click_edges_ctes()},
+ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+        JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, count(*)::BIGINT AS n_tri FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+GROUP BY node ORDER BY node
+"""

@@ -2108,3 +2108,32 @@ def test_serp_snippets_indexed_laws(ray_session):
         assert r["snippet"] == " ".join(toks[a - 1:b])
         assert len(r["snippet"].split()) <= 2 * w + 1
         assert first in r["snippet"].split()
+
+
+def test_click_triangles_planted(ray_session, tmp_path):
+    """A user whose clicks walk 1-2-3-1 plants exactly one triangle
+    (each corner counted once); a pure path user plants none."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.graph import click_triangles
+
+    rows = []
+    eid = 0
+    # triangle walk: 1 2 3 1  -> edges (1,2),(2,3),(1,3)
+    for k in (1, 2, 3, 1):
+        rows.append(("u1", eid, json.dumps({"k": k}))); eid += 1
+    # path walk: 10 11 12 -> no closing edge
+    for k in (10, 11, 12):
+        rows.append(("u2", eid, json.dumps({"k": k}))); eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.string()),
+        "props": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = click_triangles(str(tmp_path)).to_pandas()
+    assert dict(zip(out["node"], out["n_tri"])) == {1: 1, 2: 1, 3: 1}
