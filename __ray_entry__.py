@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_order": sq.q_epoch_order,
         # triangle counting shares click_pagerank's in-cap edge gate
         "click_triangles": sq.q_click_triangles,
+        "related_items": sq.q_related_items,
         # hashed_bow's shuffle-free per-doc map shape is gated in-cap
         # by doc_token_stats; text_knn_hashed's partial-top-k merge by
         # knn_cosine_top10
@@ -642,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "search_hit_counts": sq.SQL_SEARCH_HIT_COUNTS,
         "serp_snippets_indexed": sq.SQL_SERP_SNIPPETS_INDEXED,
         "click_triangles": sq.SQL_CLICK_TRIANGLES,
+        "related_items": sq.SQL_RELATED_ITEMS,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

@@ -70,6 +70,29 @@ def _k_value(obj) -> int | None:
     return None
 
 
+def _parse_k_batch(batch: pa.Table) -> pa.Table:
+    """(event_id, ts, user_id, k) rows for events whose props carry an
+    integer-valued top-level k (the click-graph node rule, shared by
+    every click-graph op); malformed JSON and non-integer k drop."""
+    import json
+
+    ks = np.zeros(batch.num_rows, np.int64)
+    ok = np.zeros(batch.num_rows, bool)
+    for i, s in enumerate(batch.column("props").to_pylist()):
+        try:
+            v = _k_value(json.loads(s)) if s is not None else None
+        except ValueError:
+            v = None
+        if v is not None:
+            ks[i] = v
+            ok[i] = True
+    t = pa.table({"event_id": batch.column("event_id"),
+                  "ts": batch.column("ts").cast(pa.int64()),
+                  "user_id": batch.column("user_id"),
+                  "k": pa.array(ks, pa.int64())})
+    return t.filter(pa.array(ok))
+
+
 def click_edges(sf_dir: str):
     """Directed co-visitation edges (src, dst, w): consecutive events
     of one user ordered by (ts, event_id), node = props.k (events with
@@ -79,8 +102,6 @@ def click_edges(sf_dir: str):
     user-keyed bucket shuffle; each bucket holds its users' COMPLETE
     streams, so sort+shift inside the bucket sees every consecutive
     pair; emitted rows are per-bucket (src, dst) partial counts."""
-    import json
-
     import ray.data
 
     from search_engine_ray.ops.shuffle import bucketed_apply
@@ -88,23 +109,7 @@ def click_edges(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "props"])
-
-    def parse_k(batch: pa.Table) -> pa.Table:
-        ks = np.zeros(batch.num_rows, np.int64)
-        ok = np.zeros(batch.num_rows, bool)
-        for i, s in enumerate(batch.column("props").to_pylist()):
-            try:
-                v = _k_value(json.loads(s)) if s is not None else None
-            except ValueError:
-                v = None
-            if v is not None:
-                ks[i] = v
-                ok[i] = True
-        t = pa.table({"event_id": batch.column("event_id"),
-                      "ts": batch.column("ts").cast(pa.int64()),
-                      "user_id": batch.column("user_id"),
-                      "k": pa.array(ks, pa.int64())})
-        return t.filter(pa.array(ok))
+    parse_k = _parse_k_batch
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -229,4 +234,76 @@ def click_triangles(sf_dir: str) -> pa.Table:
     return pa.table({
         "node": pa.array(nodes[nz], pa.int64()),
         "n_tri": pa.array(per[nz].astype(np.int64), pa.int64()),
+    })
+
+
+def related_items(sf_dir: str, min_co: int = 2) -> pa.Table:
+    """Item-item co-visitation similarity — the classic "people also
+    viewed" collaborative-filtering op: for every item pair some user
+    both clicked, ``co`` = users in common and ``jaccard_e6`` =
+    floor(1e6 · |A∩B| / |A∪B|) over the items' user sets (integer, so
+    both sides of the mirror agree bit-for-bit).  Distributed: ONE
+    user-keyed bucket shuffle emits per-user distinct-item pairs
+    (complete user streams per bucket), a pair-keyed bucketed sum
+    merges co-counts, and the catalog-bounded per-item user counts
+    join at the driver.  Per-user pair emission is quadratic in the
+    user's DISTINCT item count — bounded here (catalog-sized); a
+    web-scale deployment caps or samples degenerate power users and
+    reports the drop, as the near-dup ops do with hot buckets.
+
+    Returns (a, b, co, jaccard_e6), a < b, co >= ``min_co``,
+    (a, b)-ascending."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_sum, grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "props"])
+    rows = ds.map_batches(_parse_k_batch, batch_format="pyarrow")
+
+    def user_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(g["k"].to_numpy())
+        n = len(items)
+        if n < 2:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64),
+                                 "co": np.zeros(0, np.int64)})
+        iu = np.triu_indices(n, k=1)
+        return pd.DataFrame({"a": items[iu[0]], "b": items[iu[1]],
+                             "co": np.ones(len(iu[0]), np.int64)})
+
+    pair_partials = grouped_apply(rows, ["user_id"], user_pairs)
+    co = bucketed_sum(pair_partials, ["a", "b"], ["co"]).to_pandas()
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "co": pa.array([], pa.int64()),
+                      "jaccard_e6": pa.array([], pa.int64())})
+    if not len(co):
+        return empty
+    co = co[co["co"] >= min_co]
+    if not len(co):
+        return empty
+
+    def user_items(g: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(g["k"].to_numpy())
+        return pd.DataFrame({"k": items,
+                             "n": np.ones(len(items), np.int64)})
+
+    ic = bucketed_sum(grouped_apply(rows, ["user_id"], user_items),
+                      ["k"], ["n"]).to_pandas()
+    nmap = dict(zip(ic["k"], ic["n"]))
+    a = co["a"].to_numpy()
+    b = co["b"].to_numpy()
+    c = co["co"].to_numpy()
+    na = np.array([nmap[x] for x in a], np.int64)
+    nb = np.array([nmap[x] for x in b], np.int64)
+    jac = (1_000_000 * c) // (na + nb - c)
+    order = np.lexsort((b, a))
+    return pa.table({
+        "a": pa.array(a[order], pa.int64()),
+        "b": pa.array(b[order], pa.int64()),
+        "co": pa.array(c[order], pa.int64()),
+        "jaccard_e6": pa.array(jac[order], pa.int64()),
     })

@@ -4418,3 +4418,24 @@ SELECT node, count(*)::BIGINT AS n_tri FROM (
   UNION ALL SELECT z FROM tri)
 GROUP BY node ORDER BY node
 """
+
+
+def q_related_items(sf_dir: str):
+    """Item-item co-visitation Jaccard ("people also viewed")."""
+    from search_engine_ray.ops.graph import related_items
+
+    return related_items(sf_dir)
+
+
+SQL_RELATED_ITEMS = f"""
+WITH {_click_edges_ctes()},
+ui AS (SELECT DISTINCT user_id, k FROM evk),
+pc AS (SELECT x.k AS a, y.k AS b, count(*)::BIGINT AS co
+       FROM ui x JOIN ui y ON x.user_id = y.user_id AND x.k < y.k
+       GROUP BY 1, 2 HAVING count(*) >= 2),
+ic AS (SELECT k, count(*)::BIGINT AS n FROM ui GROUP BY k)
+SELECT pc.a, pc.b, pc.co,
+       (1000000 * pc.co) // (ia.n + ib.n - pc.co) AS jaccard_e6
+FROM pc JOIN ic ia ON ia.k = pc.a JOIN ic ib ON ib.k = pc.b
+ORDER BY pc.a, pc.b
+"""

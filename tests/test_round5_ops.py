@@ -2137,3 +2137,31 @@ def test_click_triangles_planted(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     out = click_triangles(str(tmp_path)).to_pandas()
     assert dict(zip(out["node"], out["n_tri"])) == {1: 1, 2: 1, 3: 1}
+
+
+def test_related_items_planted(ray_session, tmp_path):
+    """Two users sharing items {1,2} -> pair (1,2) with co=2 and
+    jaccard 1e6*2/(2+2-2)=1000000; item 3 seen by only one user forms
+    pairs below min_co and drops."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.graph import related_items
+
+    rows, eid = [], 0
+    for u, ks in (("u1", [1, 2, 3]), ("u2", [1, 2])):
+        for k in ks:
+            rows.append((u, eid, json.dumps({"k": k}))); eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.string()),
+        "props": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = related_items(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["a"], r["b"], r["co"], r["jaccard_e6"]) == (1, 2, 2, 1000000)
