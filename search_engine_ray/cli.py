@@ -147,6 +147,14 @@ def main(argv=None) -> int:
     dl.add_argument("--ids-file", required=True,
                     help="file with one engine doc id per line")
 
+    fk = sub.add_parser("fsck",
+                        help="index integrity check (manifest, stage "
+                             "layout, sampled dict<->postings "
+                             "reconciliation, docmeta, corpus stats); "
+                             "exit 1 on any failure")
+    fk.add_argument("index_dir")
+    fk.add_argument("--sample-terms", type=int, default=64)
+
     m = sub.add_parser("merge",
                        help="merge delta indexes into one (incremental "
                             "ingest; no re-parse — see index/merge.py)")
@@ -332,6 +340,18 @@ def main(argv=None) -> int:
         print(json.dumps({"n_docs": man["n_docs"],
                           "deleted_ids": man["counters"]["deleted_ids"],
                           "out": args.out_dir}))
+    elif args.cmd == "fsck":
+        from search_engine_ray.index.fsck import check_index
+
+        rep = check_index(args.index_dir,
+                          sample_terms=args.sample_terms)
+        bad = 0
+        for c, st, d in zip(rep.column("check").to_pylist(),
+                            rep.column("status").to_pylist(),
+                            rep.column("detail").to_pylist()):
+            print(f"{st:4s}  {c}: {d}")
+            bad += st != "ok"
+        return 1 if bad else 0
     elif args.cmd == "merge":
         from search_engine_ray.index.merge import merge_indexes
 

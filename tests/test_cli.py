@@ -194,3 +194,10 @@ def test_search_quoted_tier_count(cli_index, capsys):
     with pytest.raises(SystemExit):
         main(["search", cli_index, "covid", "--tier", "3", "--quoted"])
     capsys.readouterr()
+
+
+def test_fsck_cli(cli_index, capsys):
+    rc = main(["fsck", cli_index])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "postings:df" in out and "fail" not in out
