@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # triangle counting shares click_pagerank's in-cap edge gate
         "click_triangles": sq.q_click_triangles,
         "related_items": sq.q_related_items,
+        # C4 doc-level flags share quality_counts' in-cap per-doc-map gate
+        "c4_quality_flags": sq.q_c4_quality_flags,
         # hashed_bow's shuffle-free per-doc map shape is gated in-cap
         # by doc_token_stats; text_knn_hashed's partial-top-k merge by
         # knn_cosine_top10
@@ -644,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "serp_snippets_indexed": sq.SQL_SERP_SNIPPETS_INDEXED,
         "click_triangles": sq.SQL_CLICK_TRIANGLES,
         "related_items": sq.SQL_RELATED_ITEMS,
+        "c4_quality_flags": sq.SQL_C4_QUALITY_FLAGS,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

@@ -4439,3 +4439,30 @@ SELECT pc.a, pc.b, pc.co,
 FROM pc JOIN ic ia ON ia.k = pc.a JOIN ic ib ON ib.k = pc.b
 ORDER BY pc.a, pc.b
 """
+
+
+def q_c4_quality_flags(sf_dir: str):
+    """C4-style doc-level quality flags (boilerplate markers + banned
+    lexicon count + keep rule)."""
+    from search_engine_ray.ops.textstats import c4_quality_flags
+
+    return c4_quality_flags(sf_dir)
+
+
+SQL_C4_QUALITY_FLAGS = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks,
+         ' ' || array_to_string({_TOKS_SQL}, ' ') || ' ' AS j
+  FROM documents)
+SELECT doc_id,
+       contains(text, '{{') AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(j, ' javascript ') AS has_js,
+       len(list_filter(toks, x -> x IN ('slow', 'legacy')))::BIGINT
+         AS banned_n,
+       (NOT contains(text, '{{') AND NOT contains(lower(text),
+        'lorem ipsum') AND NOT contains(j, ' javascript ')
+        AND len(list_filter(toks, x -> x IN ('slow', 'legacy'))) = 0)
+         AS keep
+FROM t
+"""

@@ -2328,3 +2328,58 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en"):
             "llr_e6": pa.array(part + nt * const_e6, pa.int64())})
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+# C4-style document-level quality flags (Raffel et al. 2020 §2.2's
+# cleanup rules, doc-level subset — the line-level rules need newline
+# structure this corpus lacks): boilerplate markers (curly brace,
+# "lorem ipsum", the word "javascript") and a banned-lexicon token
+# count (C4 used a public blocklist; the default here is a small
+# PLACEHOLDER lexicon — swap in the real list via ``banned``).
+C4_DEFAULT_BANNED = ("slow", "legacy")
+
+
+def c4_quality_flags(sf_dir: str, banned=C4_DEFAULT_BANNED):
+    """(doc_id, has_brace, has_lorem, has_js, banned_n, keep) per doc —
+    one streaming map, vectorized Arrow substring kernels, lexicon
+    broadcast in the closure (ship-once; a large lexicon would ride
+    ``ray.put`` identically).  ``keep`` = no marker and zero banned
+    tokens — the C4 keep rule."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    banned = tuple(banned)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        joined = pa.array(
+            [" " + " ".join(simple_tokenize(t)) + " "
+             for t in texts.to_pylist()], pa.string())
+        has_brace = pc.match_substring(texts, "{")
+        has_lorem = pc.match_substring(
+            pc.utf8_lower(texts), "lorem ipsum")
+        has_js = pc.match_substring(joined, " javascript ")
+        # exact TOKEN counts (a substring count would miss every
+        # second occurrence in consecutive repeats — the shared space)
+        n = np.zeros(batch.num_rows, np.int64)
+        bset = frozenset(banned)
+        for i, t in enumerate(texts.to_pylist()):
+            n[i] = sum(1 for x in simple_tokenize(t) if x in bset)
+        keep = (~(has_brace.to_numpy(zero_copy_only=False)
+                  | has_lorem.to_numpy(zero_copy_only=False)
+                  | has_js.to_numpy(zero_copy_only=False))
+                & (n == 0))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "has_brace": has_brace,
+            "has_lorem": has_lorem,
+            "has_js": has_js,
+            "banned_n": pa.array(n, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(flags, batch_format="pyarrow")

@@ -2208,3 +2208,25 @@ def test_fsck_green_and_detects_corruption(ray_session, built_index,
     rep3 = check_index(bad2, sample_terms=10**9).to_pandas()
     assert (rep3["status"] == "fail").any()
 
+
+
+def test_c4_quality_flags_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.textstats import c4_quality_flags
+
+    docs = ["clean text here", "code { weird }", "Lorem Ipsum dolor",
+            "enable javascript now", "slow slow legacy path"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (c4_quality_flags(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert list(out["keep"]) == [True, False, False, False, False]
+    assert list(out["has_brace"]) == [False, True, False, False, False]
+    assert list(out["has_lorem"]) == [False, False, True, False, False]
+    assert list(out["has_js"]) == [False, False, False, True, False]
+    # EXACT token counts: 'slow slow' counts twice (substring counting
+    # on the space-joined string would miss the overlapped second one)
+    assert list(out["banned_n"]) == [0, 0, 0, 0, 3]
