@@ -442,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_items": sq.q_related_items,
         # C4 doc-level flags share quality_counts' in-cap per-doc-map gate
         "c4_quality_flags": sq.q_c4_quality_flags,
+        # rare-first retrieval shares the in-cap clean-BM25 gate family
+        "search_common_terms": sq.q_search_common_terms,
         # hashed_bow's shuffle-free per-doc map shape is gated in-cap
         # by doc_token_stats; text_knn_hashed's partial-top-k merge by
         # knn_cosine_top10
@@ -647,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "click_triangles": sq.SQL_CLICK_TRIANGLES,
         "related_items": sq.SQL_RELATED_ITEMS,
         "c4_quality_flags": sq.SQL_C4_QUALITY_FLAGS,
+        "search_common_terms": sq.SQL_SEARCH_COMMON_TERMS,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

@@ -4466,3 +4466,62 @@ SELECT doc_id,
          AS keep
 FROM t
 """
+
+
+# ------------------------------------------------ rare-first retrieval
+# Lucene CommonTermsQuery: low-df terms (df * 2 < n_docs) drive the
+# candidate set, every term scores.  The mirror queries each contain at
+# least one low-df term, so the engine's no-low-term fallback (plain
+# BM25) never fires here — it is unit-gated instead.
+_COMMON_TERMS_QUERIES = [
+    (0, "dup table scan"),
+    (1, "dup data"),
+    (2, "dup"),
+    (3, "zzznope dup query"),
+]
+
+
+def q_search_common_terms(sf_dir: str, k: int = 10):
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    return _ranked_table(
+        ((qid, list(reversed(eng.search_common_terms(q, k=k))), 1)
+         for qid, q in _COMMON_TERMS_QUERIES), idmap)
+
+
+def _common_terms_qterms_values() -> str:
+    vals = []
+    for qid, q in _COMMON_TERMS_QUERIES:
+        for t in _clean_query_terms(q):
+            vals.append(f"({qid}, '{t}')")
+    return ", ".join(vals)
+
+
+SQL_SEARCH_COMMON_TERMS = f"""
+WITH {_BM25_CORE_CTES},
+qterms(query_id, term) AS (VALUES {{QTERMS}}),
+low AS (SELECT q.query_id, q.term FROM qterms q
+        JOIN df ON q.term = df.term, stats
+        WHERE df.df * 2 < stats.n_docs),
+cand AS (SELECT DISTINCT l.query_id, tf.doc_id
+         FROM low l JOIN tf ON tf.term = l.term),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_C_EXPR} AS c
+  FROM qterms q JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT co.query_id, co.doc_id, sum(co.c) AS score
+           FROM contrib co JOIN cand
+           ON cand.query_id = co.query_id AND cand.doc_id = co.doc_id
+           GROUP BY co.query_id, co.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+"""
+SQL_SEARCH_COMMON_TERMS = SQL_SEARCH_COMMON_TERMS.replace(
+    "{QTERMS}", _common_terms_qterms_values())

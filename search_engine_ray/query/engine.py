@@ -875,6 +875,48 @@ class SearchEngine:
         ts = self._meta["ts"][pos] * found
         return _topk_reference_order(scores, cand, ts, k)
 
+    def search_common_terms(self, query_text: str, k: int = 10,
+                            df_den: int = 2):
+        """Rare-first retrieval (Lucene CommonTermsQuery): only the
+        LOW-df query terms (``df * df_den < n_docs``) drive the
+        candidate set — a head term like a stopword never unions its
+        posting list into the candidates — while scoring keeps FULL
+        BM25 contributions from every term over those candidates.
+        Candidate volume is bounded by the rare terms' dfs instead of
+        the head terms'.  A query with no low-df term falls back to
+        plain BM25 (every term drives), so the method degrades to
+        exact rather than empty."""
+        if k < 0:
+            return []
+        if k == 0:
+            k = max(self.n_docs, 1)
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        terms = list(dict.fromkeys(query))
+        self.prefetch(terms)
+        known = [t for t in terms if self.postings(t) is not None]
+        if not known:
+            return []
+        low = [t for t in known
+               if self.df_map[t] * df_den < self.n_docs]
+        drive = low or known
+        cand = np.unique(np.concatenate(
+            [self.postings(t)["doc_ids"] for t in drive]))
+        scores = np.zeros(len(cand), np.float64)
+        for t in terms:
+            pc_ = self._bm25_contrib(t)
+            if pc_ is None:
+                continue
+            ids, c = pc_
+            pos = np.searchsorted(cand, ids)
+            pos_c = np.minimum(pos, len(cand) - 1)
+            hit = cand[pos_c] == ids
+            np.add.at(scores, pos_c[hit], c[hit])
+        pos, found = self._meta_for(cand)
+        ts = self._meta["ts"][pos] * found
+        return _topk_reference_order(scores, cand, ts, k)
+
     def match_counts(self, query_text: str) -> dict:
         """Total-hit counts for a query WITHOUT ranking (the
         Elasticsearch ``track_total_hits`` surface): ``n_or`` = docs

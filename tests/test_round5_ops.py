@@ -2230,3 +2230,28 @@ def test_c4_quality_flags_planted(ray_session, tmp_path):
     # EXACT token counts: 'slow slow' counts twice (substring counting
     # on the space-joined string would miss the overlapped second one)
     assert list(out["banned_n"]) == [0, 0, 0, 0, 3]
+
+
+def test_common_terms_laws(built_index):
+    """Rare-first results are plain-BM25 results restricted to docs
+    containing a low-df term (unchanged scores); with no low-df term in
+    the query it falls back to exact BM25."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    # every fixture head term is high-df -> fallback == plain bm25
+    q = "virus covid news"
+    assert eng.search_common_terms(q, k=10) == eng.search(q, k=10,
+                                                          mode="bm25")
+    # rare + high-df pair: the head term must not drive candidates
+    rare = min(eng.df_map, key=lambda t: eng.df_map[t])
+    his = [t for t in eng.df_map
+           if eng.df_map[t] * 2 >= eng.n_docs]
+    if eng.df_map[rare] * 2 < eng.n_docs and his:
+        hi = max(his, key=lambda t: eng.df_map[t])
+        q2 = f"{rare} {hi}"
+        got = eng.search_common_terms(q2, k=0)
+        plain = eng.search(q2, k=0, mode="bm25")
+        allowed = set(eng.postings(rare)["doc_ids"].tolist())
+        assert len(allowed) < len({r[1] for r in plain})  # real pruning
+        assert got == [r for r in plain if r[1] in allowed]
