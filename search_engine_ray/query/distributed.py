@@ -296,7 +296,8 @@ class QueryShardActor:
                      phrase_terms: list[list[str]] | None = None,
                      must_ids: np.ndarray | None = None,
                      prox_pairs: list[tuple[str, str]] | None = None,
-                     prox_window: int = 8, prox_weight: float = 0.5):
+                     prox_window: int = 8, prox_weight: float = 0.5,
+                     drive_terms: list[str] | None = None):
         """Local top-k over this actor's shards; returns (score, ts, id)
         tuples (at most k).  ``ts_range``/``after``/``boosts`` mirror
         the in-process bm25 options (engine.py search): shards hold
@@ -337,6 +338,19 @@ class QueryShardActor:
             contribs = np.concatenate(contrib)
             cand, inv = np.unique(ids, return_inverse=True)
             scores = np.bincount(inv, weights=contribs, minlength=len(cand))
+            if drive_terms is not None:
+                # rare-first gate (CommonTermsQuery): candidates must
+                # hold a drive term — shard-local union, since a doc's
+                # postings live wholly in its shard
+                lists = [plists[t]["doc_ids"] for t in drive_terms
+                         if plists.get(t) is not None]
+                if not lists:
+                    return []
+                must_d = np.unique(np.concatenate(lists))
+                keep = np.isin(cand, must_d, assume_unique=True)
+                if not keep.any():
+                    return []
+                cand, scores = cand[keep], scores[keep]
             if phrase_terms:
                 from search_engine_ray.query.engine import (
                     intersect_candidates,
@@ -686,6 +700,36 @@ class DistributedSearchEngine:
                                          orig_small, prox_pairs=pairs,
                                          prox_window=window,
                                          prox_weight=weight)
+                   for a in self.actors]
+        merged = [t for part in ray.get(futures) for t in part]
+        merged.sort(key=lambda t: (t[0], t[1], t[2]))
+        top = merged[-k:] if k <= len(merged) else merged
+        return [(s, d, ts) for s, ts, d in top]
+
+    def search_common_terms(self, query_text: str, k: int = 10,
+                            df_den: int = 2):
+        """Distributed rare-first retrieval — rank-identical to the
+        in-process SearchEngine.search_common_terms.  The low-df
+        classification uses the GLOBAL dictionary at the driver; the
+        candidate gate is shard-local (a doc's postings live wholly in
+        its shard), so the merged result is exact."""
+        if k < 0:
+            return []
+        if k == 0:
+            k = max(self.n_docs, 1)
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        terms = list(dict.fromkeys(query))
+        known = [t for t in terms if t in self.df_map]
+        if not known:
+            return []
+        low = [t for t in known
+               if self.df_map[t] * df_den < self.n_docs]
+        drive = low or known
+        df_small, orig_small = self._ship_maps(terms)
+        futures = [a.search_local.remote(query, k, "bm25", df_small,
+                                         orig_small, drive_terms=drive)
                    for a in self.actors]
         merged = [t for part in ray.get(futures) for t in part]
         merged.sort(key=lambda t: (t[0], t[1], t[2]))

@@ -152,3 +152,14 @@ def test_distributed_tiered_matches_inprocess(dist_engine, engine):
 def test_distributed_match_counts(dist_engine, engine):
     for q in list(gen_queries()) + ["zzznotaterm virus", "", "the"]:
         assert dist_engine.match_counts(q) == engine.match_counts(q), q
+
+
+def test_distributed_common_terms_matches_inprocess(dist_engine, engine):
+    rare = min(engine.df_map, key=lambda t: engine.df_map[t])
+    for q in list(gen_queries()) + [f"{rare} virus covid", rare,
+                                    "zzznotaterm"]:
+        a = engine.search_common_terms(q, k=10)
+        b = dist_engine.search_common_terms(q, k=10)
+        assert [(d, ts) for _, d, ts in a] == [(d, ts) for _, d, ts in b], q
+        for (sa, _, _), (sb, _, _) in zip(a, b):
+            assert abs(sa - sb) < 1e-9, q
