@@ -89,6 +89,9 @@ def main(argv=None) -> int:
     s.add_argument("--count", action="store_true",
                    help="print exact OR/AND total-hit counts instead "
                         "of ranked results")
+    s.add_argument("--rare-first", action="store_true",
+                   help="CommonTermsQuery: only low-df terms drive "
+                        "the candidate set (head terms still score)")
 
     ex = sub.add_parser("explain",
                         help="run a query through block-max WAND and "
@@ -213,7 +216,7 @@ def main(argv=None) -> int:
             # convention as the --since/--pages validation above)
             if (args.mode != "bm25" or args.fuzzy or args.tier is not None
                     or args.quoted or ts_range is not None or boosts
-                    or synonyms or args.pages > 1):
+                    or synonyms or args.pages > 1 or args.rare_first):
                 ap.error("--count takes no other serving flags")
             c = eng.match_counts(qtext)
             print(f"any-term matches: {c['n_or']}, "
@@ -227,8 +230,20 @@ def main(argv=None) -> int:
                          "--synonym)")
             if args.tier <= 0:
                 ap.error("--tier M must be a positive champion-list size")
+            if args.rare_first:
+                ap.error("--tier and --rare-first are exclusive "
+                         "candidate-pruning strategies")
             res = eng.search_tiered(qtext, k=args.k, m=args.tier,
                                     fuzzy=args.fuzzy)
+            for score, doc_id, ts in reversed(res):
+                print(f"doc id: {doc_id}, score: {score}")
+            return 0
+        if args.rare_first:
+            if (args.mode != "bm25" or args.quoted or args.pages > 1
+                    or ts_range is not None or boosts or synonyms
+                    or args.fuzzy):
+                ap.error("--rare-first supports only plain --mode bm25")
+            res = eng.search_common_terms(qtext, k=args.k)
             for score, doc_id, ts in reversed(res):
                 print(f"doc id: {doc_id}, score: {score}")
             return 0

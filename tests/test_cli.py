@@ -201,3 +201,13 @@ def test_fsck_cli(cli_index, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "postings:df" in out and "fail" not in out
+
+
+def test_search_rare_first_flag(cli_index, capsys):
+    rc = main(["search", cli_index, "covid", "vaccine", "--rare-first",
+               "--k", "5"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip()
+    with pytest.raises(SystemExit):
+        main(["search", cli_index, "covid", "--rare-first", "--tier", "3"])
+    capsys.readouterr()
