@@ -917,6 +917,51 @@ class SearchEngine:
         ts = self._meta["ts"][pos] * found
         return _topk_reference_order(scores, cand, ts, k)
 
+    def candidate_stats(self, query_text: str, m: int = 32,
+                        df_den: int = 2) -> dict:
+        """Observability for the candidate-pruning strategies: how many
+        docs each retrieval mode would SCORE for this query — ``plain``
+        (full posting union), ``tiered`` (champion lists at ``m``),
+        ``rare_first`` (low-df drive set at ``df_den``).  The tuning
+        surface for --tier/--rare-first: a head-term query shows
+        tiered/rare candidate volumes orders of magnitude below plain
+        while the laws (tiered ⊆ plain, rare ⊆ plain) always hold."""
+        query, _, _ = self.parser.parse_sentence(query_text)
+        terms = list(dict.fromkeys(query))
+        if not terms:
+            return {"plain": 0, "tiered": 0, "rare_first": 0}
+        self.prefetch(terms)
+        lists = [self.postings(t)["doc_ids"] for t in terms
+                 if self.postings(t) is not None]
+        plain = (len(np.unique(np.concatenate(lists))) if lists else 0)
+        # candidate sets directly (no scoring): champions + drive union
+        champ = []
+        for t in terms:
+            p = self.postings(t)
+            if p is None:
+                continue
+            ids = p["doc_ids"]
+            if len(ids) > m:
+                bym = p.setdefault("champ", {})
+                got = bym.get(m)
+                if got is None:
+                    pos, found = self._meta_for(ids)
+                    ts = self._meta["ts"][pos] * found
+                    order = np.lexsort((ids, ts, -p["tfs"]))[:m]
+                    got = bym[m] = np.sort(ids[order])
+                ids = got
+            champ.append(ids)
+        tiered = (len(np.unique(np.concatenate(champ))) if champ else 0)
+        known = [t for t in terms if self.postings(t) is not None]
+        low = [t for t in known
+               if self.df_map[t] * df_den < self.n_docs]
+        drive = low or known
+        rare = (len(np.unique(np.concatenate(
+            [self.postings(t)["doc_ids"] for t in drive])))
+            if drive else 0)
+        return {"plain": int(plain), "tiered": int(tiered),
+                "rare_first": int(rare)}
+
     def match_counts(self, query_text: str) -> dict:
         """Total-hit counts for a query WITHOUT ranking (the
         Elasticsearch ``track_total_hits`` surface): ``n_or`` = docs

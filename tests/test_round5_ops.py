@@ -2255,3 +2255,20 @@ def test_common_terms_laws(built_index):
         allowed = set(eng.postings(rare)["doc_ids"].tolist())
         assert len(allowed) < len({r[1] for r in plain})  # real pruning
         assert got == [r for r in plain if r[1] in allowed]
+
+
+def test_candidate_stats_laws(built_index):
+    """tiered and rare_first candidate volumes never exceed plain, and
+    a small m really prunes a multi-term head query."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    st = eng.candidate_stats("virus covid news people", m=3)
+    assert 0 < st["tiered"] <= st["plain"]
+    assert 0 < st["rare_first"] <= st["plain"]
+    assert st["tiered"] <= 4 * 3
+    assert eng.candidate_stats("") == {"plain": 0, "tiered": 0,
+                                       "rare_first": 0}
+    # tiered candidate count equals the distinct docs search_tiered scores
+    res = eng.search_tiered("virus covid news people", k=0, m=3)
+    assert st["tiered"] == len({d for _, d, _ in res})
