@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_quality_flags": sq.q_c4_quality_flags,
         # rare-first retrieval shares the in-cap clean-BM25 gate family
         "search_common_terms": sq.q_search_common_terms,
+        # splits share the fingerprint/md5 + component gate families
+        "train_test_split": sq.q_train_test_split,
+        "leakage_safe_split": sq.q_leakage_safe_split,
         # hashed_bow's shuffle-free per-doc map shape is gated in-cap
         # by doc_token_stats; text_knn_hashed's partial-top-k merge by
         # knn_cosine_top10
@@ -650,6 +653,8 @@ def oracle_sql() -> dict[str, str]:
         "related_items": sq.SQL_RELATED_ITEMS,
         "c4_quality_flags": sq.SQL_C4_QUALITY_FLAGS,
         "search_common_terms": sq.SQL_SEARCH_COMMON_TERMS,
+        "train_test_split": sq.SQL_TRAIN_TEST_SPLIT,
+        "leakage_safe_split": sq.SQL_LEAKAGE_SAFE_SPLIT,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

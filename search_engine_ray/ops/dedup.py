@@ -1310,3 +1310,88 @@ def near_dup_cluster_sizes(sf_dir: str, threshold: float = 0.6):
         return batch.filter(pc.greater(batch.column("n_clusters"), 0))
 
     return merged.map_batches(drop_zero, batch_format="pyarrow")
+
+
+def _split_name(bucket: np.ndarray, test_pct: int, val_pct: int):
+    out = np.where(bucket < test_pct, "test",
+                   np.where(bucket < test_pct + val_pct, "val",
+                            "train"))
+    return out
+
+
+def train_test_split(sf_dir: str, test_pct: int = 10, val_pct: int = 10,
+                     seed: str = "s1", leakage_safe: bool = False,
+                     threshold: float = 0.6):
+    """Deterministic train/val/test assignment (the split every
+    training pipeline needs): bucket = first-4-bytes-of-md5 of
+    ``"{seed}:{key}"`` mod 100 — reproducible from the seed alone, new
+    seed = fresh independent split, no random state to ship.
+
+    ``leakage_safe=True`` keys the hash by each doc's NEAR-DUP
+    COMPONENT root instead of its own id, so near-duplicate docs can
+    never straddle train and test (the eval-contamination trap:
+    hash-by-doc-id puts two 0.9-Jaccard copies of the same page on
+    opposite sides of the split) — composition of the minhash-LSH pair
+    generation + distributed min-label components + a doc_id-keyed
+    tagged-union attach; everything stays distributed.
+
+    Returns a Dataset (doc_id, bucket, split) sorted within buckets."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+
+    ids = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        import hashlib as _h
+
+        return np.array(
+            [int.from_bytes(_h.md5(f"{seed}:{k}".encode())
+                            .digest()[:4], "big") % 100
+             for k in keys], np.int64)
+
+    if not leakage_safe:
+        def assign(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy()
+            b = bucket_of(d)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(b, pa.int64()),
+                "split": pa.array(_split_name(b, test_pct, val_pct),
+                                  pa.string())})
+
+        return ids.map_batches(assign, batch_format="pyarrow")
+
+    pairs = minhash_near_dup_pairs(sf_dir, threshold=threshold)
+    labels = connected_min_labels(pairs)
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        return pa.table({"doc_id": d,
+                         "label": pa.array(
+                             np.full(len(d), -1, np.int64)),
+                         "side": pa.array(
+                             np.zeros(len(d), np.int8))})
+
+    def label_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "label": batch.column("label"),
+                         "side": pa.array(
+                             np.ones(batch.num_rows, np.int8))})
+
+    tagged = (ids.map_batches(corpus_side, batch_format="pyarrow")
+              .union(labels.map_batches(label_side,
+                                        batch_format="pyarrow")))
+
+    def attach(g: "pd.DataFrame") -> "pd.DataFrame":
+        lab = g[g["side"] == 1].set_index("doc_id")["label"]
+        corpus = g[g["side"] == 0]["doc_id"].to_numpy()
+        key = np.array([int(lab.get(d, d)) for d in corpus], np.int64)
+        b = bucket_of(key)
+        return pd.DataFrame({
+            "doc_id": corpus, "bucket": b,
+            "split": _split_name(b, test_pct, val_pct)})
+
+    return bucketed_apply(tagged, ["doc_id"], attach)

@@ -4525,3 +4525,46 @@ FROM ranked WHERE rank <= 10
 """
 SQL_SEARCH_COMMON_TERMS = SQL_SEARCH_COMMON_TERMS.replace(
     "{QTERMS}", _common_terms_qterms_values())
+
+
+def q_train_test_split(sf_dir: str):
+    """Deterministic hash split (doc-keyed)."""
+    from search_engine_ray.ops.dedup import train_test_split
+
+    return train_test_split(sf_dir)
+
+
+SQL_TRAIN_TEST_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(concat('s1:', doc_id)), 1, 8)
+              AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split
+FROM b
+"""
+
+
+def q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe split: hash keyed by near-dup component root, so
+    near-duplicates never straddle train/test."""
+    from search_engine_ray.ops.dedup import train_test_split
+
+    return train_test_split(sf_dir, leakage_safe=True)
+
+
+SQL_LEAKAGE_SAFE_SPLIT = f"""
+{_NEARDUP_CTES},
+keyd AS (SELECT d.doc_id, COALESCE(roots.root, d.doc_id) AS key
+         FROM documents d LEFT JOIN roots ON d.doc_id = roots.x),
+b AS (SELECT doc_id,
+             CAST('0x' || substr(md5(concat('s1:', key)), 1, 8)
+                  AS BIGINT) % 100 AS bucket
+      FROM keyd)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split
+FROM b
+"""

@@ -2272,3 +2272,38 @@ def test_candidate_stats_laws(built_index):
     # tiered candidate count equals the distinct docs search_tiered scores
     res = eng.search_tiered("virus covid news people", k=0, m=3)
     assert st["tiered"] == len({d for _, d, _ in res})
+
+
+def test_train_test_split_laws(ray_session):
+    """Reproducible; ratios roughly honored; reseed changes the split;
+    leakage-safe puts every near-dup component entirely in ONE split."""
+    from search_engine_ray.ops.dedup import (
+        connected_min_labels,
+        minhash_near_dup_pairs,
+        train_test_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = train_test_split(sf).to_pandas().sort_values("doc_id")
+    b = train_test_split(sf).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    frac = (a["split"] == "train").mean()
+    assert 0.6 < frac < 0.95
+    c = train_test_split(sf, seed="other").to_pandas().sort_values(
+        "doc_id")
+    assert not (a["split"].to_numpy()
+                == c["split"].to_numpy()).all()
+
+    safe = train_test_split(sf, leakage_safe=True).to_pandas()
+    smap = dict(zip(safe["doc_id"], safe["split"]))
+    labels = connected_min_labels(
+        minhash_near_dup_pairs(sf, threshold=0.6)).to_pandas()
+    comp: dict = {}
+    for n, l in zip(labels["node"], labels["label"]):
+        comp.setdefault(l, []).append(n)
+    n_multi = 0
+    for l, members in comp.items():
+        splits = {smap[m] for m in members} | {smap[l]}
+        assert len(splits) == 1, (l, splits)
+        n_multi += len(members) > 0
+    assert n_multi > 0  # the fixture corpus really has near-dups
