@@ -4568,3 +4568,34 @@ SELECT doc_id, bucket,
             WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split
 FROM b
 """
+
+
+def q_ngram_diversity(sf_dir: str):
+    """Distinct-n corpus diversity report (n=1..3)."""
+    from search_engine_ray.ops.textstats import ngram_diversity
+
+    return ngram_diversity(sf_dir)
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH tl AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+tk AS (SELECT doc_id, unnest(t) AS x,
+              generate_subscripts(t, 1) AS pos FROM tl),
+g1 AS (SELECT x AS g FROM tk),
+g2 AS (SELECT a.x || ' ' || b.x AS g FROM tk a
+       JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+g3 AS (SELECT a.x || ' ' || b.x || ' ' || c.x AS g FROM tk a
+       JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+u AS (
+  SELECT 1 AS n, count(*)::BIGINT AS total,
+         count(DISTINCT g)::BIGINT AS n_distinct FROM g1
+  UNION ALL
+  SELECT 2, count(*), count(DISTINCT g) FROM g2
+  UNION ALL
+  SELECT 3, count(*), count(DISTINCT g) FROM g3)
+SELECT n::BIGINT AS n, total, n_distinct,
+       CASE WHEN total > 0 THEN (1000000 * n_distinct) // total
+            ELSE 0 END::BIGINT AS ratio_e6
+FROM u ORDER BY n
+"""

@@ -2383,3 +2383,75 @@ def c4_quality_flags(sf_dir: str, banned=C4_DEFAULT_BANNED):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def ngram_diversity(sf_dir: str, max_n: int = 3):
+    """Corpus diversity report (distinct-n): per n in 1..max_n the
+    total n-gram count, the EXACT distinct n-gram count, and
+    floor(1e6·distinct/total) — the repetition/diversity health metric
+    training-data pipelines track (synthetic-data mode collapse shows
+    up as a falling distinct-2/3 ratio).  Distributed: per-batch
+    DISTINCT (n, gram) rows into one gram-keyed bucket dedup (exact
+    global distinct without a driver set), totals as integer partial
+    sums; the driver sees buckets x n rows."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_ray.ops.shuffle import bucketed_apply
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ns, gs = [], []
+        totals = np.zeros(max_n + 1, np.int64)
+        for t in batch.column("text").to_pylist():
+            toks = simple_tokenize(t)
+            for n in range(1, max_n + 1):
+                cnt = max(len(toks) - n + 1, 0)
+                totals[n] += cnt
+                if cnt:
+                    seen = {" ".join(toks[i:i + n])
+                            for i in range(cnt)}
+                    gs.extend(seen)
+                    ns.extend([n] * len(seen))
+        # totals ride as reserved rows (gram='', one per n per batch)
+        for n in range(1, max_n + 1):
+            ns.append(-n)
+            gs.append(str(totals[n]))
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "gram": pa.array(gs, pa.string())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g[g["n"] > 0].drop_duplicates(["n", "gram"])
+        part = (cnt.groupby("n", sort=False).size()
+                .rename("n_distinct").reset_index())
+        tot = g[g["n"] < 0].copy()
+        if len(tot):
+            t2 = pd.DataFrame({
+                "n": -tot["n"].to_numpy(),
+                "total": tot["gram"].astype(np.int64).to_numpy()})
+            t2 = t2.groupby("n", sort=False)["total"].sum().reset_index()
+        else:
+            t2 = pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                               "total": pd.Series([], dtype="int64")})
+        out = part.merge(t2, on="n", how="outer").fillna(0)
+        return out.astype({"n": np.int64, "n_distinct": np.int64,
+                           "total": np.int64})
+
+    parts = bucketed_apply(ds.map_batches(gram_rows,
+                                          batch_format="pyarrow"),
+                           ["n", "gram"], per_bucket).to_pandas()
+    agg = parts.groupby("n")[["n_distinct", "total"]].sum().reset_index()
+    agg = agg.sort_values("n")
+    n_ = agg["n"].to_numpy()
+    d_ = agg["n_distinct"].to_numpy()
+    t_ = agg["total"].to_numpy()
+    ratio = np.where(t_ > 0, (1_000_000 * d_) // np.maximum(t_, 1), 0)
+    return pa.table({
+        "n": pa.array(n_, pa.int64()),
+        "total": pa.array(t_, pa.int64()),
+        "n_distinct": pa.array(d_, pa.int64()),
+        "ratio_e6": pa.array(ratio.astype(np.int64), pa.int64()),
+    })

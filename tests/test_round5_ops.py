@@ -2307,3 +2307,22 @@ def test_train_test_split_laws(ray_session):
         assert len(splits) == 1, (l, splits)
         n_multi += len(members) > 0
     assert n_multi > 0  # the fixture corpus really has near-dups
+
+
+def test_ngram_diversity_planted(ray_session, tmp_path):
+    """'a a a a' has 4 unigrams/1 distinct, 3 bigrams/1 distinct; a
+    fully distinct doc scores ratio 1e6."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.ops.textstats import ngram_diversity
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a a a a", "w x y z"], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (ngram_diversity(str(tmp_path)).to_pandas()
+           .set_index("n").sort_index())
+    assert (out.loc[1, "total"], out.loc[1, "n_distinct"]) == (8, 5)
+    assert (out.loc[2, "total"], out.loc[2, "n_distinct"]) == (6, 4)
+    assert (out.loc[3, "total"], out.loc[3, "n_distinct"]) == (4, 3)
+    assert out.loc[1, "ratio_e6"] == (1_000_000 * 5) // 8
