@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": sq.q_train_test_split,
         "leakage_safe_split": sq.q_leakage_safe_split,
         "ngram_diversity": sq.q_ngram_diversity,
+        # instant search shares the clean-BM25 + autocomplete gates
+        "search_as_you_type": sq.q_search_as_you_type,
         # hashed_bow's shuffle-free per-doc map shape is gated in-cap
         # by doc_token_stats; text_knn_hashed's partial-top-k merge by
         # knn_cosine_top10
@@ -657,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "train_test_split": sq.SQL_TRAIN_TEST_SPLIT,
         "leakage_safe_split": sq.SQL_LEAKAGE_SAFE_SPLIT,
         "ngram_diversity": sq.SQL_NGRAM_DIVERSITY,
+        "search_as_you_type": sq.SQL_SEARCH_AS_YOU_TYPE,
         "source_quality_centroids": sq.SQL_SOURCE_QUALITY_CENTROIDS,
         "customer_order_ranks": sq.SQL_CUSTOMER_ORDER_RANKS,
         "term_cooccurrence_pmi": sq.SQL_TERM_COOCCURRENCE_PMI,

@@ -4599,3 +4599,70 @@ SELECT n::BIGINT AS n, total, n_distinct,
             ELSE 0 END::BIGINT AS ratio_e6
 FROM u ORDER BY n
 """
+
+
+# ----------------------------------------------- search-as-you-type
+# Instant search: the last token is a prefix being typed, OR-expanded
+# to its top-3 dictionary completions by (df desc, term asc); head
+# terms score as usual.  Fully deterministic, so the composition is
+# value-hash-checked end to end.
+_SAYT_QUERIES = [
+    (0, "spark jo"),
+    (1, "data quer"),
+    (2, "zz"),          # no completion, unknown prefix -> no rows
+    (3, "merge"),       # single token: pure prefix query
+]
+
+
+def q_search_as_you_type(sf_dir: str, k: int = 10):
+    from search_engine_ray.query.engine import SearchEngine
+
+    index, idmap = _clean_index(sf_dir)
+    eng = SearchEngine(index)
+    return _ranked_table(
+        ((qid, list(reversed(eng.search_as_you_type(q, k=k))), 1)
+         for qid, q in _SAYT_QUERIES), idmap)
+
+
+def _sayt_values() -> tuple[str, str]:
+    heads, pres = [], []
+    for qid, q in _SAYT_QUERIES:
+        terms = _clean_query_terms(q)
+        if not terms:
+            continue
+        *head, pre = terms
+        for t in dict.fromkeys(head):
+            heads.append(f"({qid}, '{t}')")
+        pres.append(f"({qid}, '{pre}')")
+    return ", ".join(heads) or "(-1, '')", ", ".join(pres)
+
+
+SQL_SEARCH_AS_YOU_TYPE = f"""
+WITH {_BM25_CORE_CTES},
+qhead(query_id, term) AS (VALUES {{QHEAD}}),
+qpre(query_id, pre) AS (VALUES {{QPRE}}),
+comp AS (SELECT q.query_id, d.term,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY d.df DESC, d.term ASC)
+                    AS rn
+         FROM qpre q JOIN df d ON d.term LIKE q.pre || '%'),
+qterms AS (SELECT query_id, term FROM qhead WHERE query_id >= 0
+           UNION
+           SELECT query_id, term FROM comp WHERE rn <= 3),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_C_EXPR} AS c
+  FROM qterms q JOIN df ON q.term = df.term
+  JOIN tf ON tf.term = q.term JOIN docs d ON d.doc_id = tf.doc_id, stats),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id DESC)
+                      AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, round(score * 1000000)::BIGINT AS score_e6
+FROM ranked WHERE rank <= 10
+"""
+_H, _P = _sayt_values()
+SQL_SEARCH_AS_YOU_TYPE = (SQL_SEARCH_AS_YOU_TYPE
+                          .replace("{QHEAD}", _H).replace("{QPRE}", _P))

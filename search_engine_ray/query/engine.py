@@ -917,6 +917,30 @@ class SearchEngine:
         ts = self._meta["ts"][pos] * found
         return _topk_reference_order(scores, cand, ts, k)
 
+    def search_as_you_type(self, query_text: str, k: int = 10,
+                           max_expansions: int = 3):
+        """Instant search (Elasticsearch search_as_you_type shape): the
+        LAST query token is treated as a prefix still being typed and
+        OR-expanded to its top-``max_expansions`` dictionary
+        completions by (df desc, term asc — the autocomplete rule,
+        X117); completed head terms score as usual.  A prefix with no
+        completion behaves as an unknown term (results fall back to
+        the head terms' ranking).  Deterministic, so the whole
+        composition is SQL-mirrorable."""
+        if k < 0:
+            return []
+        if k == 0:
+            k = max(self.n_docs, 1)
+        query, _, _ = self.parser.parse_sentence(query_text)
+        if not query:
+            return []
+        *head, pre = query
+        comps = sorted(
+            (t for t in self.df_map if t.startswith(pre)),
+            key=lambda t: (-self.df_map[t], t))[:max_expansions]
+        terms = list(dict.fromkeys(head + (comps or [pre])))
+        return self._search_bm25_taat(terms, k)
+
     def candidate_stats(self, query_text: str, m: int = 32,
                         df_den: int = 2) -> dict:
         """Observability for the candidate-pruning strategies: how many

@@ -2326,3 +2326,24 @@ def test_ngram_diversity_planted(ray_session, tmp_path):
     assert (out.loc[2, "total"], out.loc[2, "n_distinct"]) == (6, 4)
     assert (out.loc[3, "total"], out.loc[3, "n_distinct"]) == (4, 3)
     assert out.loc[1, "ratio_e6"] == (1_000_000 * 5) // 8
+
+
+def test_search_as_you_type_laws(built_index):
+    """A complete last word equals plain BM25 when it is its own best
+    completion; an impossible prefix degrades to the head ranking."""
+    from search_engine_ray.query.engine import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    # 'virus' is a dict term; with itself ranked among top completions
+    # of 'virus' (exact prefix match), expansion = {virus, ...} —
+    # results must be a superset-ranking over plain; with a UNIQUE
+    # completion it must equal plain exactly
+    full = min((t for t in eng.df_map), key=len)
+    comps = [t for t in eng.df_map if t.startswith(full)]
+    if len(comps) == 1:
+        assert eng.search_as_you_type(full, k=5) == eng.search(
+            full, k=5, mode="bm25")
+    # impossible prefix: equals the head-only ranking
+    assert eng.search_as_you_type("virus zzqx", k=5) == eng.search(
+        "virus", k=5, mode="bm25")
+    assert eng.search_as_you_type("zzqx", k=5) == []
