@@ -7,9 +7,11 @@ sample, per-term posting invariants (sorted unique doc ids, tf ≥ 1,
 tf ≤ dl, positions aligned with the tf stream), the docmeta row count
 and id uniqueness, and the manifest's corpus statistics against the
 docmeta stage.  Sampled checks read ONLY the row groups holding the
-sampled terms (the engine's own pruned prefetch) — cost is
-O(sample), never a full index scan, so the same tool runs against a
-10^12-doc index.
+sampled terms (the engine's own pruned prefetch); the docmeta pass
+STREAMS per file with O(1) accumulators (global id uniqueness keeps
+ids only below a bounded cap, degrading to per-file uniqueness above
+it) — the driver never materializes a corpus-sized table, so the same
+tool runs against a 10^12-doc index.
 
 Every check is try/except-isolated: a corrupt file yields a ``fail``
 row with the exception, never a crash (the quarantine convention,
@@ -119,24 +121,56 @@ def check_index(out_dir: str, sample_terms: int = 64,
             out.append(("postings:sample", "fail",
                         f"{type(e).__name__}: {e}"))
 
-    # 5. docmeta: row count == manifest n_docs, ids unique
+    # 5. docmeta: row count == manifest n_docs, ids unique — STREAMED
+    # per file (the driver never holds the docmeta table: at crawl
+    # scale docmeta is corpus-sized, index/merge.py's rule).  Row
+    # counts and the dl sum are O(1) accumulators; global id
+    # uniqueness keeps ids only up to ``unique_cap`` rows (64 MB at
+    # the default) and degrades to per-file uniqueness + a total-count
+    # cross-check above it, reported as such.
+    unique_cap = 8_000_000
     try:
-        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
 
         d = mf.stage_dir(out_dir, "docmeta")
-        fs = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        fs = sorted(glob.glob(os.path.join(d, "**", "*.parquet"),
+                              recursive=True))
         if fs:
-            t = pads.dataset(d, partitioning="hive").to_table(
-                columns=["doc_id", "doc_length"])
-            ids = t.column("doc_id").to_numpy()
-            add("docmeta:rows", len(ids) == man["n_docs"],
-                f"{len(ids)} rows vs manifest n_docs={man['n_docs']}")
-            add("docmeta:unique", len(np.unique(ids)) == len(ids),
-                f"{len(ids) - len(np.unique(ids))} duplicate doc ids")
-            # 6. corpus stats reconcile (exact integer sum)
-            dls = t.column("doc_length").to_numpy()
-            nz = int((dls > 0).sum())
-            want = (float(dls[dls > 0].sum()) / nz) if nz else 0.0
+            n_rows = 0
+            dl_sum = 0
+            id_chunks: "list[np.ndarray] | None" = []
+            per_file_dup = 0
+            for f in fs:
+                pf = pq.ParquetFile(f)
+                file_ids = []
+                for b in pf.iter_batches(columns=["doc_id",
+                                                  "doc_length"]):
+                    ids = b.column(0).to_numpy()
+                    n_rows += len(ids)
+                    dl_sum += int(b.column(1).to_numpy().sum())
+                    file_ids.append(np.asarray(ids))
+                if file_ids:
+                    fid = np.concatenate(file_ids)
+                    per_file_dup += int(len(fid) - len(np.unique(fid)))
+                    if id_chunks is not None:
+                        id_chunks.append(fid)
+                        if n_rows > unique_cap:
+                            id_chunks = None  # too big: bounded mode
+            add("docmeta:rows", n_rows == man["n_docs"],
+                f"{n_rows} rows vs manifest n_docs={man['n_docs']}")
+            if id_chunks is not None:
+                allids = np.concatenate(id_chunks)
+                dup = len(allids) - len(np.unique(allids))
+                add("docmeta:unique", dup == 0,
+                    f"{dup} duplicate doc ids (exact)")
+            else:
+                add("docmeta:unique", per_file_dup == 0,
+                    f"per-file check only (> {unique_cap} rows): "
+                    f"{per_file_dup} intra-file duplicates")
+            # 6. corpus stats reconcile (exact integer sum; the build
+            # never emits doc_length == 0 rows, so the mean is over
+            # all rows)
+            want = (dl_sum / n_rows) if n_rows else 0.0
             got = float(man["avg_doc_length"])
             add("stats:avg_dl", abs(want - got) < 1e-9,
                 f"manifest {got} vs docmeta {want}")

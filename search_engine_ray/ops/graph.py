@@ -261,7 +261,12 @@ def related_items(sf_dir: str, min_co: int = 2) -> pa.Table:
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "props"])
-    rows = ds.map_batches(_parse_k_batch, batch_format="pyarrow")
+    # materialize the parsed rows once: two downstream pipelines (pair
+    # counts + per-item user counts) would otherwise each re-run the
+    # scan AND the per-event JSON parse; the parsed table is narrow
+    # (4 fixed-width-ish columns) and object-store-resident
+    rows = ds.map_batches(_parse_k_batch,
+                          batch_format="pyarrow").materialize()
 
     def user_pairs(g: pd.DataFrame) -> pd.DataFrame:
         items = np.unique(g["k"].to_numpy())

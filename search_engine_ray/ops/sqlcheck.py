@@ -4625,16 +4625,24 @@ def q_search_as_you_type(sf_dir: str, k: int = 10):
 
 
 def _sayt_values() -> tuple[str, str]:
+    from search_engine_ray.text.stopwords import STOPWORDS
+    from search_engine_ray.text.tokenizer import simple_tokenize
+
     heads, pres = [], []
     for qid, q in _SAYT_QUERIES:
-        terms = _clean_query_terms(q)
-        if not terms:
+        # split head/prefix BEFORE dedup — the engine expands the
+        # actual LAST-TYPED token even when it repeats an earlier one
+        toks = [t for t in simple_tokenize(q)
+                if t.isalpha() and t not in _CLEAN_DROP
+                and t not in STOPWORDS]
+        if not toks:
             continue
-        *head, pre = terms
+        *head, pre = toks
         for t in dict.fromkeys(head):
             heads.append(f"({qid}, '{t}')")
         pres.append(f"({qid}, '{pre}')")
-    return ", ".join(heads) or "(-1, '')", ", ".join(pres)
+    return (", ".join(heads) or "(-1, '')",
+            ", ".join(pres) or "(-1, '')")
 
 
 SQL_SEARCH_AS_YOU_TYPE = f"""
@@ -4645,7 +4653,8 @@ comp AS (SELECT q.query_id, d.term,
                 row_number() OVER (PARTITION BY q.query_id
                                    ORDER BY d.df DESC, d.term ASC)
                     AS rn
-         FROM qpre q JOIN df d ON d.term LIKE q.pre || '%'),
+         FROM qpre q JOIN df d ON d.term LIKE q.pre || '%'
+         WHERE q.query_id >= 0),
 qterms AS (SELECT query_id, term FROM qhead WHERE query_id >= 0
            UNION
            SELECT query_id, term FROM comp WHERE rn <= 3),

@@ -2354,19 +2354,21 @@ def c4_quality_flags(sf_dir: str, banned=C4_DEFAULT_BANNED):
 
     def flags(batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
-        joined = pa.array(
-            [" " + " ".join(simple_tokenize(t)) + " "
-             for t in texts.to_pylist()], pa.string())
+        # tokenize ONCE per doc — both the joined string and the exact
+        # banned TOKEN counts (a substring count would miss every
+        # second occurrence in consecutive repeats) derive from it
+        bset = frozenset(banned)
+        n = np.zeros(batch.num_rows, np.int64)
+        joined_l = []
+        for i, t in enumerate(texts.to_pylist()):
+            toks = simple_tokenize(t)
+            joined_l.append(" " + " ".join(toks) + " ")
+            n[i] = sum(1 for x in toks if x in bset)
+        joined = pa.array(joined_l, pa.string())
         has_brace = pc.match_substring(texts, "{")
         has_lorem = pc.match_substring(
             pc.utf8_lower(texts), "lorem ipsum")
         has_js = pc.match_substring(joined, " javascript ")
-        # exact TOKEN counts (a substring count would miss every
-        # second occurrence in consecutive repeats — the shared space)
-        n = np.zeros(batch.num_rows, np.int64)
-        bset = frozenset(banned)
-        for i, t in enumerate(texts.to_pylist()):
-            n[i] = sum(1 for x in simple_tokenize(t) if x in bset)
         keep = (~(has_brace.to_numpy(zero_copy_only=False)
                   | has_lorem.to_numpy(zero_copy_only=False)
                   | has_js.to_numpy(zero_copy_only=False))

@@ -89,6 +89,10 @@ class _EngineWorker:
         results stay identical to the in-process engine per query."""
         o = dict(opts or {})
         tier = o.pop("tier", None)
+        if tier is not None and set(o) - {"fuzzy"}:
+            raise ValueError(
+                "tier composes only with fuzzy; other serving options "
+                f"would be silently dropped: {sorted(set(o) - {'fuzzy'})}")
         rows = {"query_id": [], "rank": [], "doc_id": [], "score": [],
                 "warc_ts": []}
         for qid, text in zip(batch.column("query_id").to_pylist(),

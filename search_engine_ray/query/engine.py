@@ -898,24 +898,13 @@ class SearchEngine:
         known = [t for t in terms if self.postings(t) is not None]
         if not known:
             return []
-        low = [t for t in known
-               if self.df_map[t] * df_den < self.n_docs]
+        low = self._low_df_terms(known, df_den)
         drive = low or known
         cand = np.unique(np.concatenate(
             [self.postings(t)["doc_ids"] for t in drive]))
-        scores = np.zeros(len(cand), np.float64)
-        for t in terms:
-            pc_ = self._bm25_contrib(t)
-            if pc_ is None:
-                continue
-            ids, c = pc_
-            pos = np.searchsorted(cand, ids)
-            pos_c = np.minimum(pos, len(cand) - 1)
-            hit = cand[pos_c] == ids
-            np.add.at(scores, pos_c[hit], c[hit])
-        pos, found = self._meta_for(cand)
-        ts = self._meta["ts"][pos] * found
-        return _topk_reference_order(scores, cand, ts, k)
+        # candidate-restricted scoring IS the TAAT scorer's must= gate —
+        # one canonical accumulation path (bit-identical float order)
+        return self._search_bm25_taat(terms, k, must=cand)
 
     def search_as_you_type(self, query_text: str, k: int = 10,
                            max_expansions: int = 3):
@@ -959,27 +948,11 @@ class SearchEngine:
                  if self.postings(t) is not None]
         plain = (len(np.unique(np.concatenate(lists))) if lists else 0)
         # candidate sets directly (no scoring): champions + drive union
-        champ = []
-        for t in terms:
-            p = self.postings(t)
-            if p is None:
-                continue
-            ids = p["doc_ids"]
-            if len(ids) > m:
-                bym = p.setdefault("champ", {})
-                got = bym.get(m)
-                if got is None:
-                    pos, found = self._meta_for(ids)
-                    ts = self._meta["ts"][pos] * found
-                    order = np.lexsort((ids, ts, -p["tfs"]))[:m]
-                    got = bym[m] = np.sort(ids[order])
-                ids = got
-            champ.append(ids)
+        champ = [self._champion_ids(self.postings(t), m)
+                 for t in terms if self.postings(t) is not None]
         tiered = (len(np.unique(np.concatenate(champ))) if champ else 0)
         known = [t for t in terms if self.postings(t) is not None]
-        low = [t for t in known
-               if self.df_map[t] * df_den < self.n_docs]
-        drive = low or known
+        drive = self._low_df_terms(known, df_den) or known
         rare = (len(np.unique(np.concatenate(
             [self.postings(t)["doc_ids"] for t in drive])))
             if drive else 0)
@@ -1007,6 +980,32 @@ class SearchEngine:
         n_and = (len(self._bool_and_ids(terms))
                  if len(lists) == len(terms) else 0)
         return {"n_or": int(n_or), "n_and": int(n_and)}
+
+    def _champion_ids(self, p: dict, m: int) -> np.ndarray:
+        """The term's sorted champion prefix: top-m postings by (tf
+        desc, ts asc — oldest doc wins ties; doc ids are url hashes, so
+        hash order would be an arbitrary rule no mirror could
+        reproduce), memoized per (term, m) in the posting cache entry.
+        ONE copy of the rule, shared by search_tiered and
+        candidate_stats — a production index would persist this prefix
+        at build time (impact-ordered posting heads)."""
+        ids = p["doc_ids"]
+        if len(ids) <= m:
+            return ids
+        bym = p.setdefault("champ", {})
+        got = bym.get(m)
+        if got is None:
+            pos, found = self._meta_for(ids)
+            ts = self._meta["ts"][pos] * found
+            order = np.lexsort((ids, ts, -p["tfs"]))[:m]
+            got = bym[m] = np.sort(ids[order])
+        return got
+
+    def _low_df_terms(self, known: list, df_den: int) -> list:
+        """The rare-first drive set rule (df * df_den < n_docs),
+        shared by search_common_terms and candidate_stats."""
+        return [t for t in known
+                if self.df_map[t] * df_den < self.n_docs]
 
     def search_tiered(self, query_text: str, k: int = 10, m: int = 32,
                       fuzzy: bool = False):
@@ -1041,23 +1040,7 @@ class SearchEngine:
             p = self.postings(t)
             if p is None:
                 continue
-            ids = p["doc_ids"]
-            if len(ids) > m:
-                # champion rule: top-m by (tf desc, ts asc — oldest doc
-                # wins ties; doc ids are url hashes, so hash order would
-                # be an arbitrary rule no mirror could reproduce).
-                # Memoized per (term, m): a production index would
-                # persist this prefix at build time (impact-ordered
-                # posting heads), making the runtime selection free.
-                bym = p.setdefault("champ", {})
-                ids = bym.get(m)
-                if ids is None:
-                    full = p["doc_ids"]
-                    pos, found = self._meta_for(full)
-                    ts = self._meta["ts"][pos] * found
-                    order = np.lexsort((full, ts, -p["tfs"]))[:m]
-                    ids = bym[m] = np.sort(full[order])
-            champ.append(ids)
+            champ.append(self._champion_ids(p, m))
         if not champ:
             return []
         cand = np.unique(np.concatenate(champ))
